@@ -1,0 +1,212 @@
+"""Deduplication operators for document corpora (engine-scope addition;
+SURVEY.md §7 phase 4). Four tiers, cheapest first:
+
+1. exact       — md5 of canonical text, hash-groupBy keep-min-id.
+2. ngram       — pairwise Jaccard over word shingles via shingle-join
+                 (exact near-dup, quadratic only within shared shingles).
+3. minhash+LSH — per-doc MinHash signature, banded into LSH buckets;
+                 candidate pairs only from shared buckets (sub-quadratic,
+                 the 100 TB path).
+4. simhash     — 32-bit weighted fingerprint; near-dups share all but a
+                 few bits.
+
+All hashing is md5-based (seeded by string concat) so the DuckDB oracle
+reproduces signatures exactly; taking the lexicographic MIN of hex
+digests is a valid min-hash (md5 is uniform on hex strings, and any
+fixed total order works for the min-permutation trick).
+
+Scale notes: the shingle-join (tier 2) shuffles on shingle text — skewed
+common shingles are capped via a document-frequency filter. MinHash-LSH
+(tier 3) shuffles on (band_id, band_hash) — bucket sizes are bounded by
+collision probability, not corpus size, so candidate generation stays
+near-linear; this is the standard web-scale dedup layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from finlogic_spark.functions.text import tokens
+
+DEFAULT_NUM_HASHES = 12
+DEFAULT_BANDS = 4  # 4 bands × 3 rows: ~Jaccard 0.6+ candidates
+
+
+def canonical_text(col: str | Column) -> Column:
+    """Whitespace/case-normalized text: the exact-dedup key domain."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(F.filter(F.split(F.lower(c), "\\s+"), lambda t: t != ""), " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id representative of each exact (canonicalized)
+    duplicate class. Plan: one hash-shuffle on the md5 key with
+    partial min() map-side — the minimal exact-dedup plan."""
+    keyed = df.withColumn("__h", F.md5(canonical_text(text_col)))
+    reps = keyed.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return (
+        keyed.join(reps, ["__h", id_col], "left_semi")
+        .drop("__h")
+    )
+
+
+def shingles(col: str | Column, k: int = 3) -> Column:
+    """k-word shingles as strings ("w1 w2 w3")."""
+    t = tokens(col)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.when(n < k, F.array(F.array_join(t, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(t, i, k), " "))
+    )
+
+
+def minhash_value(shingle_col: Column, seed: int) -> Column:
+    """One min-hash: lexicographic min of md5("{seed}|" + shingle)."""
+    return F.array_min(
+        F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str, k: int = 3, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """Append minhash_0..minhash_{n-1} columns (one scan, no shuffle)."""
+    sh = F.array_distinct(shingles(text_col, k))
+    out = df.withColumn("__sh", sh)
+    for i in range(num_hashes):
+        out = out.withColumn(f"minhash_{i}", minhash_value(F.col("__sh"), i))
+    return out.drop("__sh")
+
+
+def lsh_buckets(
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Explode each doc into ``bands`` rows of (band, band_hash, id).
+    Docs sharing any (band, band_hash) are candidate near-dups."""
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"minhash_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
+        )
+    return (
+        sig_df.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb"))
+        .select(id_col, "bb.band", "bb.band_hash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) from shared LSH
+    buckets. Self-join shuffles on (band, band_hash) — bucket-local,
+    sub-quadratic."""
+    sig = minhash_signature(df, text_col, k, num_hashes)
+    buckets = lsh_buckets(sig, id_col, num_hashes, bands)
+    a = buckets.select(
+        F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    b = buckets.select(
+        F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Exact pairwise Jaccard over k-shingle sets, computed by exploding
+    shingles and self-joining on shingle text (only docs sharing ≥1
+    shingle ever meet — no cross join).
+
+    ``max_doc_freq`` drops stop-shingles appearing in more rows than the
+    cap before the self-join: at corpus scale a shingle shared by 1e6
+    docs would produce 1e12 pairs; such shingles carry no dedup signal.
+    """
+    sh = (
+        df.select(
+            F.col(id_col), F.explode(F.array_distinct(shingles(text_col, k))).alias("s")
+        )
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    if max_doc_freq is not None:
+        rare = sh.groupBy("s").agg(F.count("*").alias("df")).filter(
+            F.col("df") <= max_doc_freq
+        )
+        sh = sh.join(rare.select("s"), "s", "left_semi")
+    a = sh.select(F.col("s"), F.col(id_col).alias("id_a"))
+    b = sh.select(F.col("s"), F.col(id_col).alias("id_b"))
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(col: str | Column) -> Column:
+    """32-bit SimHash over word tokens. Bit j of each token's hash is
+    the high bit of hex digit j of md5(token) (digit >= '8'); the
+    fingerprint bit is the sign of the token-weighted sum. Pure
+    expression (transform + aggregate), oracle-reproducible."""
+    t = tokens(col)
+    hashed = F.transform(t, lambda x: F.md5(x))
+    acc0 = F.array_repeat(F.lit(0), SIMHASH_BITS)
+    sums = F.aggregate(
+        hashed,
+        acc0,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
+                lambda j: F.when(h.substr(j, F.lit(1)) >= "8", 1).otherwise(-1),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    bits = F.transform(sums, lambda s: F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)))
+    # Fold bits into one BIGINT: bit j (0-based) contributes 2^j.
+    return F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            lambda b, j: b.cast("long") * F.pow(F.lit(2.0), j).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

@@ -1,0 +1,73 @@
+"""Table loaders for the engine.
+
+The reference ingests remote Parquet eagerly into module globals
+(reference: src/finlogic/data.py:16-25,44-58). Here ingestion is a lazy
+``spark.read.parquet`` with explicit schemas where the engine owns the
+table (FinLogic-shaped fixtures), or schema-on-read for the driver's
+TPC-H-ish test tables. Nothing is collected at load time; callers decide
+when to ``.cache()``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Driver-provided test tables (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy Parquet scan of one driver table.
+
+    Filters/projections applied downstream reach this scan via Catalyst
+    pushdown — check ``PushedFilters`` / ``ReadSchema`` in ``.explain``.
+    """
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> None:
+    """Register each table as a temp view so SQL-first call sites work."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a derived table (the reference has no sinks; the engine
+    does — e.g. the indicators table, reference src/finlogic/data.py:66,
+    is better written back than recomputed).
+
+    ``partition_by`` is the 100 TB lever: partition fact tables by a
+    low-cardinality time column so per-period queries prune files.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
