@@ -1,0 +1,1261 @@
+"""Driver-contract query registry: one (Spark callable, DuckDB oracle
+SQL) pair per SURVEY.md §2 operator family, on the driver's test tables.
+
+Cross-engine determinism rules used throughout:
+- Money/value aggregates: SUM(CAST(round(x, 2) AS DECIMAL(18,2))) then
+  cast the total to DOUBLE — decimal addition is exact and
+  order-independent, so Spark's parallel partial aggregation and
+  DuckDB's produce bitwise-identical doubles. A raw SUM(double) would
+  differ run-to-run at the 1e-10 level and break the value hash.
+- Per-row float math (cosine, ratios): identical formula and fold
+  order on both sides, rounded to 6 dp at the output edge.
+- Every hash is md5 (the one hash both engines share).
+- Every query ends with a deterministic ORDER BY including a unique
+  tiebreak column. (The driver's compare is order-insensitive, but
+  ties inside LIMIT/top-k must be broken identically on both sides.)
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from finlogic_spark.functions import hierarchy_depth, multi_prefix
+from finlogic_spark.functions.text import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    mean_token_len,
+    punct_ratio,
+    quality_score,
+    token_count,
+    tokens,
+)
+from finlogic_spark.operators.asof import asof_join
+from finlogic_spark.operators.dedup import keep_first, keep_last
+from finlogic_spark.operators.reshape import pivot_wide, unpivot_long
+from finlogic_spark.operators.similarity import cosine_topk, lsh_cosine_topk, _deterministic_planes
+from finlogic_spark.operators.text_dedup import (
+    canonical_text,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from finlogic_spark.operators.topk import top_k
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects; read nanos as long and convert to the same µs
+    precision DuckDB truncates to."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+# Cross-engine deterministic rounding: floor(x*scale + 0.5)/scale runs the
+# SAME IEEE double ops in Spark and DuckDB, unlike round() (Spark rounds the
+# shortest decimal string of the double, DuckDB rounds the binary value —
+# they disagree on values like ...93.485).
+def rN(col, digits: int):
+    scale = float(10 ** digits)
+    return F.floor(col * scale + F.lit(0.5)) / F.lit(scale)
+
+
+def _rN_sql(expr: str, digits: int) -> str:
+    scale = float(10 ** digits)
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def dsum(col, alias: str):
+    """Order-independent double sum: per-row scale to integral cents
+    (deterministic double math), exact integer aggregation, divide back."""
+    return (F.sum(F.floor(col * 100.0 + F.lit(0.5))) / F.lit(100.0)).alias(alias)
+
+
+def _dsum_sql(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST(floor(({expr}) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / 100.0 AS {alias}"
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classics (headline / bench queries)
+# ---------------------------------------------------------------------------
+
+@q(
+    "tpch_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql("l_quantity", "sum_qty")},
+           {_dsum_sql("l_extendedprice", "sum_base_price")},
+           {_dsum_sql("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+           {_dsum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    disc = price * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(price, "sum_base_price"),
+            dsum(disc, "sum_disc_price"),
+            dsum(disc * (1 + F.col("l_tax")), "sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q(
+    "tpch_q3",
+    f"""
+    SELECT l_orderkey,
+           {_dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")},
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+      AND l_shipdate > TIMESTAMP '1999-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
+    )
+    joined = l.join(o, l.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+    return top_k(
+        agg, [F.col("revenue").desc(), F.col("l_orderkey").asc()], 10
+    ).select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+
+
+@q(
+    "tpch_q5",
+    f"""
+    SELECT n_name, {_dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-core operators (SURVEY §2.1-2.2: scans, filters, predicates)
+# ---------------------------------------------------------------------------
+
+@q(
+    "scan_project_cast",
+    """
+    SELECT l_orderkey, CAST(l_linenumber AS VARCHAR) AS line_no, l_quantity
+    FROM lineitem WHERE l_orderkey <= 100
+    ORDER BY l_orderkey, line_no
+    """,
+)
+def scan_project_cast(spark, sf_dir):
+    # S1+S2: parquet scan, projection, cast on ingest (pushdown: only 3
+    # columns reach the scan; filter reaches PushedFilters).
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 100)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("string").alias("line_no"),
+            "l_quantity",
+        )
+        .orderBy("l_orderkey", "line_no")
+    )
+
+
+@q(
+    "filter_predicates",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE (o_orderstatus = 'F' AND o_totalprice >= 50000)
+       OR (o_orderpriority = '1-URGENT' AND o_totalprice < 1000)
+    ORDER BY o_orderkey
+    """,
+)
+def filter_predicates(spark, sf_dir):
+    # P3-P6: equality, range, conjunction, disjunction.
+    o = _t(spark, sf_dir, "orders")
+    conj1 = (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") >= 50000)
+    conj2 = (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") < 1000)
+    return (
+        o.filter(conj1 | conj2)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+@q(
+    "filter_in_contains_prefix",
+    """
+    SELECT p_partkey, p_name, p_brand, p_type
+    FROM part
+    WHERE p_type IN ('ECONOMY', 'PROMO')
+      AND p_name LIKE '%widget%'
+      AND p_brand LIKE 'Brand#1%'
+    ORDER BY p_partkey
+    """,
+)
+def filter_in_contains_prefix(spark, sf_dir):
+    # P7 (IN-list), P8 (contains), P9 (prefix).
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(
+            F.col("p_type").isin("ECONOMY", "PROMO")
+            & F.col("p_name").contains("widget")
+            & F.col("p_brand").startswith("Brand#1")
+        )
+        .select("p_partkey", "p_name", "p_brand", "p_type")
+        .orderBy("p_partkey")
+    )
+
+
+@q(
+    "multi_prefix_depth",
+    """
+    SELECT p_partkey, p_name, len(string_split(p_name, ' ')) AS name_depth
+    FROM part
+    WHERE (p_name LIKE 'small%' OR p_name LIKE 'large%' OR p_name LIKE 'cold%')
+      AND len(string_split(p_name, ' ')) <= 2
+    ORDER BY p_partkey
+    """,
+)
+def multi_prefix_depth(spark, sf_dir):
+    # P10 (multi-prefix disjunction) + P11 (hierarchy depth) using the
+    # engine's named idioms, with space-separated names as the hierarchy.
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(
+            multi_prefix("p_name", ["small", "large", "cold"])
+            & (hierarchy_depth("p_name", " ") <= 2)
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            hierarchy_depth("p_name", " ").alias("name_depth"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@q(
+    "conditional_null_handling",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'negative' ELSE 'non-negative' END AS bal_class,
+           coalesce(s.s_name, 'NO_SUPPLIER') AS any_supplier,
+           floor(coalesce(s.s_acctbal, 0.0) * 100.0 + 0.5) / 100.0 AS supp_bal
+    FROM customer c
+    LEFT JOIN (SELECT s_nationkey, min(s_name) AS s_name,
+                      min(s_acctbal) AS s_acctbal
+               FROM supplier GROUP BY s_nationkey) s
+      ON c.c_nationkey = s.s_nationkey
+    ORDER BY c_custkey
+    """,
+)
+def conditional_null_handling(spark, sf_dir):
+    # P13 (when/otherwise) + P14 (null handling via fill/coalesce).
+    c = _t(spark, sf_dir, "customer")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.min("s_name").alias("s_name"), F.min("s_acctbal").alias("s_acctbal"))
+    )
+    return (
+        c.join(F.broadcast(s), c.c_nationkey == s.s_nationkey, "left")
+        .select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") < 0, "negative")
+            .otherwise("non-negative")
+            .alias("bal_class"),
+            F.coalesce(F.col("s_name"), F.lit("NO_SUPPLIER")).alias("any_supplier"),
+            rN(F.coalesce(F.col("s_acctbal"), F.lit(0.0)), 2).alias("supp_bal"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@q(
+    "join_broadcast_inner",
+    f"""
+    SELECT p_brand, {_dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")},
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def join_broadcast_inner(spark, sf_dir):
+    # J1: inner equi-join with a small broadcast dimension.
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@q(
+    "join_multi_key",
+    """
+    SELECT e.event_id, e.user_id, e.event_type, g.n_type_events
+    FROM events e
+    JOIN (SELECT user_id, event_type, count(*) AS n_type_events
+          FROM events GROUP BY user_id, event_type) g
+      ON e.user_id = g.user_id AND e.event_type = g.event_type
+    WHERE e.event_id < 500
+    ORDER BY e.event_id
+    """,
+)
+def join_multi_key(spark, sf_dir):
+    # J2: inner equi-join on a composite key.
+    e = _t(spark, sf_dir, "events")
+    g = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n_type_events"))
+    return (
+        e.filter(F.col("event_id") < 500)
+        .join(g, ["user_id", "event_type"])
+        .select("event_id", "user_id", "event_type", "n_type_events")
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "join_left_agg",
+    f"""
+    SELECT c_custkey, c_name, coalesce(o.n_orders, 0) AS n_orders,
+           coalesce(o.total_spend, 0.0) AS total_spend
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, count(*) AS n_orders,
+                      {_dsum_sql("o_totalprice", "total_spend")}
+               FROM orders GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+    ORDER BY c_custkey
+    """,
+)
+def join_left_agg(spark, sf_dir):
+    # J3: left outer join preserving unmatched left rows.
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum(F.col("o_totalprice"), "total_spend"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("total_spend"), F.lit(0.0)).alias("total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@q(
+    "join_semi_anti",
+    """
+    SELECT c_mktsegment,
+           count(CASE WHEN has_urgent THEN 1 END) AS with_urgent,
+           count(CASE WHEN NOT has_urgent THEN 1 END) AS without_urgent
+    FROM (SELECT c_custkey, c_mktsegment,
+                 EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT') AS has_urgent
+          FROM customer c)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def join_semi_anti(spark, sf_dir):
+    # J4: left-semi + left-anti joins (the scale-safe replacement for
+    # is_in-on-collected-list, reference src/finlogic/data.py:55-56).
+    c = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    semi = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+    anti = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+    w = semi.groupBy("c_mktsegment").agg(F.count("*").alias("with_urgent"))
+    wo = anti.groupBy("c_mktsegment").agg(F.count("*").alias("without_urgent"))
+    return (
+        w.join(wo, "c_mktsegment", "full")
+        .select(
+            "c_mktsegment",
+            F.coalesce("with_urgent", F.lit(0)).alias("with_urgent"),
+            F.coalesce("without_urgent", F.lit(0)).alias("without_urgent"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@q(
+    "join_order_literal",
+    """
+    SELECT o_orderpriority, n_orders, pri._order AS priority_rank
+    FROM (SELECT o_orderpriority, count(*) AS n_orders FROM orders
+          GROUP BY o_orderpriority) a
+    JOIN (VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 3),
+                 ('4-NOT SPECIFIED', 4), ('5-LOW', 5)) pri(p, _order)
+      ON a.o_orderpriority = pri.p
+    ORDER BY priority_rank
+    """,
+)
+def join_order_literal(spark, sf_dir):
+    # J5: order-carrying join against an in-memory literal table
+    # (reference src/finlogic/indicators.py:217-218) — S3 too.
+    o = _t(spark, sf_dir, "orders")
+    order_rows = [
+        ("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
+        ("4-NOT SPECIFIED", 4), ("5-LOW", 5),
+    ]
+    pri = spark.createDataFrame(order_rows, "p string, _order int")
+    agg = o.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+    return (
+        agg.join(F.broadcast(pri), agg.o_orderpriority == pri.p)
+        .select("o_orderpriority", "n_orders", F.col("_order").alias("priority_rank"))
+        .orderBy("priority_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / reshape (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@q(
+    "agg_stats",
+    """
+    SELECT min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT (o_custkey, o_orderstatus)) AS n_cust_status
+    FROM orders
+    """,
+)
+def agg_stats(spark, sf_dir):
+    # A1-A4: global min/max, count, single + composite distinct counts
+    # (the info() contract, reference src/finlogic/data.py:81-91).
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count_distinct("o_custkey", "o_orderstatus").alias("n_cust_status"),
+    )
+
+
+@q(
+    "distinct_sorted",
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+)
+def distinct_sorted(spark, sf_dir):
+    # A5: distinct values of one column, sorted (segment list).
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+
+@q(
+    "pivot_wide_status",
+    f"""
+    SELECT o_orderpriority,
+           coalesce(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS F,
+           coalesce(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS O,
+           coalesce(CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def pivot_wide_status(spark, sf_dir):
+    # A6: pivot long→wide with an explicit value list (no distinct-
+    # collection job) and fill-null-0 semantics.
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "price_dec", F.round("o_totalprice", 2).cast("decimal(18,2)")
+    )
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("price_dec"))
+    )
+    return wide.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(c) for c in ("F", "O", "P")],
+    ).orderBy("o_orderpriority")
+
+
+@q(
+    "unpivot_long",
+    """
+    WITH wide AS (
+      SELECT n_name,
+             CAST(count(DISTINCT c_custkey) AS DOUBLE) AS n_customers,
+             CAST(count(DISTINCT s_suppkey) AS DOUBLE) AS n_suppliers
+      FROM nation
+      LEFT JOIN customer ON c_nationkey = n_nationkey
+      LEFT JOIN supplier ON s_nationkey = n_nationkey
+      GROUP BY n_name)
+    SELECT n_name, 'n_customers' AS metric, n_customers AS value FROM wide
+    UNION ALL
+    SELECT n_name, 'n_suppliers' AS metric, n_suppliers AS value FROM wide
+    ORDER BY n_name, metric
+    """,
+)
+def unpivot_long_q(spark, sf_dir):
+    # A7: unpivot wide→long (reference src/finlogic/indicators.py:223-224).
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    wide = (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .join(s, n.n_nationkey == s.s_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count_distinct("c_custkey").cast("double").alias("n_customers"),
+            F.count_distinct("s_suppkey").cast("double").alias("n_suppliers"),
+        )
+    )
+    return unpivot_long(
+        wide, ["n_name"], ["n_customers", "n_suppliers"], "metric", "value"
+    ).orderBy("n_name", "metric")
+
+
+# ---------------------------------------------------------------------------
+# Dedup + windows (SURVEY §2.5, §2.6 — the signature operators)
+# ---------------------------------------------------------------------------
+
+@q(
+    "dedup_keep_last",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    ORDER BY o_custkey
+    """,
+)
+def dedup_keep_last_q(spark, sf_dir):
+    # D1/D3/A8: keep-last-per-group with explicit tiebreak — the
+    # engine's distinct-on primitive.
+    o = _t(spark, sf_dir, "orders")
+    return keep_last(o, ["o_custkey"], ["o_orderdate", "o_orderkey"]).select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).orderBy("o_custkey")
+
+
+@q(
+    "dedup_keep_first",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate
+    FROM orders
+    QUALIFY row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) = 1
+    ORDER BY o_custkey
+    """,
+)
+def dedup_keep_first_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return keep_first(o, ["o_custkey"], ["o_orderdate", "o_orderkey"]).select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    ).orderBy("o_custkey")
+
+
+@q(
+    "dedup_distinct",
+    """
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def dedup_distinct_q(spark, sf_dir):
+    # D6: plain all-column distinct.
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+@q(
+    "window_lag_trailing",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           floor((o_totalprice + coalesce(
+             lag(o_totalprice, 1) OVER w, o_totalprice)) / 2 * 100.0 + 0.5) / 100.0 AS trailing_avg_2,
+           floor((o_totalprice + coalesce(
+             lag(o_totalprice, 4) OVER w,
+             lag(o_totalprice, 1) OVER w, o_totalprice)) / 2 * 100.0 + 0.5) / 100.0 AS trailing_avg_4_1
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_lag_trailing(spark, sf_dir):
+    # W1 (lag-1 coalesce to current) + W2 (lag-4-else-lag-1-else-
+    # current) — the reference's trailing-average denominators with an
+    # EXPLICIT window order (SURVEY §2.6 hazard).
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = F.col("o_totalprice")
+    prev1 = F.coalesce(F.lag(price, 1).over(w), price)
+    prev41 = F.coalesce(F.lag(price, 4).over(w), F.lag(price, 1).over(w), price)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        rN((price + prev1) / 2, 2).alias("trailing_avg_2"),
+        rN((price + prev41) / 2, 2).alias("trailing_avg_4_1"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k / set ops / scalar functions (SURVEY §2.7-2.9)
+# ---------------------------------------------------------------------------
+
+@q(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def topk_orders(spark, sf_dir):
+    # O2/O3: top-k via TakeOrderedAndProject, deterministic tiebreak.
+    o = _t(spark, sf_dir, "orders")
+    return top_k(o, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 10).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@q(
+    "union_all",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 100000
+    ORDER BY o_orderkey, o_orderstatus
+    """,
+)
+def union_all_q(spark, sf_dir):
+    # U1: vertical concat by name, duplicates kept.
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000))
+    b = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 100000)
+    )
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    return a.select(cols).unionByName(b.select(cols)).orderBy("o_orderkey", "o_orderstatus")
+
+
+@q(
+    "string_date_funcs",
+    """
+    SELECT o_orderkey,
+           upper(o_orderpriority) AS pri_upper,
+           concat('status: ', o_orderstatus) AS status_label,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           strftime(o_orderdate, '%Y-%m') AS order_month,
+           floor(o_totalprice / 1000 * 10000.0 + 0.5) / 10000.0 AS price_k
+    FROM orders
+    WHERE o_orderkey <= 200
+    ORDER BY o_orderkey
+    """,
+)
+def string_date_funcs(spark, sf_dir):
+    # F1/F2/F4/F5: string case/concat, date formatting, scalar arithmetic
+    # with unit scaling (reference src/finlogic/company.py:262,331).
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") <= 200)
+        .select(
+            "o_orderkey",
+            F.upper("o_orderpriority").alias("pri_upper"),
+            F.concat(F.lit("status: "), F.col("o_orderstatus")).alias("status_label"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            rN(F.col("o_totalprice") / 1000, 4).alias("price_k"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@q(
+    "rank_flagship",
+    f"""
+    WITH latest AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+      FROM orders
+      QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    )
+    SELECT c_name, c_mktsegment, n_name, o_orderkey, o_orderdate,
+           floor(o_totalprice * 100.0 + 0.5) / 100.0 AS latest_price
+    FROM latest
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_mktsegment = 'BUILDING'
+    ORDER BY latest_price DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def rank_flagship(spark, sf_dir):
+    # §3.2 rank() shape: keep-last dedup → broadcast joins → filter →
+    # top-k → project. The flagship minimum-slice query.
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    latest = keep_last(o, ["o_custkey"], ["o_orderdate", "o_orderkey"])
+    joined = (
+        latest.join(F.broadcast(c), latest.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(
+            "c_name", "c_mktsegment", "n_name", "o_orderkey", "o_orderdate",
+            rN(F.col("o_totalprice"), 2).alias("latest_price"),
+        )
+    )
+    return top_k(joined, [F.col("latest_price").desc(), F.col("o_orderkey").asc()], 10)
+
+
+# ---------------------------------------------------------------------------
+# Events: time-series / streaming-surface queries (engine-scope additions)
+# ---------------------------------------------------------------------------
+
+@q(
+    "events_tumbling_hourly",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, {_dsum_sql("value", "total_value")}
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def events_tumbling_hourly(spark, sf_dir):
+    # Tumbling event-time window aggregation (batch twin of the
+    # Structured Streaming windowed agg; same plan shape).
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value"), "total_value"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+@q(
+    "events_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                    OR lag(epoch_ms(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+    FROM gaps GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    # Sessionization with a 30-min inactivity gap (batch twin of
+    # F.session_window). One window shuffle on user_id.
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    prev = F.lag(ms).over(w)
+    new_session = F.when(
+        prev.isNull() | ((ms - prev) > 1800000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        e.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("bigint").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    # F-ops engine extension: JSON prop extraction (events.props is a
+    # JSON string; SURVEY §2.9).
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(F.sum(k).cast("bigint").alias("total_k"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "events_dedup_earliest",
+    """
+    SELECT user_id, event_type, event_id, ts
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def events_dedup_earliest(spark, sf_dir):
+    # Streaming-dedup twin: first event per (user, type).
+    e = _t(spark, sf_dir, "events")
+    return keep_first(e, ["user_id", "event_type"], ["ts", "event_id"]).select(
+        "user_id", "event_type", "event_id", "ts"
+    ).orderBy("user_id", "event_type")
+
+
+@q(
+    "events_asof_join",
+    """
+    SELECT l.event_id, l.user_id, l.ts,
+           r.value AS purchase_value, r.ts AS ts_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    # As-of join (engine addition, SURVEY §2.3): each click gets the
+    # latest at-or-before purchase of the same user. Single shuffle on
+    # user_id — no range explosion.
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, purchases, on="ts", by=["user_id"], right_cols=["value"])
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("value").alias("purchase_value"),
+        F.col("ts_right").alias("ts_purchase"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Documents: text analysis + dedup (engine-scope additions)
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+_SHINGLES_SQL = f"""
+    CASE WHEN len({_TOKS_SQL}) < 3
+         THEN [array_to_string({_TOKS_SQL}, ' ')]
+         ELSE list_transform(range(1, len({_TOKS_SQL}) - 1),
+                             i -> array_to_string(({_TOKS_SQL})[i:i+2], ' '))
+    END
+"""
+
+
+@q(
+    "doc_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOKS_SQL}) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+             + len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           floor(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                 / greatest(length(text), 1) * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
+           floor(CAST(list_sum(list_transform({_TOKS_SQL}, x -> length(x))) AS DOUBLE)
+                 / greatest(len({_TOKS_SQL}), 1) * 1000000.0 + 0.5) / 1000000.0 AS mean_token_len,
+           md5(array_to_string(list_sort({_TOKS_SQL}), ' ')) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_stats(spark, sf_dir):
+    # Text analysis: token counts, punctuation ratio, mean token
+    # length, order-insensitive md5 fingerprint.
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        rN(punct_ratio("text"), 6).alias("punct_ratio"),
+        rN(mean_token_len("text"), 6).alias("mean_token_len"),
+        fingerprint("text").alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({_TOKS_SQL}, x -> list_contains([{words}], x)))"
+
+
+_LANG_CASE = " ".join(
+    f"WHEN {_lang_hits_sql(lang)} = best AND best > 0 THEN '{lang}'"
+    for lang in STOPWORDS
+)
+
+
+@q(
+    "doc_lang_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             greatest({", ".join(_lang_hits_sql(lg) for lg in STOPWORDS)}) AS best,
+             text
+      FROM documents)
+    SELECT doc_id, lang, CASE {_LANG_CASE} ELSE 'und' END AS pred_lang
+    FROM scored ORDER BY doc_id
+    """,
+)
+def doc_lang_id(spark, sf_dir):
+    # Language-ID heuristic: argmax stopword-hit ratio, first-language
+    # tiebreak, 'und' when no hits.
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id("text").alias("pred_lang")).orderBy(
+        "doc_id"
+    )
+
+
+@q(
+    "doc_quality",
+    f"""
+    SELECT doc_id,
+           floor((least(length(text) / 500.0, 1.0)
+                  + (1.0 - least((len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                                  / greatest(length(text), 1)) * 4.0, 1.0))
+                  + CASE WHEN (CAST(list_sum(list_transform({_TOKS_SQL}, x -> length(x))) AS DOUBLE)
+                               / greatest(len({_TOKS_SQL}), 1)) BETWEEN 3 AND 10
+                         THEN 1.0 ELSE 0.5 END) / 3.0 * 1000000.0 + 0.5) / 1000000.0 AS quality
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", rN(quality_score("text"), 6).alias("quality")
+    ).orderBy("doc_id")
+
+
+@q(
+    "doc_exact_dedup",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS h FROM documents),
+    reps AS (SELECT h, min(doc_id) AS doc_id FROM keyed GROUP BY h)
+    SELECT k.doc_id, k.h AS text_hash FROM keyed k
+    JOIN reps r ON k.h = r.h AND k.doc_id = r.doc_id
+    ORDER BY k.doc_id
+    """,
+)
+def doc_exact_dedup(spark, sf_dir):
+    # Exact dedup: canonical-text md5, keep lowest doc_id per class.
+    d = _t(spark, sf_dir, "documents")
+    deduped = exact_dedup(d, "text", "doc_id")
+    return deduped.select(
+        "doc_id", F.md5(canonical_text("text")).alias("text_hash")
+    ).orderBy("doc_id")
+
+
+@q(
+    "doc_minhash_sig",
+    f"""
+    WITH s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
+    SELECT doc_id,
+           list_min(list_transform(sh, x -> md5('0|' || x))) AS minhash_0,
+           list_min(list_transform(sh, x -> md5('1|' || x))) AS minhash_1,
+           list_min(list_transform(sh, x -> md5('2|' || x))) AS minhash_2,
+           list_min(list_transform(sh, x -> md5('3|' || x))) AS minhash_3
+    FROM s ORDER BY doc_id
+    """,
+)
+def doc_minhash_sig(spark, sf_dir):
+    # MinHash signatures: lexicographic min of seeded md5 over 3-word
+    # shingles — reproducible in any engine with md5.
+    d = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(d, "text", k=3, num_hashes=4)
+    return sig.select(
+        "doc_id", "minhash_0", "minhash_1", "minhash_2", "minhash_3"
+    ).orderBy("doc_id")
+
+
+@q(
+    "doc_lsh_pairs",
+    f"""
+    WITH s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    sig AS (
+      SELECT doc_id,
+             list_min(list_transform(sh, x -> md5('0|' || x))) AS m0,
+             list_min(list_transform(sh, x -> md5('1|' || x))) AS m1,
+             list_min(list_transform(sh, x -> md5('2|' || x))) AS m2,
+             list_min(list_transform(sh, x -> md5('3|' || x))) AS m3,
+             list_min(list_transform(sh, x -> md5('4|' || x))) AS m4,
+             list_min(list_transform(sh, x -> md5('5|' || x))) AS m5
+      FROM s),
+    buckets AS (
+      SELECT doc_id, 0 AS band, md5(m0 || '|' || m1 || '|' || m2) AS bh FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(m3 || '|' || m4 || '|' || m5) AS bh FROM sig)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+    WHERE a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+)
+def doc_lsh_pairs(spark, sf_dir):
+    # MinHash-LSH candidate pairs: 6 hashes, 2 bands of 3 — the
+    # sub-quadratic near-dedup path.
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "text", "doc_id", k=3, num_hashes=6, bands=2
+    ).orderBy("id_a", "id_b")
+
+
+@q(
+    "doc_ngram_jaccard",
+    f"""
+    WITH s AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS sh FROM documents),
+    sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           floor(inter / (na.n + nb.n - inter) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM inter
+    JOIN sz na ON na.doc_id = id_a
+    JOIN sz nb ON nb.doc_id = id_b
+    WHERE inter / (na.n + nb.n - inter) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def doc_ngram_jaccard(spark, sf_dir):
+    # Exact pairwise n-gram Jaccard via shingle-join (no cross join).
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", k=3, threshold=0.5, max_doc_freq=None
+    )
+    return pairs.select(
+        "id_a", "id_b", rN(F.col("jaccard"), 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+_SIMHASH_SUMS = ", ".join(
+    f"SUM(CASE WHEN substr(hx, {j}, 1) >= '8' THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(1, 33)
+)
+_SIMHASH_FOLD = " + ".join(
+    f"(CASE WHEN s{j} >= 0 THEN {2 ** (j - 1)} ELSE 0 END)" for j in range(1, 33)
+)
+
+
+@q(
+    "doc_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS hx FROM tok),
+    s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_FOLD} AS BIGINT) AS simhash_fp
+    FROM s ORDER BY doc_id
+    """,
+)
+def doc_simhash(spark, sf_dir):
+    # 32-bit SimHash fingerprint (near-dups differ in few bits).
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash("text").alias("simhash_fp")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search (engine-scope additions)
+# ---------------------------------------------------------------------------
+
+_DOT_SQL = "list_sum(list_transform(range(1, 65), i -> v[i] * qv[i]))"
+_NORM_V = "sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))"
+_NORM_Q = "sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))"
+
+
+@q(
+    "emb_cosine_topk",
+    f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, vec_id,
+             {_DOT_SQL} / ({_NORM_V} * {_NORM_Q}) AS cs
+      FROM c CROSS JOIN qs)
+    SELECT query_id, vec_id, floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, rk
+    FROM (SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS INTEGER) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def emb_cosine_topk(spark, sf_dir):
+    # Exact brute-force cosine top-k (broadcast query set, codegen'd
+    # zip_with dot products, per-query rank window).
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    corpus = e.select("vec_id", as_double.alias("embedding"))
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), as_double.alias("query_vec")
+    )
+    out = cosine_topk(corpus, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", rN(F.col("cos_sim"), 6).alias("cos_sim"), "rk"
+    ).orderBy("query_id", "rk")
+
+
+def _planes_sql(dim: int = 64, num_planes: int = 6) -> str:
+    planes = _deterministic_planes(dim, num_planes)
+    rows = ", ".join(
+        f"({p}, [{', '.join(repr(v) for v in vec)}]::DOUBLE[])"
+        for p, vec in enumerate(planes)
+    )
+    return f"(VALUES {rows}) planes(p, pl)"
+
+
+@q(
+    "emb_lsh_topk",
+    f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+    cb AS (
+      SELECT vec_id, v, CAST(sum(CASE WHEN
+               list_sum(list_transform(range(1, 65), i -> v[i] * pl[i])) >= 0
+             THEN power(2, p)::BIGINT ELSE 0 END) AS BIGINT) AS bucket
+      FROM c CROSS JOIN {_planes_sql()} GROUP BY vec_id, v),
+    qb AS (
+      SELECT query_id, qv, CAST(sum(CASE WHEN
+               list_sum(list_transform(range(1, 65), i -> qv[i] * pl[i])) >= 0
+             THEN power(2, p)::BIGINT ELSE 0 END) AS BIGINT) AS bucket
+      FROM qs CROSS JOIN {_planes_sql()} GROUP BY query_id, qv),
+    scored AS (
+      SELECT query_id, vec_id,
+             {_DOT_SQL} / ({_NORM_V} * {_NORM_Q}) AS cs
+      FROM cb JOIN qb USING (bucket))
+    SELECT query_id, vec_id, floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, rk
+    FROM (SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS INTEGER) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def emb_lsh_topk(spark, sf_dir):
+    # Approximate top-k via random-hyperplane LSH buckets (equi-join on
+    # bucket id — the sub-linear 100 TB path).
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    corpus = e.select("vec_id", as_double.alias("embedding"))
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), as_double.alias("query_vec")
+    )
+    out = lsh_cosine_topk(corpus, queries, k=5, dim=64, num_planes=6)
+    return out.select(
+        "query_id", "vec_id", rN(F.col("cos_sim"), 6).alias("cos_sim"), "rk"
+    ).orderBy("query_id", "rk")
