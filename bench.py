@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query executes its full plan through the noop sink (no driver-side
+collect overhead, no result materialization skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from finlogic_spark import driver_queries as dq
+from finlogic_spark.session import get_spark
+
+BENCH_QUERIES = [
+    # TPC-H classics: scan-heavy aggregation, join pyramid, top-k
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    # flagship rank shape: dedup window + broadcast joins + top-k
+    "rank_flagship",
+    # signature operators
+    "dedup_keep_last",
+    "window_lag_trailing",
+    "pivot_wide_status",
+    # events / time-series
+    "events_tumbling_hourly",
+    "events_sessionize",
+    "events_asof_join",
+    # text pipeline
+    "doc_lsh_pairs",
+    "doc_ngram_jaccard",
+    "doc_simhash",
+    # similarity search
+    "emb_cosine_topk",
+    "emb_lsh_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("finlogic-bench")
+
+    # JVM/codegen warm-up: one tiny end-to-end job, not timed.
+    dq.QUERIES["tpch_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        start = time.perf_counter()
+        dq.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,7 @@ from finlogic_spark.operators.reshape import pivot_wide, unpivot_long
 from finlogic_spark.operators.similarity import cosine_topk, lsh_cosine_topk, _deterministic_planes
 from finlogic_spark.operators.text_dedup import (
     canonical_text,
+    simhash_agg,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signature,
@@ -1073,10 +1074,8 @@ def doc_minhash_sig(spark, sf_dir):
     # MinHash signatures: lexicographic min of seeded md5 over 3-word
     # shingles — reproducible in any engine with md5.
     d = _t(spark, sf_dir, "documents")
-    sig = minhash_signature(d, "text", k=3, num_hashes=4)
-    return sig.select(
-        "doc_id", "minhash_0", "minhash_1", "minhash_2", "minhash_3"
-    ).orderBy("doc_id")
+    sig = minhash_signature(d, "text", "doc_id", k=3, num_hashes=4)
+    return sig.orderBy("doc_id")
 
 
 @q(
@@ -1162,9 +1161,10 @@ _SIMHASH_FOLD = " + ".join(
     """,
 )
 def doc_simhash(spark, sf_dir):
-    # 32-bit SimHash fingerprint (near-dups differ in few bits).
+    # 32-bit SimHash fingerprint (near-dups differ in few bits),
+    # explode+partial-agg form (one row per doc reaches the shuffle).
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash("text").alias("simhash_fp")).orderBy("doc_id")
+    return simhash_agg(d, "text", "doc_id").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,105 @@
+"""Unit tests for the core operator library on tiny in-memory frames —
+the hermetic operator-level coverage the reference lacks (its tests hit
+live production data; SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from finlogic_spark.functions import hierarchy_depth, multi_prefix, safe_div
+from finlogic_spark.operators.asof import asof_join
+from finlogic_spark.operators.dedup import distinct_on, keep_first, keep_last
+from finlogic_spark.operators.reshape import pivot_wide, unpivot_long
+from finlogic_spark.operators.topk import top_k
+
+
+def test_keep_last_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (2, 5, "d")],
+        "k int, ord int, v string",
+    )
+    got = {r["k"]: r["v"] for r in keep_last(df, ["k"], ["ord", "v"]).collect()}
+    assert got == {1: "b", 2: "d"}  # ties broken by the v column
+
+
+def test_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b")], "k int, ord int, v string"
+    )
+    assert keep_first(df, ["k"], ["ord"]).collect()[0]["v"] == "a"
+
+
+def test_keep_last_idempotent(spark):
+    df = spark.createDataFrame(
+        [(1, i, f"v{i}") for i in range(5)] + [(2, 0, "x")],
+        "k int, ord int, v string",
+    )
+    once = keep_last(df, ["k"], ["ord"])
+    twice = keep_last(once, ["k"], ["ord"])
+    assert sorted(once.collect()) == sorted(twice.collect())
+
+
+def test_distinct_on_plain(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k int, v string")
+    assert distinct_on(df, ["k"]).count() == 2
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    long = spark.createDataFrame(
+        [(1, "x", 10.0), (1, "y", 20.0), (2, "x", 30.0)],
+        "k int, cat string, val double",
+    )
+    wide = pivot_wide(long, ["k"], "cat", "val", pivot_values=["x", "y"])
+    assert {r["k"]: (r["x"], r["y"]) for r in wide.collect()} == {
+        1: (10.0, 20.0),
+        2: (30.0, 0.0),  # fill_null(0) semantics
+    }
+    back = unpivot_long(wide, ["k"], ["x", "y"], "cat", "val")
+    assert back.count() == 4
+
+
+def test_top_k_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(10)], "id int, score double"
+    )
+    rows = top_k(df, [F.col("score").desc(), F.col("id").asc()], 3).collect()
+    assert [r["id"] for r in rows] == [2, 5, 8]
+
+
+def test_multi_prefix_and_depth(spark):
+    df = spark.createDataFrame(
+        [("1.01",), ("1.01.02",), ("2.03",), ("3.99.01.01",)], "code string"
+    )
+    got = df.filter(multi_prefix("code", ["1.01", "3.99"])).count()
+    assert got == 3
+    depths = {
+        r["code"]: r["d"]
+        for r in df.select("code", hierarchy_depth("code").alias("d")).collect()
+    }
+    assert depths == {"1.01": 2, "1.01.02": 3, "2.03": 2, "3.99.01.01": 4}
+
+
+def test_safe_div_null_on_zero(spark):
+    df = spark.createDataFrame([(1.0, 0.0), (4.0, 2.0)], "a double, b double")
+    vals = [r["r"] for r in df.select(safe_div(F.col("a"), F.col("b")).alias("r")).collect()]
+    assert vals == [None, 2.0]
+
+
+def test_asof_join_backward(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=m)) for m in (5, 15, 25)],
+        "uid int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=10), 100.0),
+         (1, t0 + dt.timedelta(minutes=25), 200.0),
+         (2, t0, 999.0)],
+        "uid int, ts timestamp, px double",
+    )
+    out = asof_join(left, right, on="ts", by=["uid"], right_cols=["px"])
+    got = {r["ts"].minute: r["px"] for r in out.collect()}
+    # t=5: no prior px; t=15: px@10; t=25: exact tie matches (at-or-before)
+    assert got == {5: None, 15: 100.0, 25: 200.0}
