@@ -1,0 +1,211 @@
+"""Multimodal column plumbing (engine-scope addition): image/audio/video
+as opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched pandas functions over ``mapInPandas``.
+
+The decode kernels are DETERMINISTIC FAKES — the container has no
+image/audio libraries (see north star: stub the decode, make the
+Spark-side plumbing real). Each fake parses the header our generator
+writes and derives features from md5 bytes, so results are stable
+across runs/engines and the real libs can be dropped in later behind
+the same interface (``_decode_image_bytes`` / ``_decode_audio_bytes``).
+
+Scale notes:
+- ``mapInPandas`` ships Arrow batches (not rows) across the Python
+  boundary — the only acceptable Python-UDF shape at 100 TB.
+- Media payloads are large: keep them in their own column, repartition
+  by media_id before wide fan-out, and project the binary column away
+  as soon as features are extracted (column pruning can't help if the
+  blob rides along in every downstream row).
+- spark.sql.execution.arrow.maxRecordsPerBatch bounds decoder memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("data", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("format", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+_MAGIC = b"FLSM"  # fake container format: magic + w + h + sr + frames
+
+
+def _fake_payload(media_id: int, kind: str, w: int, h: int, sr: int, frames: int) -> bytes:
+    header = _MAGIC + struct.pack(">iiii", w, h, sr, frames)
+    body = hashlib.md5(f"{kind}|{media_id}".encode()).digest() * 8
+    return header + body
+
+
+def make_fake_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table matching MEDIA_SCHEMA."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        w, h = 64 + (i % 4) * 32, 48 + (i % 3) * 16
+        sr = 16000 if kind != "image" else 0
+        frames = 1 if kind == "image" else 25 + i % 10
+        rows.append(
+            (
+                i,
+                kind,
+                bytearray(_fake_payload(i, kind, w, h, sr, frames)),
+                (w, h, sr, frames, "flsm"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_header(data: bytes) -> tuple[int, int, int, int]:
+    if data is None or len(data) < 20 or data[:4] != _MAGIC:
+        raise ValueError("unknown media container (stub decoder)")
+    return struct.unpack(">iiii", data[4:20])
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("byte_len", T.IntegerType(), True),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _bytes_to_embedding(data: bytes, dim: int) -> list[float]:
+    """Deterministic pseudo-embedding from md5 chunks of the payload —
+    stands in for a real vision/audio encoder."""
+    out: list[float] = []
+    counter = 0
+    while len(out) < dim:
+        d = hashlib.md5(data + counter.to_bytes(4, "big")).digest()
+        for off in range(0, 16, 4):
+            (u,) = struct.unpack(">I", d[off : off + 4])
+            out.append((u / 2**31) - 1.0)
+        counter += 1
+    return out[:dim]
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """binary payload → (decoded metadata, embedding) via Arrow-batched
+    mapInPandas; the binary column does NOT survive into the output."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for media_id, kind, data in zip(
+                pdf["media_id"], pdf["kind"], pdf["data"]
+            ):
+                raw = bytes(data)
+                w, h, _sr, frames = _decode_header(raw)
+                recs.append(
+                    {
+                        "media_id": media_id,
+                        "kind": kind,
+                        "width": w,
+                        "height": h,
+                        "n_frames": frames,
+                        "byte_len": len(raw),
+                        "embedding": _bytes_to_embedding(raw, dim),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in FEATURES_SCHEMA])
+
+    return media.select("media_id", "kind", "data").mapInPandas(
+        batches, FEATURES_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("data", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Stubbed image resize: rewrites the fake container header with the
+    target dimensions (a real implementation swaps in PIL here; the
+    plumbing — filter to images, Arrow batches, binary-in/binary-out —
+    is the production shape)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for media_id, data in zip(pdf["media_id"], pdf["data"]):
+                raw = bytes(data)
+                _w, _h, sr, frames = _decode_header(raw)
+                new = _MAGIC + struct.pack(">iiii", width, height, sr, frames) + raw[20:]
+                recs.append({"media_id": media_id, "width": width, "height": height, "data": bytearray(new)})
+            yield pd.DataFrame(recs, columns=[f.name for f in RESIZE_SCHEMA])
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "data")
+        .mapInPandas(batches, RESIZE_SCHEMA)
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_hash", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
+    """Stubbed video frame sampling: emits one row per sampled frame
+    index with a deterministic per-frame hash (a real implementation
+    decodes frames here). Output grain change (1 row per media →
+    N rows) is the real plumbing being exercised."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for media_id, data in zip(pdf["media_id"], pdf["data"]):
+                raw = bytes(data)
+                _w, _h, _sr, frames = _decode_header(raw)
+                for idx in range(0, frames, every_n):
+                    fh = hashlib.md5(raw + idx.to_bytes(4, "big")).hexdigest()
+                    recs.append(
+                        {"media_id": media_id, "frame_idx": idx, "frame_hash": fh}
+                    )
+            yield pd.DataFrame(recs, columns=[f.name for f in FRAME_SCHEMA])
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "data")
+        .mapInPandas(batches, FRAME_SCHEMA)
+    )

@@ -1,0 +1,152 @@
+"""Structured Streaming operators over the `events` surface
+(engine-scope addition — the reference has no streaming, SURVEY.md
+§2.10; the `events` table is the driver-provided streaming twin).
+
+Design: every streaming transform here has a batch twin in
+``finlogic_spark.driver_queries`` (events_tumbling_hourly,
+events_sessionize, events_dedup_earliest) with a DuckDB oracle — the
+streaming functions apply the SAME column logic to an unbounded
+DataFrame, so correctness is pinned by the batch oracle and the
+streaming tests only need to check incremental/watermark mechanics.
+
+Scale notes:
+- Watermarks bound state: without one, windowed aggs and dropDuplicates
+  keep state forever and OOM a cluster.
+- ``session_window`` is the native gap-sessionization operator (state
+  merge on overlap) — no custom applyInPandasWithState needed for the
+  30-min-gap semantics.
+- Output modes: windowed aggs use "append" (emit on watermark close) in
+  production sinks; tests use "complete"/memory sink for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_WATERMARK = "1 hour"
+SESSION_GAP = "30 minutes"
+
+
+def read_events_stream(
+    spark, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events parquet (each file is one
+    micro-batch). Schema comes from a batch peek — a streaming source
+    needs an explicit schema."""
+    # Schema must match the RAW file layout (ts is INT64 nanos there);
+    # with_event_time() converts to timestamp downstream.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(
+        sf_dir.rstrip("/") + "/events.parquet"
+    ).schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        # File sources take a directory; select just the events file.
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def with_event_time(df: DataFrame) -> DataFrame:
+    """Normalize the ts column to a timestamp (events parquet carries
+    TIMESTAMP(NANOS); the batch reader path converts via nanosAsLong)."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Windowed count+sum per (window, event_type) with a watermark —
+    the streaming twin of the events_tumbling_hourly batch query."""
+    return (
+        with_event_time(events)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_value_avg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Sliding-window average value per event_type."""
+    return (
+        with_event_time(events)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.avg("value").alias("avg_value"), F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "avg_value",
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = SESSION_GAP,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Native gap-based sessionization: one row per (user, session)
+    with bounds and event count — streaming twin of events_sessionize
+    (which counts sessions per user in batch)."""
+    return (
+        with_event_time(events)
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming exactly-once dedup on (user_id, event_type) within the
+    watermark horizon — state is dropped once the watermark passes, so
+    memory stays bounded (dropDuplicatesWithinWatermark)."""
+    keys = keys or ["user_id", "event_type"]
+    df = with_event_time(events).withWatermark("ts", watermark)
+    return df.dropDuplicatesWithinWatermark(keys)
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, output_mode: str = "complete", timeout: int = 120
+):
+    """Drain a bounded file-source stream into an in-memory table and
+    return the query handle (test/debug harness, not a prod sink)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return q

@@ -1,0 +1,65 @@
+"""Plan-shape regression tests: the properties that keep queries fast
+at 100 TB — predicate pushdown, column pruning, broadcast joins,
+top-k without a full sort. Row-level correctness is covered by the
+oracle harness; these pin the physical strategy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from finlogic_spark import plans
+from finlogic_spark.driver_queries import QUERIES, _t
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = QUERIES["scan_project_cast"](spark, sf_dir)
+    assert plans.has_pushed_filter(df, "l_orderkey")
+
+
+def test_column_pruning(spark, sf_dir):
+    df = QUERIES["scan_project_cast"](spark, sf_dir)
+    scans = plans.read_schema_columns(df)
+    assert scans and all(len(cols) <= 3 for cols in scans)  # 16-col table, 3 read
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    df = QUERIES["join_broadcast_inner"](spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    df = QUERIES["topk_orders"](spark, sf_dir)
+    assert plans.uses_take_ordered(df)
+
+
+def test_rank_flagship_plan(spark, sf_dir):
+    df = QUERIES["rank_flagship"](spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+    assert plans.uses_take_ordered(df)
+    # dedup window (1) is the only pre-AQE shuffle; broadcasts add none.
+    assert plans.count_shuffles(df) <= 2
+
+
+def test_pivot_explicit_values_no_extra_scan(spark, sf_dir):
+    # With an explicit pivot value list the plan contains exactly one
+    # scan of orders (no distinct-collection job).
+    df = QUERIES["pivot_wide_status"](spark, sf_dir)
+    assert plans.count_scans(df) == 1
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    from finlogic_spark.driver_queries import _t as t
+
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    assert "LeftSemi" in plans.formatted_plan(semi)
+
+
+def test_keep_last_single_shuffle(spark, sf_dir):
+    from finlogic_spark.operators.dedup import keep_last
+
+    o = _t(spark, sf_dir, "orders")
+    df = keep_last(o, ["o_custkey"], ["o_orderdate"])
+    # One hash-partition exchange for the window; nothing else.
+    assert plans.count_shuffles(df) == 1

@@ -1,0 +1,82 @@
+"""Structured Streaming tests: the streaming transforms must agree
+with their batch twins (whose correctness the DuckDB oracle pins)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from finlogic_spark import streaming as st
+from finlogic_spark.driver_queries import _events
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return _events(spark, sf_dir)
+
+
+def _drain(spark, stream_df, name, mode="complete"):
+    q = st.run_to_memory_sink(stream_df, name, output_mode=mode)
+    out = spark.table(name)
+    q.stop()
+    return out
+
+
+def test_tumbling_counts_match_batch(spark, sf_dir, events_batch):
+    stream = st.read_events_stream(spark, sf_dir)
+    got = _drain(spark, st.tumbling_counts(stream), "t_tumbling")
+    batch = (
+        events_batch.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    g = {(r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()}
+    b = {(r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    assert g == b
+
+
+def test_session_counts_match_batch_session_window(spark, sf_dir, events_batch):
+    stream = st.read_events_stream(spark, sf_dir)
+    got = _drain(spark, st.session_counts(stream), "t_sessions")
+    # Batch twin with the same native session_window operator.
+    batch = (
+        events_batch.groupBy(
+            F.session_window("ts", st.SESSION_GAP).alias("s"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("s.start").alias("session_start"), "n_events")
+    )
+    g = {(r["user_id"], r["session_start"]): r["n_events"] for r in got.collect()}
+    b = {(r["user_id"], r["session_start"]): r["n_events"] for r in batch.collect()}
+    assert g == b
+    # Session count per user must also match the lag-gap batch query.
+    from finlogic_spark.driver_queries import QUERIES
+
+    lag_based = {
+        r["user_id"]: r["n_sessions"]
+        for r in QUERIES["events_sessionize"](spark, str(sf_dir)).collect()
+    }
+    by_user = {}
+    for (uid, _), _n in g.items():
+        by_user[uid] = by_user.get(uid, 0) + 1
+    assert by_user == lag_based
+
+
+def test_sliding_window_covers_each_event_k_times(spark, sf_dir):
+    stream = st.read_events_stream(spark, sf_dir)
+    got = _drain(spark, st.sliding_value_avg(stream), "t_sliding")
+    rows = got.collect()
+    assert rows
+    # 1h window sliding by 15min → every event lands in exactly 4 windows.
+    total_events = _events(spark, sf_dir).count()
+    assert sum(r["n_events"] for r in rows) == 4 * total_events
+
+
+def test_dedup_stream_bounded_state(spark, sf_dir, events_batch):
+    stream = st.read_events_stream(spark, sf_dir)
+    got = _drain(spark, st.dedup_stream(stream), "t_dedup", mode="append")
+    n_exact = events_batch.select("user_id", "event_type").distinct().count()
+    # Within one watermark horizon the stream dedup equals exact dedup.
+    assert got.select("user_id", "event_type").distinct().count() == n_exact
+    assert got.count() == n_exact
