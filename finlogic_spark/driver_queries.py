@@ -1259,3 +1259,152 @@ def emb_lsh_topk(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", rN(F.col("cos_sim"), 6).alias("cos_sim"), "rk"
     ).orderBy("query_id", "rk")
+
+
+# ---------------------------------------------------------------------------
+# Additional coverage: cube/rollup, window frames, pivot-first w/ dedup,
+# set ops, approx aggregates
+# ---------------------------------------------------------------------------
+
+@q(
+    "cube_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def cube_rollup(spark, sf_dir):
+    # Grouping sets (absent from the reference, free in Spark —
+    # SURVEY §2.4): full cube with ALL-labelled subtotal rows.
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@q(
+    "window_running_rank",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS price_rank,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+             AS running_spend
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_running_rank(spark, sf_dir):
+    # rank + running sum with an explicit rows frame (window-frame
+    # coverage beyond the reference's lags).
+    o = _t(spark, sf_dir, "orders")
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w_rank).cast("int").alias("price_rank"),
+        (F.sum(cents).over(w_run).cast("double") / 100.0).alias("running_spend"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@q(
+    "pivot_first_dedup",
+    """
+    WITH dedup AS (
+      SELECT user_id, event_type, value
+      FROM events
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT user_id,
+           coalesce(MAX(CASE WHEN event_type = 'click' THEN value END), 0.0) AS click,
+           coalesce(MAX(CASE WHEN event_type = 'purchase' THEN value END), 0.0) AS purchase,
+           coalesce(MAX(CASE WHEN event_type = 'view' THEN value END), 0.0) AS view
+    FROM dedup GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def pivot_first_dedup(spark, sf_dir):
+    # The reference's exact pivot idiom (SURVEY §2.4 A6/A9 + D5):
+    # dedupe to one row per logical key FIRST so pivot's first() is
+    # deterministic, then pivot with an explicit value list + fill 0.
+    e = _t(spark, sf_dir, "events")
+    dedup = keep_last(
+        e.select("user_id", "event_type", "value", "ts", "event_id"),
+        ["user_id", "event_type"],
+        ["ts", "event_id"],
+    )
+    return pivot_wide(
+        dedup.select("user_id", "event_type", "value"),
+        index=["user_id"],
+        on="event_type",
+        values="value",
+        pivot_values=["click", "purchase", "view"],
+        agg="first",
+        fill=0.0,
+    ).orderBy("user_id")
+
+
+@q(
+    "set_intersect_except",
+    """
+    SELECT 'both' AS bucket, c_custkey FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    UNION ALL
+    SELECT 'only_f' AS bucket, c_custkey FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    ORDER BY bucket, c_custkey
+    """,
+)
+def set_intersect_except(spark, sf_dir):
+    # intersect / except (absent from the reference; SURVEY §2.8).
+    o = _t(spark, sf_dir, "orders")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = f_cust.intersect(o_cust).select(F.lit("both").alias("bucket"), "c_custkey")
+    only_f = f_cust.subtract(o_cust).select(
+        F.lit("only_f").alias("bucket"), "c_custkey"
+    )
+    return both.unionByName(only_f).orderBy("bucket", "c_custkey")
+
+
+@q("approx_distinct")  # no oracle: approx algorithms differ per engine
+def approx_distinct(spark, sf_dir):
+    # A4 at scale: approx_count_distinct (HLL++) next to the exact
+    # count — the 100 TB variant of n_unique (SURVEY §2.4). Rows-only
+    # driver check: HLL sketches are engine-specific by design.
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
