@@ -1408,3 +1408,60 @@ def approx_distinct(spark, sf_dir):
         F.count_distinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
     )
+
+
+_CENT_DOT = "list_sum(list_transform(range(1, 65), i -> v[i] * cv[i]))"
+_CENT_NORM = "sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))"
+_QCENT_DOT = "list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i]))"
+
+
+@q(
+    "emb_ivf_topk",
+    f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+    qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+    cells AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT vec_id, v, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY
+                 {_CENT_DOT} / ({_NORM_V} * {_CENT_NORM}) DESC, cid ASC) AS rk
+        FROM c CROSS JOIN cent) WHERE rk = 1),
+    probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT query_id, qv, cid,
+               row_number() OVER (PARTITION BY query_id ORDER BY
+                 {_QCENT_DOT} / ({_NORM_Q} * {_CENT_NORM}) DESC, cid ASC) AS rk
+        FROM qs CROSS JOIN cent) WHERE rk <= 2),
+    scored AS (
+      SELECT query_id, vec_id,
+             {_DOT_SQL} / ({_NORM_V} * {_NORM_Q}) AS cs
+      FROM cells JOIN probes USING (cid))
+    SELECT query_id, vec_id, floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, rk
+    FROM (SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS INTEGER) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def emb_ivf_topk(spark, sf_dir):
+    # IVF approximate top-k: 8 seed-vector centroids, n_probe=2 — the
+    # third similarity tier (brute force / LSH / IVF).
+    from finlogic_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    corpus = e.select("vec_id", as_double.alias("embedding"))
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), as_double.alias("cv")
+    )
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), as_double.alias("query_vec")
+    )
+    out = ivf_topk(corpus, queries, centroids, k=5, n_probe=2)
+    return out.select(
+        "query_id", "vec_id", rN(F.col("cos_sim"), 6).alias("cos_sim"), "rk"
+    ).orderBy("query_id", "rk")

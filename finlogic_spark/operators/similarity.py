@@ -142,3 +142,62 @@ def lsh_cosine_topk(
         .filter(F.col("rk") <= k)
         .select(query_id, corpus_id, "cos_sim", "rk")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    n_probe: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    centroid_id: str = "cid",
+    centroid_vec: str = "cv",
+) -> DataFrame:
+    """IVF-style approximate top-k: assign every corpus vector to its
+    nearest centroid ("cell") once, then each query scans only its
+    ``n_probe`` nearest cells.
+
+    Scale shape: the corpus-side assignment is a broadcast of the tiny
+    centroid table + a rank window per vector (embarrassingly parallel,
+    done once and cacheable / persistable as a cell-partitioned table);
+    query time is an equi-join on cell id — candidates shrink by
+    ~n_probe/n_list versus brute force. Centroids are caller-provided
+    (seed vectors, k-means output, …) so the operator stays
+    deterministic and engine-agnostic."""
+    cent = F.broadcast(centroids.select(centroid_id, centroid_vec))
+
+    def nearest_cells(df: DataFrame, id_col: str, vec_col: str, n: int) -> DataFrame:
+        scored = df.crossJoin(cent).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col(centroid_id),
+            cosine(F.col(vec_col), F.col(centroid_vec)).alias("__c_sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("__c_sim").desc(), F.col(centroid_id).asc()
+        )
+        return (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n)
+            .select(id_col, vec_col, centroid_id)
+        )
+
+    cells = nearest_cells(corpus, corpus_id, corpus_vec, 1)
+    probes = nearest_cells(queries, query_id, query_vec, n_probe)
+    scored = cells.join(F.broadcast(probes), centroid_id).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rk")
+    )

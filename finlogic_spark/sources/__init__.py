@@ -71,3 +71,34 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a bucketed (and optionally sorted) table.
+
+    Bucketing is the co-located-join lever at 100 TB: two tables
+    bucketed by the same key into the same bucket count join with NO
+    exchange — each task reads matching buckets from both sides. Sorted
+    buckets additionally drop the sort from sort-merge joins. See
+    tests/test_storage.py for the plan proof.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # A crashed prior session can leave the managed location behind with
+    # no catalog entry; saveAsTable refuses to reuse it.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    if warehouse:
+        import shutil
+
+        shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
+    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
