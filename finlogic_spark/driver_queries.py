@@ -51,10 +51,29 @@ from finlogic_spark.operators.text_dedup import (
 from finlogic_spark.operators.topk import top_k
 
 
+# Tables whose queries are CPU-bound per row (tokenize/hash/vector math)
+# rather than scan/shuffle-bound: fan these out to full parallelism when
+# the file is too small for the reader to split (single row group). The
+# repartition shuffle costs ~the file size; the unlocked N-way downstream
+# compute repays it many times over. Scan-bound tables are left alone —
+# an extra exchange there only adds latency.
+_CPU_HEAVY = {"documents", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return _events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = (
+        _events(spark, sf_dir)
+        if name == "events"
+        else spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    )
+    if name in _CPU_HEAVY:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        max_split = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b").rstrip("b")
+        )
+        if os.path.isfile(path) and os.path.getsize(path) < max_split:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

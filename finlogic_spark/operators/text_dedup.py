@@ -52,13 +52,23 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingles(col: str | Column, k: int = 3) -> Column:
-    """k-word shingles as strings ("w1 w2 w3")."""
-    t = tokens(col)
-    n = F.size(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    return F.when(n < k, F.array(F.array_join(t, " "))).otherwise(
-        F.transform(idx, lambda i: F.array_join(F.slice(t, i, k), " "))
-    )
+    """k-word shingles as strings ("w1 w2 w3").
+
+    The token array is bound to a lambda variable via a one-element
+    array transform so it is evaluated ONCE per row. Referencing a
+    non-trivial expression from inside a higher-order-function lambda
+    re-evaluates it per element (Catalyst inlines, HOFs don't share
+    subexpressions) — with the tokenizer that inlining is O(tokens²)
+    per document and costs ~10× on real text."""
+
+    def shingle_list(t: Column) -> Column:
+        n = F.size(t)
+        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+        return F.when(n < k, F.array(F.array_join(t, " "))).otherwise(
+            F.transform(idx, lambda i: F.array_join(F.slice(t, i, k), " "))
+        )
+
+    return F.flatten(F.transform(F.array(tokens(col)), shingle_list))
 
 
 def minhash_value(shingle_col: Column, seed: int) -> Column:
@@ -116,6 +126,22 @@ def lsh_buckets(
     )
 
 
+def _pairs_within(ids: Column) -> Column:
+    """All (id_a < id_b) pairs from a sorted id array, as an array of
+    structs — the shuffle-free alternative to a self-join when groups
+    are already collected and bounded."""
+    n = F.size(ids)
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, n),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -123,22 +149,31 @@ def minhash_lsh_pairs(
     k: int = 3,
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) from shared LSH
-    buckets. Self-join shuffles on (band, band_hash) — bucket-local,
-    sub-quadratic."""
+    buckets.
+
+    Pairs are generated by collecting each bucket's ids and expanding
+    (a < b) combinations array-side — ONE shuffle on (band, band_hash)
+    and ONE pass over the signature pipeline. A bucket self-join would
+    evaluate the whole tokenize→shingle→minhash subtree twice (Spark
+    does not share subplans across join branches). Bucket sizes are
+    bounded by collision probability, not corpus size, so the
+    collect_list per bucket stays small; ``max_bucket_size`` drops
+    degenerate mega-buckets (boilerplate-heavy corpora) before the
+    quadratic expansion."""
     sig = minhash_signature(df, text_col, id_col, k, num_hashes)
     buckets = lsh_buckets(sig, id_col, num_hashes, bands)
-    a = buckets.select(
-        F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    grouped = buckets.groupBy("band", "band_hash").agg(
+        F.sort_array(F.collect_list(id_col)).alias("__ids")
     )
-    b = buckets.select(
-        F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b")
-    )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("__ids") <= max_bucket_size)
     return (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.filter(F.size("__ids") >= 2)
+        .select(F.explode(_pairs_within(F.col("__ids"))).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -156,33 +191,68 @@ def ngram_jaccard_pairs(
     shingle ever meet — no cross join).
 
     ``max_doc_freq`` drops stop-shingles appearing in more rows than the
-    cap before the self-join: at corpus scale a shingle shared by 1e6
+    cap before pair expansion: at corpus scale a shingle shared by 1e6
     docs would produce 1e12 pairs; such shingles carry no dedup signal.
+
+    Plan shape: tokenize→shingle ONCE (the expensive expression), carry
+    each doc's distinct-shingle count through the explode, group by
+    shingle collecting packed (id, n) longs, expand (a < b) pairs
+    array-side, then one aggregation per pair. Two shuffles total (by
+    shingle, by pair); a shingle self-join would re-evaluate the
+    tokenize subtree per branch plus need a third aggregation + two
+    joins for sizes. (id, n) is packed into one BIGINT so the collected
+    array stays primitive — collect_list/sort over struct arrays falls
+    out of codegen and costs ~5× more. Limits: id < 2^42, n < 2^21
+    distinct shingles per document (a multi-MB doc; chunk above that).
     """
-    sh = (
-        df.select(
-            F.col(id_col), F.explode(F.array_distinct(shingles(text_col, k))).alias("s")
+    pack = 1 << 21
+    # Bind the distinct-shingle array once and emit (shingle, count)
+    # structs from inside the lambda: explode-with-carried-size written
+    # as two Projects would get the array expression re-inlined into
+    # both size() and explode() — per-output-row recompute (~8× here).
+    bound = F.explode(
+        F.flatten(
+            F.transform(
+                F.array(F.array_distinct(shingles(text_col, k))),
+                lambda a: F.transform(
+                    a, lambda x: F.struct(x.alias("s"), F.size(a).alias("n"))
+                ),
+            )
         )
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    sh = df.select(F.col(id_col), bound.alias("__e")).select(
+        (F.col(id_col).cast("long") * pack + F.col("__e.n")).alias("__idn"),
+        F.col("__e.s").alias("s"),
+    )
+    grouped = sh.groupBy("s").agg(F.collect_list("__idn").alias("__docs"))
     if max_doc_freq is not None:
-        rare = sh.groupBy("s").agg(F.count("*").alias("df")).filter(
-            F.col("df") <= max_doc_freq
+        grouped = grouped.filter(F.size("__docs") <= max_doc_freq)
+    docs = F.col("__docs")
+    # Packing sorts by id automatically (n is functionally dependent on
+    # id), so least/greatest orients each unordered pair as id_a < id_b.
+    pairs = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + 2, F.size(docs)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("pa"), F.greatest(x, y).alias("pb")
+                ),
+            ),
         )
-        sh = sh.join(rare.select("s"), "s", "left_semi")
-    a = sh.select(F.col("s"), F.col(id_col).alias("id_a"))
-    b = sh.select(F.col("s"), F.col(id_col).alias("id_b"))
-    inter = (
-        a.join(b, "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        grouped.filter(F.size("__docs") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count("*").alias("inter"))
+        .select(
+            F.shiftright("pa", 21).alias("id_a"),
+            F.shiftright("pb", 21).alias("id_b"),
+            F.col("pa").bitwiseAND(pack - 1).alias("n_a"),
+            F.col("pb").bitwiseAND(pack - 1).alias("n_b"),
+            F.col("inter"),
+        )
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
@@ -238,18 +308,27 @@ def simhash_agg(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     tok = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
     ).withColumn("__hx", F.md5(F.col("__tok")))
+    # Hex digit j's high bit == bit of the 32-bit int parsed from its
+    # 8-digit chunk: 4 conv() parses per token replace 32 substring
+    # string-compares — integer shift/mask stays in codegen.
+    for c in range(SIMHASH_BITS // 8):
+        tok = tok.withColumn(
+            f"__v{c}", F.conv(F.substring("__hx", 8 * c + 1, 8), 16, 10).cast("long")
+        )
+
+    def high_bit(j: int):  # j is the 1-based hex-digit position
+        c, d = (j - 1) // 8, (j - 1) % 8
+        return F.shiftright(F.col(f"__v{c}"), 4 * (7 - d) + 3).bitwiseAND(F.lit(1))
+
     sums = tok.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.substring("__hx", j, 1) >= "8", 1).otherwise(-1)
-            ).alias(f"__s{j}")
-            for j in range(1, SIMHASH_BITS + 1)
-        ]
+        F.count("*").alias("__n"),
+        *[F.sum(high_bit(j)).alias(f"__b{j}") for j in range(1, SIMHASH_BITS + 1)],
     )
+    # sign(sum of ±1) >= 0  ⇔  2 * (#ones) >= #tokens
     fp = None
     for j in range(1, SIMHASH_BITS + 1):
-        bit = F.when(F.col(f"__s{j}") >= 0, F.lit(2 ** (j - 1)).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            F.col(f"__b{j}") * 2 >= F.col("__n"), F.lit(2 ** (j - 1)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp + bit
     return sums.select(F.col(id_col), fp.alias("simhash_fp"))

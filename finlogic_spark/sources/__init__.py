@@ -54,6 +54,23 @@ def register_views(
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Fan a narrow scan out to cluster parallelism when the source
+    cannot be split (single-row-group Parquet, gzip text, tiny files).
+
+    At 100 TB scans carry thousands of row-group splits and this is a
+    no-op; the repartition only fires when the scan has fewer partitions
+    than the cluster can run concurrently — there, one small shuffle
+    unlocks N-way parallelism for all downstream per-row compute
+    (tokenization, hashing, vector math), which otherwise serializes on
+    the scan stage's single task.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
