@@ -1280,6 +1280,46 @@ def emb_lsh_topk(spark, sf_dir):
     ).orderBy("query_id", "rk")
 
 
+_PAIR_DOT = "list_sum(list_transform(range(1, 65), i -> va[i] * vb[i]))"
+_PAIR_NA = "sqrt(list_sum(list_transform(range(1, 65), i -> va[i] * va[i])))"
+_PAIR_NB = "sqrt(list_sum(list_transform(range(1, 65), i -> vb[i] * vb[i])))"
+
+
+@q(
+    "emb_cosine_neardup",
+    f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (
+      SELECT vec_id, v, CAST(sum(CASE WHEN
+               list_sum(list_transform(range(1, 65), i -> v[i] * pl[i])) >= 0
+             THEN power(2, p)::BIGINT ELSE 0 END) AS BIGINT) AS bucket
+      FROM c CROSS JOIN {_planes_sql()} GROUP BY vec_id, v),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.v AS va, b.v AS vb
+      FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b,
+           floor({_PAIR_DOT} / ({_PAIR_NA} * {_PAIR_NB}) * 1000000.0 + 0.5)
+             / 1000000.0 AS cos_sim
+    FROM pairs
+    WHERE {_PAIR_DOT} / ({_PAIR_NA} * {_PAIR_NB}) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def emb_cosine_neardup(spark, sf_dir):
+    # Embedding-cosine near-dup pairs: LSH-bucket candidates + exact
+    # cosine threshold — the vector-space dedup tier.
+    from finlogic_spark.operators.similarity import cosine_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    vecs = e.select("vec_id", as_double.alias("embedding"))
+    out = cosine_neardup_pairs(vecs, threshold=0.4, dim=64, num_planes=6)
+    return out.select(
+        "id_a", "id_b", rN(F.col("cos_sim"), 6).alias("cos_sim")
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Additional coverage: cube/rollup, window frames, pivot-first w/ dedup,
 # set ops, approx aggregates

@@ -144,6 +144,45 @@ def lsh_cosine_topk(
     )
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    num_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= τ):
+    the vector-space dedup tier (exact / n-gram / MinHash-LSH / SimHash
+    / embedding-cosine).
+
+    Candidates come from a self-equi-join on the sign-pattern LSH bucket
+    (near-identical vectors agree on every hyperplane sign with high
+    probability), then exact cosine confirms — sub-quadratic: only
+    same-bucket pairs are ever scored, ~n²/2^planes instead of n².
+    Recall/cost tunes via num_planes; raise it for tighter thresholds.
+    """
+    planes = _deterministic_planes(dim, num_planes)
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    a_side = b.select(
+        "__bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b_side = b.select(
+        "__bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    return (
+        a_side.join(b_side, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -57,3 +57,27 @@ def test_ivf_probe_widening_monotone(spark):
     r1, r_all = recall(1), recall(6)
     assert r_all == 1.0
     assert r_all >= r1
+
+
+def test_cosine_neardup_finds_duplicates(spark):
+    from finlogic_spark.operators.similarity import cosine_neardup_pairs
+
+    base = _vectors(spark, n=20)
+    # Clone vectors 3 and 7 with tiny perturbations: near-dups by design.
+    dup = base.filter(F.col("vec_id").isin(3, 7)).select(
+        (F.col("vec_id") + 100).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.0001).alias("embedding"),
+    )
+    df = base.unionByName(dup)
+    pairs = cosine_neardup_pairs(df, threshold=0.999, dim=8, num_planes=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # Scaled clones have cosine 1.0 and identical hyperplane signs, so
+    # LSH bucketing can never separate them.
+    assert (3, 103) in got and (7, 107) in got
+    for a, b in got:
+        assert b - a == 100 or abs(a - b) < 100  # no absurd pairs
+
+    # Orientation + threshold invariants
+    rows = pairs.collect()
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert all(r["cos_sim"] >= 0.999 for r in rows)
