@@ -860,6 +860,40 @@ def events_tumbling_hourly(spark, sf_dir):
 
 
 @q(
+    "events_sliding_avg",
+    f"""
+    WITH ex AS (
+      SELECT CAST(to_timestamp((epoch_ms(ts) // 1000 // 900) * 900 - o.o * 900)
+                  AS TIMESTAMP) AS window_start,
+             event_type, value
+      FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) o(o))
+    SELECT window_start, event_type, count(*) AS n_events,
+           {_dsum_sql("value", "total_value")}
+    FROM ex GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+)
+def events_sliding_avg(spark, sf_dir):
+    # Sliding window (1h window, 15min slide): each event lands in 4
+    # overlapping windows — batch twin of the streaming sliding agg.
+    # The oracle expands the 4 memberships explicitly; Spark's window()
+    # generator does the same under the hood (epoch-aligned starts).
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value"), "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@q(
     "events_sessionize",
     """
     WITH gaps AS (
@@ -1453,6 +1487,46 @@ def set_intersect_except(spark, sf_dir):
         F.lit("only_f").alias("bucket"), "c_custkey"
     )
     return both.unionByName(only_f).orderBy("bucket", "c_custkey")
+
+
+@q("stream_user_profiles")  # rows-only: custom stateful streaming op
+def stream_user_profiles(spark, sf_dir):
+    # applyInPandasWithState keyed-state operator, drained through a
+    # bounded file-source stream (availableNow) into a memory sink.
+    from finlogic_spark.streaming import read_events_stream, run_to_memory_sink
+    from finlogic_spark.streaming.stateful import user_profile_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    handle = run_to_memory_sink(
+        user_profile_stream(stream), "q_user_profiles", output_mode="update"
+    )
+    handle.stop()
+    return spark.table("q_user_profiles").orderBy("user_id")
+
+
+@q("media_feature_extract")  # rows-only: binary decode is not SQL-expressible
+def media_feature_extract(spark, sf_dir):
+    # Multimodal column pipeline: opaque binary payloads + typed
+    # metadata → Arrow-batched mapInPandas decode/feature-extract.
+    # The codec is a deterministic stub (container libs absent here);
+    # the Spark plumbing — schema, batching, binary-in/struct-out — is
+    # the production shape. Round-trips through parquet to exercise the
+    # binary column end-to-end.
+    from finlogic_spark.operators.multimodal import extract_features, make_fake_media
+
+    media = make_fake_media(spark, n=64)
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_frames",
+        "byte_len",
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x), 6).alias(
+            "emb_sq_norm"
+        ),
+    ).orderBy("media_id")
 
 
 @q("approx_distinct")  # no oracle: approx algorithms differ per engine

@@ -1,0 +1,117 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(engine-scope addition — the reference has no streaming, SURVEY.md
+§2.10; north-star surface: "applyInPandasWithState for custom stateful
+operators").
+
+The built-in windowed aggregations (see ``finlogic_spark.streaming``)
+cover tumbling/sliding/session semantics natively; this module covers
+the case they can't express: per-key state machines with arbitrary
+Python logic — here a per-user running profile (event count, value sum,
+last-seen timestamp, distinct-event-type count) that emits an updated
+row per key per micro-batch and expires idle keys via processing-time
+timeout.
+
+Scale notes: state is partitioned by key across executors (one
+GroupState per user_id, shuffled by key), Arrow-batched per micro-batch,
+and bounded by the timeout — the same layout Flink calls keyed state.
+State size is O(active keys), not O(events).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# (count, value_sum, last_seen_micros, type_bitmask)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+        T.StructField("last_seen", T.LongType()),
+        T.StructField("type_mask", T.LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+        T.StructField("n_event_types", T.IntegerType()),
+        T.StructField("expired", T.BooleanType()),
+    ]
+)
+
+# Stable small vocabulary → bit positions; unknown types share bit 63.
+EVENT_TYPE_BITS = {"click": 0, "view": 1, "purchase": 2, "signup": 3, "error": 4}
+
+
+def _update_user_profile(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        n, value_sum, _last, mask = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "n_events": n,
+                    "value_sum": value_sum,
+                    "n_event_types": bin(mask).count("1"),
+                    "expired": True,
+                }
+            ]
+        )
+        return
+
+    n, value_sum, last_seen, mask = (
+        state.get if state.exists else (0, 0.0, 0, 0)
+    )
+    for pdf in pdfs:
+        n += len(pdf)
+        value_sum += float(pdf["value"].sum())
+        last_seen = max(
+            last_seen, int(pd.to_datetime(pdf["ts"]).astype("int64").max() // 1000)
+        )
+        for et in pdf["event_type"]:
+            mask |= 1 << EVENT_TYPE_BITS.get(et, 63)
+    state.update((n, value_sum, last_seen, mask))
+    state.setTimeoutDuration(60 * 60 * 1000)  # expire after 1h idle
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "n_events": n,
+                "value_sum": value_sum,
+                "n_event_types": bin(mask).count("1"),
+                "expired": False,
+            }
+        ]
+    )
+
+
+def user_profile_stream(events: DataFrame) -> DataFrame:
+    """Running per-user profile over an event stream: arbitrary keyed
+    state the built-in windowed aggs can't express (cross-batch
+    accumulation + custom merge logic + idle-key expiry)."""
+    from finlogic_spark.streaming import with_event_time
+
+    return (
+        with_event_time(events)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_profile,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -80,3 +80,30 @@ def test_dedup_stream_bounded_state(spark, sf_dir, events_batch):
     # Within one watermark horizon the stream dedup equals exact dedup.
     assert got.select("user_id", "event_type").distinct().count() == n_exact
     assert got.count() == n_exact
+
+
+def test_stateful_user_profile_matches_batch(spark, sf_dir, events_batch):
+    from finlogic_spark.streaming.stateful import user_profile_stream
+
+    stream = st.read_events_stream(spark, sf_dir)
+    out = _drain(spark, user_profile_stream(stream), "user_profiles", mode="update")
+    # One micro-batch (one file) → one update row per user, none expired.
+    got = {r["user_id"]: r for r in out.collect()}
+    exp = {
+        r["user_id"]: r
+        for r in st.with_event_time(events_batch)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("value_sum"),
+            F.count_distinct("event_type").alias("n_event_types"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for uid, e in exp.items():
+        g = got[uid]
+        assert g["n_events"] == e["n_events"]
+        assert abs(g["value_sum"] - e["value_sum"]) < 1e-6
+        assert g["n_event_types"] == e["n_event_types"]
+        assert not g["expired"]
