@@ -41,6 +41,10 @@ BENCH_QUERIES = [
     # similarity search
     "emb_cosine_topk",
     "emb_lsh_topk",
+    "emb_ivf_topk",
+    # sliding windows + vector near-dup
+    "events_sliding_avg",
+    "emb_cosine_neardup",
 ]
 
 

@@ -103,3 +103,23 @@ def test_asof_join_backward(spark):
     got = {r["ts"].minute: r["px"] for r in out.collect()}
     # t=5: no prior px; t=15: px@10; t=25: exact tie matches (at-or-before)
     assert got == {5: None, 15: 100.0, 25: 200.0}
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from finlogic_spark.operators.skew import salted_join
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    plain = l.join(s, "l_suppkey").groupBy("l_suppkey").count()
+    salted = salted_join(l, s, "l_suppkey", num_salts=8).groupBy("l_suppkey").count()
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+    # Left join keeps unmatched fact rows exactly once.
+    s_half = s.filter(F.col("l_suppkey") % 2 == 0)
+    plain_left = l.join(s_half, "l_suppkey", "left").count()
+    salted_left = salted_join(l, s_half, "l_suppkey", num_salts=8, how="left").count()
+    assert plain_left == salted_left == l.count()
