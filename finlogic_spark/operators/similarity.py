@@ -41,7 +41,10 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero-norm vector (all-zero embedding — they occur in
+    # real corpora) yields null instead of an ANSI divide-by-zero error;
+    # null similarity sorts last under the desc rank windows.
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_topk(

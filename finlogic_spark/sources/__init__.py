@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # Driver-provided test tables (TESTDATA.md).
 TESTDATA_TABLES = (
@@ -52,6 +53,37 @@ def register_views(
     """Register each table as a temp view so SQL-first call sites work."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_fact_layout(
+    financials: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the financials fact table in its 100 TB layout:
+    hive-partitioned by report year, files sorted by (cvm_id,
+    period_end) within each partition.
+
+    - Partition by year → per-period queries (quarterly keep-last,
+      report tail-k, date-range scans) prune whole directories; the
+      scan's PartitionFilters line is the proof (tests/test_storage.py).
+    - Sort by cvm_id within files → parquet row-group min/max statistics
+      turn per-company point lookups (Company._set_df's cvm_id filter)
+      into row-group skips instead of full scans.
+
+    The long-form canonical table stays the source of truth; this is a
+    storage projection of it. For shuffle-free repeated joins on cvm_id
+    use sources.write_bucketed instead (bucketing needs the table
+    catalog; partitioning works on plain paths).
+    """
+    (
+        financials.withColumn("report_year", F.year("period_end"))
+        .repartition("report_year")
+        .sortWithinPartitions("cvm_id", "period_end")
+        .write.mode(mode)
+        .partitionBy("report_year")
+        .parquet(path)
+    )
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
