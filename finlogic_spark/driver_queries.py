@@ -1489,6 +1489,94 @@ def set_intersect_except(spark, sf_dir):
     return both.unionByName(only_f).orderBy("bucket", "c_custkey")
 
 
+@q(
+    "agg_quantiles",
+    """
+    SELECT l_returnflag,
+           floor(quantile_cont(l_extendedprice, 0.5) * 100.0 + 0.5) / 100.0 AS median_price,
+           floor(quantile_cont(l_extendedprice, 0.9) * 100.0 + 0.5) / 100.0 AS p90_price,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_quantiles(spark, sf_dir):
+    # Exact interpolated percentiles (median/p90) per group: both
+    # engines use the same linear-interpolation definition, so values
+    # match exactly. At 100 TB swap percentile() for approx_percentile
+    # (t-digest, one pass, mergeable) — same call shape.
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            rN(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("median_price"),
+            rN(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "window_range_frame",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100.0 AS trailing_30d_total
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    # RANGE frame over event time: per customer, trailing-30-day order
+    # total. rangeBetween on epoch seconds — value-based frames (peers
+    # by time distance), not row-based.
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents).over(w) / F.lit(100.0)).alias("trailing_30d_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@q(
+    "correlated_exists",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_returnflag = 'R' AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def correlated_exists(spark, sf_dir):
+    # TPC-H Q4 shape: correlated EXISTS — Catalyst decorrelates it to a
+    # left-semi hash join (no per-row subquery execution). Exercises the
+    # SQL surface end-to-end via temp views.
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_returnflag = 'R' AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
 @q("stream_user_profiles")  # rows-only: custom stateful streaming op
 def stream_user_profiles(spark, sf_dir):
     # applyInPandasWithState keyed-state operator, drained through a

@@ -32,6 +32,16 @@ def tokens(col: str | Column) -> Column:
     return F.filter(F.split(F.lower(c), "\\s+"), lambda t: t != "")
 
 
+def _with_tokens(col: str | Column, fn) -> Column:
+    """Evaluate ``fn(token_array)`` with tokenization bound to a lambda
+    variable: the tokenizer runs ONCE per row no matter how many times
+    ``fn`` references the array. Expressions that reference ``tokens()``
+    repeatedly get it re-inlined and re-evaluated per reference
+    (HOF lambdas don't share subexpressions) — per-row cost multiplies
+    by the reference count without this."""
+    return F.element_at(F.transform(F.array(tokens(col)), fn), 1)
+
+
 def token_count(col: str | Column) -> Column:
     """Whitespace token count."""
     return F.size(tokens(col))
@@ -59,19 +69,24 @@ def punct_ratio(col: str | Column) -> Column:
 
 
 def mean_token_len(col: str | Column) -> Column:
-    t = tokens(col)
-    total = F.aggregate(
-        t, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)
-    )
-    return total / F.greatest(F.size(t), F.lit(1))
+    def calc(t: Column) -> Column:
+        total = F.aggregate(
+            t, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)
+        )
+        return total / F.greatest(F.size(t), F.lit(1))
+
+    return _with_tokens(col, calc)
+
+
+def _stopword_ratio_expr(t: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return hits / F.greatest(F.size(t), F.lit(1))
 
 
 def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
     """Fraction of tokens that are stopwords of ``lang``."""
-    t = tokens(col)
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    hits = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
-    return hits / F.greatest(F.size(t), F.lit(1))
+    return _with_tokens(col, lambda t: _stopword_ratio_expr(t, lang))
 
 
 def quality_score(col: str | Column) -> Column:
@@ -81,9 +96,14 @@ def quality_score(col: str | Column) -> Column:
     contract (oracle mirrors it term by term)."""
     length_term = F.least(char_count(col) / F.lit(500.0), F.lit(1.0))
     punct_term = F.lit(1.0) - F.least(punct_ratio(col) * F.lit(4.0), F.lit(1.0))
-    tok_len = mean_token_len(col)
-    tok_term = F.when((tok_len >= 3) & (tok_len <= 10), F.lit(1.0)).otherwise(
-        F.lit(0.5)
+    # Bind the mean token length so its aggregate runs once, not once
+    # per comparison in the range check.
+    tok_term = F.element_at(
+        F.transform(
+            F.array(mean_token_len(col)),
+            lambda m: F.when((m >= 3) & (m <= 10), F.lit(1.0)).otherwise(F.lit(0.5)),
+        ),
+        1,
     )
     return (length_term + punct_term + tok_term) / F.lit(3.0)
 
@@ -95,14 +115,28 @@ def lang_scores(col: str | Column) -> list[tuple[str, Column]]:
 
 def lang_id(col: str | Column) -> Column:
     """Argmax language by stopword ratio; deterministic tiebreak by
-    language code order; 'und' (undetermined) when no stopword hits."""
-    scores = lang_scores(col)
-    best = F.greatest(*[s for _, s in scores])
-    out: Column = F.lit("und")
-    # Build right-to-left so earlier languages win ties.
-    for lang, score in reversed(scores):
-        out = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(out)
-    return out
+    language code order (array_position → first max wins); 'und'
+    (undetermined) when no stopword hits.
+
+    One tokenization + one ratio per language per row: the token array
+    and the score array are both lambda-bound, where the naive
+    when-chain re-evaluates every ratio (and its tokenization) once in
+    greatest() and again per comparison."""
+    langs = list(STOPWORDS)
+
+    def pick(t: Column) -> Column:
+        scores = F.array(*[_stopword_ratio_expr(t, lang) for lang in langs])
+
+        def argmax(s: Column) -> Column:
+            best = F.array_max(s)
+            idx = F.array_position(s, best).cast("int")
+            return F.when(
+                best > 0, F.element_at(F.array(*[F.lit(x) for x in langs]), idx)
+            ).otherwise(F.lit("und"))
+
+        return F.element_at(F.transform(F.array(scores), argmax), 1)
+
+    return _with_tokens(col, pick)
 
 
 def fingerprint(col: str | Column) -> Column:

@@ -63,3 +63,14 @@ def test_keep_last_single_shuffle(spark, sf_dir):
     df = keep_last(o, ["o_custkey"], ["o_orderdate"])
     # One hash-partition exchange for the window; nothing else.
     assert plans.count_shuffles(df) == 1
+
+
+def test_correlated_exists_decorrelates_to_semi_join(spark, sf_dir):
+    from finlogic_spark import driver_queries as dq
+
+    df = dq.QUERIES["correlated_exists"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    # Catalyst rewrites the correlated EXISTS into a (left-)semi hash
+    # join — no per-row subquery execution survives in the plan.
+    assert "LeftSemi" in plan
+    assert "Subquery" not in plan
