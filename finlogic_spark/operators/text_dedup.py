@@ -41,13 +41,20 @@ def canonical_text(col: str | Column) -> Column:
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id representative of each exact (canonicalized)
-    duplicate class. Plan: one hash-shuffle on the md5 key with
-    partial min() map-side — the minimal exact-dedup plan."""
-    keyed = df.withColumn("__h", F.md5(canonical_text(text_col)))
+    duplicate class. Null-text rows pass through untouched: they carry
+    no comparable content, and a null join key would otherwise drop
+    them silently (nulls never match in a semi-join). Plan: one
+    hash-shuffle on the md5 key with partial min() map-side — the
+    minimal exact-dedup plan."""
+    nulls = df.filter(F.col(text_col).isNull())
+    keyed = df.filter(F.col(text_col).isNotNull()).withColumn(
+        "__h", F.md5(canonical_text(text_col))
+    )
     reps = keyed.groupBy("__h").agg(F.min(id_col).alias(id_col))
     return (
         keyed.join(reps, ["__h", id_col], "left_semi")
         .drop("__h")
+        .unionByName(nulls)
     )
 
 
@@ -92,7 +99,11 @@ def minhash_signature(
     (array-expression columns get re-inlined into every consumer by
     Catalyst's CollapseProject, so the withColumn-per-seed form
     recomputes tokenization 6×), and partial min() combines map-side so
-    the shuffle carries one row per document — the 100 TB shape."""
+    the shuffle carries one row per document — the 100 TB shape.
+
+    Null-text documents produce no signature row (explode of a null
+    array emits nothing; a MinHash over no tokens is undefined). The
+    SQL oracle behaves identically, so parity holds."""
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, k))).alias("__sh"),

@@ -146,3 +146,48 @@ def test_lsh_topk_recall_against_bruteforce(spark):
     # with 3 planes on 8 dims recall is typically much higher.
     recall = len(exact & approx) / len(exact)
     assert recall >= 1 / 3
+
+
+def test_null_and_degenerate_text_handling(spark):
+    """Nulls and empty docs must degrade gracefully, never crash or
+    silently disappear from exact_dedup."""
+    from finlogic_spark.functions.text import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+    from finlogic_spark.operators.text_dedup import exact_dedup, simhash_agg
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, None),
+            (3, ""),
+            (4, "   "),
+            (5, "the quick brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("tc"),
+            quality_score("text").alias("q"),
+            lang_id("text").alias("lang"),
+            fingerprint("text").alias("fp"),
+        ).collect()
+    }
+    assert rows[2]["tc"] is None and rows[2]["fp"] is None
+    assert rows[2]["lang"] == "und" and rows[3]["lang"] == "und"
+    assert rows[3]["tc"] == 0 and rows[4]["tc"] == 0
+    assert rows[1]["fp"] == rows[5]["fp"]
+
+    # exact_dedup: 1≡5 dedupes, 3≡4 dedupe (both canonicalize to ""),
+    # the null row passes through (no comparable content).
+    kept = sorted(r["doc_id"] for r in exact_dedup(df, "text", "doc_id").collect())
+    assert kept == [1, 2, 3]
+
+    # simhash: token-less docs have no fingerprint (and don't crash).
+    assert simhash_agg(df, "text", "doc_id").count() == 2
