@@ -33,6 +33,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent ANSI SQL for each query (full coverage —
-    every query currently has an oracle)."""
+    """DuckDB-equivalent ANSI SQL for each query. Two queries are
+    rows-only by design and have no oracle entry:
+    ``media_feature_extract`` (binary decode is not SQL-expressible)
+    and ``approx_distinct`` (HLL sketches are engine-specific)."""
     return dict(dq.ORACLES)

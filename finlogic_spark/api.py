@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from finlogic_spark import indicators as ind
-from finlogic_spark.operators.dedup import keep_last
+from finlogic_spark.operators.dedup import keep_first, keep_last
 from finlogic_spark.operators.topk import top_k
 
 SEARCH_COLS = ("name_id", "cvm_id", "tax_id")
@@ -49,8 +49,10 @@ class Engine:
         min_volume: float = 100_000,
         entry_order_col: str | None = None,
         cache: bool = True,
+        data_url: str | None = None,
     ):
         self.spark = spark
+        self.data_url = data_url or "(in-memory)"
         trades = trades.filter(F.col("volume") >= min_volume)
         order = [entry_order_col] if entry_order_col else []
         self.trades = keep_last(trades, ["cvm_id"], ["trade_date", *order])
@@ -71,14 +73,22 @@ class Engine:
         cls, spark: SparkSession, data_dir: str, **kwargs
     ) -> "Engine":
         read = lambda n: spark.read.parquet(os.path.join(data_dir, f"{n}.parquet"))
+        kwargs.setdefault(
+            "data_url", os.path.join(data_dir, "financials.parquet")
+        )
         return cls(
             spark, read("financials"), read("trades"), read("language"), **kwargs
         )
 
     # ---- reference: info() (src/finlogic/data.py:70-95) ----
     def info(self) -> DataFrame:
-        """Key/value summary. One Spark job: all scalar aggregates are
-        computed in a single ``agg`` pass, not one job per stat."""
+        """Key/value summary, the reference's full 7-key contract
+        (data_url, memory_usage, accounting_entries, number_of_reports,
+        first_report, last_report, number_of_companies). One Spark job:
+        all scalar aggregates are computed in a single ``agg`` pass, not
+        one job per stat. memory_usage is the Catalyst size estimate of
+        financials + trades (the distributed analogue of the reference's
+        ``estimated_size()`` — driver RAM is not where the data lives)."""
         stats = self.financials.agg(
             F.count("*").alias("entries"),
             F.count_distinct("cvm_id", "is_annual", "period_end").alias("reports"),
@@ -86,7 +96,10 @@ class Engine:
             F.max("period_end").alias("last_report"),
             F.count_distinct("cvm_id").alias("companies"),
         ).first()
+        data_size = _estimated_size(self.financials) + _estimated_size(self.trades)
         rows = [
+            ("data_url", self.data_url),
+            ("memory_usage", f"{data_size / 1024**2:.1f} MB"),
             ("accounting_entries", str(stats["entries"])),
             ("number_of_reports", str(stats["reports"])),
             ("first_report", str(stats["first_report"])),
@@ -106,7 +119,13 @@ class Engine:
 
     # ---- reference: search_company (src/finlogic/data.py:103-149) ----
     def search_company(self, search_value, search_by: str = "name_id") -> DataFrame:
-        ids = self.financials.select(*SEARCH_COLS).dropDuplicates(["cvm_id"])
+        # Deterministic one-row-per-company: the reference keeps the
+        # first row in stable file order (data.py:124-126); Spark has no
+        # physical order, so pin an explicit tiebreak. dropDuplicates
+        # would pick an arbitrary (name_id, tax_id) row.
+        ids = keep_first(
+            self.financials.select(*SEARCH_COLS), ["cvm_id"], ["name_id", "tax_id"]
+        )
         df = ids.join(F.broadcast(self.trades), "cvm_id")
         match search_by:
             case "name_id":
@@ -160,6 +179,13 @@ class Engine:
             "period_end",
             rank_by,
         )
+
+
+def _estimated_size(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate in bytes (for file
+    sources this is the on-disk footprint; for cached plans the
+    in-memory stats)."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
 # ---- module-level convenience mirroring the reference API ----

@@ -68,12 +68,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
     if name in _CPU_HEAVY:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        max_split = int(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b").rstrip("b")
+        max_split = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
         )
         if os.path.isfile(path) and os.path.getsize(path) < max_split:
             df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
+
+
+def _parse_bytes(size: str, default: int = 128 * 1024 * 1024) -> int:
+    """Tolerant Spark size-conf parser: '134217728b', '128m', '128MB',
+    '1g', or a bare number. Unparseable values fall back to the 128 MiB
+    Spark default rather than raising."""
+    s = str(size).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 2**10), ("mb", 2**20), ("gb", 2**30), ("tb", 2**40),
+                      ("k", 2**10), ("m", 2**20), ("g", 2**30), ("t", 2**40),
+                      ("b", 1)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return default
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -972,7 +990,10 @@ def events_dedup_earliest(spark, sf_dir):
     SELECT l.event_id, l.user_id, l.ts,
            r.value AS purchase_value, r.ts AS ts_purchase
     FROM (SELECT * FROM events WHERE event_type = 'click') l
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id, ts ORDER BY event_id DESC) = 1) r
       ON l.user_id = r.user_id AND l.ts >= r.ts
     ORDER BY l.event_id
     """,
@@ -980,15 +1001,25 @@ def events_dedup_earliest(spark, sf_dir):
 def events_asof_join(spark, sf_dir):
     # As-of join (engine addition, SURVEY §2.3): each click gets the
     # latest at-or-before purchase of the same user. Single shuffle on
-    # user_id — no range explosion.
+    # user_id — no range explosion. event_id tiebreaks exact-time
+    # purchase ties deterministically (highest wins); the oracle
+    # pre-dedups the right side the same way, since SQL ASOF picks an
+    # arbitrary row among equal timestamps.
     e = _t(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
+        "user_id", "ts", "value", F.col("event_id").alias("purchase_event_id")
     )
-    out = asof_join(clicks, purchases, on="ts", by=["user_id"], right_cols=["value"])
+    out = asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by=["user_id"],
+        right_cols=["value"],
+        tiebreak="purchase_event_id",
+    )
     return out.select(
         "event_id", "user_id", "ts",
         F.col("value").alias("purchase_value"),
@@ -1095,11 +1126,16 @@ def doc_quality(spark, sf_dir):
     "doc_exact_dedup",
     f"""
     WITH keyed AS (
-      SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS h FROM documents),
+      SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS h
+      FROM documents WHERE text IS NOT NULL),
     reps AS (SELECT h, min(doc_id) AS doc_id FROM keyed GROUP BY h)
     SELECT k.doc_id, k.h AS text_hash FROM keyed k
     JOIN reps r ON k.h = r.h AND k.doc_id = r.doc_id
-    ORDER BY k.doc_id
+    UNION ALL
+    -- null-text rows pass through undeduped (documented exact_dedup
+    -- semantics: no comparable content, and NULL keys never match)
+    SELECT doc_id, NULL AS text_hash FROM documents WHERE text IS NULL
+    ORDER BY doc_id
     """,
 )
 def doc_exact_dedup(spark, sf_dir):
@@ -1577,10 +1613,31 @@ def correlated_exists(spark, sf_dir):
     )
 
 
-@q("stream_user_profiles")  # rows-only: custom stateful streaming op
+@q(
+    "stream_user_profiles",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(COALESCE(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)), 0)
+                AS DOUBLE) / 100.0 AS value_sum,
+           CAST(count(DISTINCT CASE WHEN event_type IN
+                  ('click', 'view', 'purchase', 'signup', 'error')
+                THEN event_type ELSE '(other)' END) AS INTEGER) AS n_event_types,
+           FALSE AS expired
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
 def stream_user_profiles(spark, sf_dir):
     # applyInPandasWithState keyed-state operator, drained through a
     # bounded file-source stream (availableNow) into a memory sink.
+    # The per-user profile is batch-SQL-expressible, so the oracle is
+    # its batch twin: the stateful op accumulates exact integer cents
+    # (order-independent), making the value hash comparable. keep_last
+    # collapses multi-batch update-mode emissions to each user's final
+    # profile (n_events is monotonic), so the result is independent of
+    # micro-batch boundaries.
     from finlogic_spark.streaming import read_events_stream, run_to_memory_sink
     from finlogic_spark.streaming.stateful import user_profile_stream
 
@@ -1589,7 +1646,8 @@ def stream_user_profiles(spark, sf_dir):
         user_profile_stream(stream), "q_user_profiles", output_mode="update"
     )
     handle.stop()
-    return spark.table("q_user_profiles").orderBy("user_id")
+    profiles = spark.table("q_user_profiles")
+    return keep_last(profiles, ["user_id"], ["n_events"]).orderBy("user_id")
 
 
 @q("media_feature_extract")  # rows-only: binary decode is not SQL-expressible

@@ -29,12 +29,19 @@ def asof_join(
     by: Sequence[str],
     right_cols: Sequence[str] | None = None,
     suffix: str = "_right",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Backward as-of join: ``left`` gains the most recent ``right_cols``
     at or before its ``on`` value, matched per ``by`` keys.
 
     Right-side time column lands as ``{on}{suffix}`` so callers can
     compute staleness. Left rows with no prior right row keep nulls.
+
+    ``tiebreak`` names a right-side column that orders right rows
+    sharing the same (by, on) value — without it the winner among
+    exact-time ties is whichever row the sort left last (plan- and
+    partitioning-dependent). With it, the HIGHEST tiebreak value wins
+    deterministically.
     """
     by = list(by)
     if right_cols is None:
@@ -45,11 +52,18 @@ def asof_join(
     lhs = left.withColumn(_SIDE, F.lit(1))
     for c in carried:
         lhs = lhs.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    rhs_extra = []
+    if tiebreak is not None:
+        lhs = lhs.withColumn(
+            "__tb", F.lit(None).cast(right.schema[tiebreak].dataType)
+        )
+        rhs_extra = [F.col(tiebreak).alias("__tb")]
     rhs = right.select(
         *by,
         F.col(on),
         F.lit(0).alias(_SIDE),
         *[F.col(c).alias(f"__r_{c}") for c in carried],
+        *rhs_extra,
     )
     for c in left_cols:
         if c not in rhs.columns:
@@ -58,9 +72,15 @@ def asof_join(
     unioned = lhs.unionByName(rhs.select(lhs.columns))
     # Right rows sort before left rows at equal timestamps (side 0 < 1),
     # so an exact-tie right row IS visible to the left row — "at or before".
+    # Among tied right rows, __tb asc puts the highest tiebreak last →
+    # last(ignorenulls) picks it. Left rows carry null __tb; they only
+    # read window state, so their relative order is immaterial.
+    order = [F.col(on).asc(), F.col(_SIDE).asc()]
+    if tiebreak is not None:
+        order.append(F.col("__tb").asc_nulls_first())
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col(_SIDE).asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     for c in carried:

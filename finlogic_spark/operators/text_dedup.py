@@ -124,6 +124,11 @@ def lsh_buckets(
 ) -> DataFrame:
     """Explode each doc into ``bands`` rows of (band, band_hash, id).
     Docs sharing any (band, band_hash) are candidate near-dups."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "trailing hashes would be silently ignored, changing recall"
+        )
     rows_per_band = num_hashes // bands
     band_structs = []
     for b in range(bands):

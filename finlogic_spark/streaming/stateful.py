@@ -21,16 +21,20 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# (count, value_sum, last_seen_micros, type_bitmask)
+# (count, value_cents, last_seen_micros, type_bitmask). The value sum is
+# kept as integral cents (floor(v*100+0.5) per event) so accumulation is
+# exact and order-independent — a float running sum would drift with
+# batch/partition order and break the driver's batch-twin value hash.
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
-        T.StructField("value_sum", T.DoubleType()),
+        T.StructField("value_cents", T.LongType()),
         T.StructField("last_seen", T.LongType()),
         T.StructField("type_mask", T.LongType()),
     ]
@@ -57,14 +61,14 @@ def _update_user_profile(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.hasTimedOut:
-        n, value_sum, _last, mask = state.get
+        n, cents, _last, mask = state.get
         state.remove()
         yield pd.DataFrame(
             [
                 {
                     "user_id": user_id,
                     "n_events": n,
-                    "value_sum": value_sum,
+                    "value_sum": cents / 100.0,
                     "n_event_types": bin(mask).count("1"),
                     "expired": True,
                 }
@@ -72,25 +76,28 @@ def _update_user_profile(
         )
         return
 
-    n, value_sum, last_seen, mask = (
-        state.get if state.exists else (0, 0.0, 0, 0)
+    n, cents, last_seen, mask = (
+        state.get if state.exists else (0, 0, 0, 0)
     )
     for pdf in pdfs:
         n += len(pdf)
-        value_sum += float(pdf["value"].sum())
+        vals = pdf["value"].dropna()
+        # floor(v*100+0.5) is exact integer arithmetic in float64 —
+        # summing integers is order-independent (unlike summing doubles).
+        cents += int(np.floor(vals.to_numpy() * 100.0 + 0.5).sum())
         last_seen = max(
             last_seen, int(pd.to_datetime(pdf["ts"]).astype("int64").max() // 1000)
         )
         for et in pdf["event_type"]:
             mask |= 1 << EVENT_TYPE_BITS.get(et, 63)
-    state.update((n, value_sum, last_seen, mask))
+    state.update((n, cents, last_seen, mask))
     state.setTimeoutDuration(60 * 60 * 1000)  # expire after 1h idle
     yield pd.DataFrame(
         [
             {
                 "user_id": user_id,
                 "n_events": n,
-                "value_sum": value_sum,
+                "value_sum": cents / 100.0,
                 "n_event_types": bin(mask).count("1"),
                 "expired": False,
             }

@@ -18,6 +18,34 @@ def test_info_counts(engine):
     assert info["first_report"].startswith("20")
 
 
+def test_info_full_key_contract(engine):
+    # Reference returns exactly these 7 keys in this order
+    # (src/finlogic/data.py:81-95).
+    rows = engine.info().collect()
+    assert [r["key"] for r in rows] == [
+        "data_url",
+        "memory_usage",
+        "accounting_entries",
+        "number_of_reports",
+        "first_report",
+        "last_report",
+        "number_of_companies",
+    ]
+    info = {r["key"]: r["FinLogic Info"] for r in rows}
+    assert info["data_url"].endswith("financials.parquet")
+    assert info["memory_usage"].endswith(" MB")
+    assert float(info["memory_usage"].removesuffix(" MB")) > 0
+
+
+def test_search_company_deterministic_id_row(engine):
+    # keep_first with an explicit tiebreak: repeated runs must return
+    # the identical (name_id, tax_id) row per cvm_id (D2 semantics —
+    # dropDuplicates would pick an arbitrary row).
+    a = sorted(map(tuple, engine.search_company("COMPANY", "name_id").collect()))
+    b = sorted(map(tuple, engine.search_company("COMPANY", "name_id").collect()))
+    assert a == b
+
+
 def test_is_traded_false_loads_more(spark, fixture_dir, engine):
     eng_all = Engine.from_parquet_dir(
         spark, fixture_dir, is_traded=False, entry_order_col="entry_id"

@@ -95,7 +95,11 @@ def test_stateful_user_profile_matches_batch(spark, sf_dir, events_batch):
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("value_sum"),
+            # The stateful op accumulates exact integer cents
+            # (order-independent across batches); mirror that here.
+            (F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5))) / 100.0).alias(
+                "value_sum"
+            ),
             F.count_distinct("event_type").alias("n_event_types"),
         )
         .collect()
@@ -104,6 +108,6 @@ def test_stateful_user_profile_matches_batch(spark, sf_dir, events_batch):
     for uid, e in exp.items():
         g = got[uid]
         assert g["n_events"] == e["n_events"]
-        assert abs(g["value_sum"] - e["value_sum"]) < 1e-6
+        assert g["value_sum"] == e["value_sum"]
         assert g["n_event_types"] == e["n_event_types"]
         assert not g["expired"]
