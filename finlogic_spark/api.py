@@ -69,6 +69,43 @@ class Engine:
             self.indicators = self.indicators.cache()
 
     @classmethod
+    def from_urls(
+        cls,
+        spark: SparkSession,
+        financials_url: str,
+        trades_url: str,
+        language_url: str,
+        cache_dir: str | None = None,
+        refresh: bool = False,
+        **kwargs,
+    ) -> "Engine":
+        """Reference-parity remote ingestion (``fl.load()`` needs no
+        local files — src/finlogic/data.py:16-19,44,49,58): download
+        each parquet once into a local cache, then scan lazily. Works
+        with https:// and file:// URLs; repeat loads hit the cache."""
+        from finlogic_spark.sources import fetch_to_cache
+
+        cache_dir = cache_dir or os.path.join(
+            os.path.expanduser("~"), ".cache", "finlogic_spark"
+        )
+        paths = {
+            name: fetch_to_cache(url, cache_dir, f"{name}.parquet", refresh)
+            for name, url in (
+                ("financials", financials_url),
+                ("trades", trades_url),
+                ("language", language_url),
+            )
+        }
+        kwargs.setdefault("data_url", financials_url)
+        return cls(
+            spark,
+            spark.read.parquet(paths["financials"]),
+            spark.read.parquet(paths["trades"]),
+            spark.read.parquet(paths["language"]),
+            **kwargs,
+        )
+
+    @classmethod
     def from_parquet_dir(
         cls, spark: SparkSession, data_dir: str, **kwargs
     ) -> "Engine":

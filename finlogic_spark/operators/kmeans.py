@@ -20,8 +20,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from finlogic_spark.operators.similarity import dot
+from finlogic_spark.operators.similarity import _sql_vec
+
+# Above this many folded literals, switch from the Catalyst-expression
+# argmin to the Arrow-vectorized mapInPandas one: a k×dim literal plan
+# grows linearly in k and blows up analysis/codegen time at IVF-scale
+# cell counts (thousands), while numpy matmul is flat.
+EXPR_LITERAL_BUDGET = 8192
 
 
 def sq_dist(a: Column, b: Column) -> Column:
@@ -36,22 +43,56 @@ def assign_clusters(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """Append a __cluster column: index of the nearest centroid
-    (squared-L2, lowest index wins ties). Expression-only — the
-    centroid list is folded into the plan as literals, so assignment is
-    a narrow map over the corpus."""
-    best_d, best_i = None, None
-    for i, c in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(v)) for v in c])
-        d = sq_dist(F.col(vec_col), lit_c)
-        if best_d is None:
-            best_d, best_i = d, F.lit(0)
-        else:
-            closer = d < best_d
-            best_i = F.when(closer, F.lit(i)).otherwise(best_i)
-            best_d = F.when(closer, d).otherwise(best_d)
-    return df.withColumn("__cluster", best_i)
+    (squared-L2, lowest index wins ties). Both methods are narrow,
+    shuffle-free maps over the corpus:
+
+    - ``expr``   — the centroid table folds into ONE SQL expression
+      (single parse; array_min over (dist, index) structs). Right for
+      small k; plan size is O(k·dim) literals.
+    - ``pandas`` — Arrow-batched ``mapInPandas`` with a numpy distance
+      matmul; the centroid matrix ships in the serialized closure
+      (broadcast-equivalent). Right for large k where a literal plan
+      would explode.
+    - ``auto``   — expr iff k·dim ≤ EXPR_LITERAL_BUDGET.
+    """
+    k, dim = len(centroids), len(centroids[0])
+    if method == "auto":
+        method = "expr" if k * dim <= EXPR_LITERAL_BUDGET else "pandas"
+    if method == "expr":
+        elems = ", ".join(
+            f"named_struct('i', {i}, 'cv', {_sql_vec(c)})"
+            for i, c in enumerate(centroids)
+        )
+        scored = (
+            f"transform(array({elems}), c -> named_struct("
+            f"'d', aggregate(zip_with(`{vec_col}`, c.cv, "
+            f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v), "
+            f"'i', c.i))"
+        )
+        return df.withColumn("__cluster", F.expr(f"array_min({scored}).i"))
+
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)  # k×dim
+    c_sq = (C * C).sum(axis=1)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("__cluster", T.IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # ||v-c||² = ||v||² - 2 v·c + ||c||²; ||v||² is constant per
+            # row and drops out of the argmin.
+            d = c_sq[None, :] - 2.0 * (V @ C.T)
+            pdf = pdf.copy()
+            pdf["__cluster"] = d.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema)
 
 
 def kmeans_fit(

@@ -1,24 +1,33 @@
 """Similarity search over embedding columns (engine-scope addition;
 SURVEY.md §7 phase 4 — the `embeddings` table, ArrayType(FloatType)).
 
-Two tiers:
-- ``cosine_topk``    — brute-force exact top-k: broadcast the (small)
+Three tiers:
+- ``cosine_topk``     — brute-force exact top-k: broadcast the (small)
   query set against the corpus; per-row dot products stay JVM-side via
   ``zip_with`` + ``aggregate``; per-query top-k via ranked window.
   Exact baseline; linear in corpus size per query.
 - ``lsh_cosine_topk`` — random-hyperplane LSH: bucket corpus and queries
   by sign-pattern of H fixed hyperplanes, join on bucket, rank within.
-  Sub-linear candidate set; the 100 TB path (hyperplanes are a literal
-  broadcast array, seed-deterministic).
+  Sub-linear candidate set; hyperplanes are seed-deterministic.
+- ``ivf_topk``        — inverted-file cells: assign each corpus vector
+  to its nearest centroid ONCE (shuffle-free expression argmax), then
+  each query scans only its n_probe nearest cells.
 
 No Python UDFs: higher-order array functions compile to Catalyst
-expressions and run inside whole-stage codegen.
+expressions. Literal-heavy expressions (hyperplanes, centroid tables)
+are built as ONE ``F.expr`` SQL string each — building them from
+per-element ``F.lit`` Columns costs hundreds of py4j round-trips and
+made plan CONSTRUCTION dominate small-corpus wall clock (measured
+~1.3 s of a 1.6 s query); a single SQL parse is ~10× cheaper and
+identical once optimized.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -47,6 +56,131 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
+# ---------------------------------------------------------------------------
+# SQL-string expression builders (single-parse plan construction)
+# ---------------------------------------------------------------------------
+
+def _sql_vec(vals: Sequence[float]) -> str:
+    """SQL double-array literal: array(0.1D, ...)."""
+    return "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")"
+
+
+def _sql_dot(vec_sql: str, arr_sql: str) -> str:
+    """Same fold order as the Column-API ``dot`` and the DuckDB oracle's
+    list_sum(list_transform(...)) — bitwise-reproducible."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr_sql}, (x, y) -> x * y), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _bt(name: str) -> str:
+    return f"`{name}`"
+
+
+def cell_structs_sql(cents: Sequence[tuple[int, Sequence[float]]]) -> str:
+    """Literal array<struct<nc int, cv array<double>>> of centroids.
+    nc = -cid so that max-by-(sim, nc) tiebreaks to the LOWEST cid on
+    equal similarity (matching ORDER BY sim DESC, cid ASC)."""
+    elems = ", ".join(
+        f"named_struct('nc', {-int(cid)}, 'cv', {_sql_vec(cv)})" for cid, cv in cents
+    )
+    return f"array({elems})"
+
+
+def nearest_cells_expr(
+    vec_col: str, cents: Sequence[tuple[int, Sequence[float]]], n: int = 1
+) -> Column:
+    """Cell id(s) of the ``n`` nearest centroids by cosine — a single
+    shuffle-free expression (the IVF assignment step).
+
+    Centroids are pre-normalized driver-side, so per-centroid rank order
+    by dot(vec, cv_normalized) equals rank order by cosine: the query
+    vector's own norm scales every centroid's score by the same positive
+    factor and cancels out of the argmax. Returns an int for n=1, an
+    array<int> (descending similarity) otherwise.
+    """
+    normed = []
+    for cid, cv in cents:
+        nrm = math.sqrt(sum(float(x) * float(x) for x in cv))
+        normed.append((cid, [float(x) / nrm if nrm > 0 else 0.0 for x in cv]))
+    arr = cell_structs_sql(normed)
+    scored = (
+        f"transform({arr}, c -> named_struct("
+        f"'s', {_sql_dot(_bt(vec_col), 'c.cv')}, 'nc', c.nc))"
+    )
+    if n == 1:
+        return F.expr(f"-array_max({scored}).nc")
+    # asc sort by (s, nc), reversed → s desc, then nc desc == cid asc.
+    return F.expr(
+        f"transform(slice(reverse(array_sort({scored})), 1, {n}), c -> -c.nc)"
+    )
+
+
+def _planes_sql(planes: Sequence[Sequence[float]]) -> list[str]:
+    return [_sql_vec(p) for p in planes]
+
+
+def _deterministic_planes(
+    dim: int, num_planes: int, table: int = 0
+) -> list[list[float]]:
+    """Seeded pseudo-random hyperplanes from md5 bytes — reproducible
+    across engines and runs without RNG state. ``table`` seeds
+    independent plane sets for multi-table LSH banding."""
+    planes = []
+    prefix = "plane" if table == 0 else f"t{table}plane"
+    for p in range(num_planes):
+        vals: list[float] = []
+        counter = 0
+        while len(vals) < dim:
+            digest = hashlib.md5(f"{prefix}{p}|{counter}".encode()).digest()
+            for off in range(0, 16, 4):
+                (u,) = struct.unpack(">I", digest[off : off + 4])
+                vals.append((u / 2**31) - 1.0)  # uniform [-1, 1)
+            counter += 1
+        planes.append(vals[:dim])
+    return planes
+
+
+def lsh_bucket(vec: Column | str, planes: Sequence[Sequence[float]]) -> Column:
+    """Sign-pattern bucket id: bit p set iff dot(vec, plane_p) >= 0.
+
+    Pass the vector column by NAME to get the single-parse SQL form
+    (one py4j call); a Column argument falls back to the per-plane
+    Column construction (compatible, slower to build)."""
+    if isinstance(vec, str):
+        parts = [
+            f"(CASE WHEN {_sql_dot(_bt(vec), arr)} >= 0.0D "
+            f"THEN {2**p}L ELSE 0L END)"
+            for p, arr in enumerate(_planes_sql(planes))
+        ]
+        return F.expr("(" + " + ".join(parts) + ")")
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(dot(vec, lit_plane) >= 0, F.lit(2**p)).otherwise(F.lit(0))
+        bucket = bucket + bit.cast("long")
+    return bucket
+
+
+# ---------------------------------------------------------------------------
+# Top-k operators
+# ---------------------------------------------------------------------------
+
+def _per_query_topk(scored: DataFrame, query_id: str, corpus_id: str, k: int) -> DataFrame:
+    """Rank candidates per query; WindowGroupLimit prunes to k rows
+    per partition before the shuffle (visible in the physical plan), so
+    the exchange carries O(queries·k), not the candidate set."""
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rk")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -68,41 +202,25 @@ def cosine_topk(
         F.col(corpus_id),
         cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
     )
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("cos_sim").desc(), F.col(corpus_id).asc()
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(query_id, corpus_id, "cos_sim", "rk")
-    )
+    return _per_query_topk(scored, query_id, corpus_id, k)
 
 
-def _deterministic_planes(dim: int, num_planes: int) -> list[list[float]]:
-    """Seeded pseudo-random hyperplanes from md5 bytes — reproducible
-    across engines and runs without RNG state."""
-    planes = []
-    for p in range(num_planes):
-        vals: list[float] = []
-        counter = 0
-        while len(vals) < dim:
-            digest = hashlib.md5(f"plane{p}|{counter}".encode()).digest()
-            for off in range(0, 16, 4):
-                (u,) = struct.unpack(">I", digest[off : off + 4])
-                vals.append((u / 2**31) - 1.0)  # uniform [-1, 1)
-            counter += 1
-        planes.append(vals[:dim])
-    return planes
-
-
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id: bit p set iff dot(vec, plane_p) >= 0."""
-    bucket = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
-        bit = F.when(dot(vec, lit_plane) >= 0, F.lit(2**p)).otherwise(F.lit(0))
-        bucket = bucket + bit.cast("long")
-    return bucket
+def lsh_assign_buckets(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    num_planes: int = 6,
+    bucket_col: str = "__bucket",
+    table: int = 0,
+) -> DataFrame:
+    """Append the sign-pattern LSH bucket id — a narrow, shuffle-free
+    map. For repeated querying, persist the result once
+    (``df.write.partitionBy(bucket_col)...`` or ``.cache()``) and pass
+    the pre-bucketed corpus to ``lsh_cosine_topk`` via
+    ``corpus_bucketed=True``: bucket assignment is corpus-only work and
+    never needs recomputing per query batch."""
+    planes = _deterministic_planes(dim, num_planes, table)
+    return df.withColumn(bucket_col, lsh_bucket(vec_col, planes))
 
 
 def lsh_cosine_topk(
@@ -115,45 +233,51 @@ def lsh_cosine_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    corpus_bucketed: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket (expected corpus/2^num_planes rows per bucket). Equi-join on
     bucket id — a hash join Catalyst can broadcast or shuffle, never a
     cross join. Recall is tunable via num_planes (fewer planes = bigger
-    buckets = higher recall, more compute)."""
-    planes = _deterministic_planes(dim, num_planes)
-    c = corpus.select(
-        F.col(corpus_id),
-        F.col(corpus_vec),
-        lsh_bucket(F.col(corpus_vec), planes).alias("__bucket"),
-    )
-    q = queries.select(
-        F.col(query_id),
-        F.col(query_vec),
-        lsh_bucket(F.col(query_vec), planes).alias("__bucket"),
+    buckets = higher recall, more compute).
+
+    ``corpus_bucketed=True`` skips corpus-side assignment: pass a
+    corpus that already carries ``__bucket`` (from
+    ``lsh_assign_buckets``, ideally persisted) so per-query-batch work
+    is only the tiny query-side hash + join."""
+    c = (
+        corpus
+        if corpus_bucketed
+        else lsh_assign_buckets(corpus, corpus_vec, dim, num_planes)
+    ).select(corpus_id, corpus_vec, "__bucket")
+    q = lsh_assign_buckets(
+        queries.select(query_id, query_vec), query_vec, dim, num_planes
     )
     scored = c.join(F.broadcast(q), "__bucket").select(
         F.col(query_id),
         F.col(corpus_id),
         cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
     )
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("cos_sim").desc(), F.col(corpus_id).asc()
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(query_id, corpus_id, "cos_sim", "rk")
-    )
+    return _per_query_topk(scored, query_id, corpus_id, k)
+
+
+def auto_num_planes(corpus_size: int, target_bucket_size: int = 64) -> int:
+    """Plane count that keeps E[bucket size] ≈ target: candidate pairs
+    scale as n²/2^planes, so planes must grow with log2(n) or pair
+    generation degenerates to quadratic at corpus scale."""
+    return max(4, math.ceil(math.log2(max(corpus_size, 2) / target_bucket_size)))
 
 
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float,
     dim: int,
-    num_planes: int = 6,
+    num_planes: int | None = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_tables: int = 1,
+    max_bucket_size: int | None = None,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= τ):
     the vector-space dedup tier (exact / n-gram / MinHash-LSH / SimHash
@@ -163,33 +287,82 @@ def cosine_neardup_pairs(
     (near-identical vectors agree on every hyperplane sign with high
     probability), then exact cosine confirms — sub-quadratic: only
     same-bucket pairs are ever scored, ~n²/2^planes instead of n².
-    Recall/cost tunes via num_planes; raise it for tighter thresholds.
+
+    Scale levers (the recall/cost curve):
+    - ``num_planes=None`` sizes the plane count from the corpus
+      (``auto_num_planes``): pairs stay ~n·target_bucket instead of
+      n²/2^const. Pass ``corpus_size`` to skip the count job.
+    - ``num_tables>1`` unions candidates from independent plane sets —
+      each extra table multiplies candidate cost but recovers pairs a
+      single sign-pattern splits (recall ≈ 1-(1-p)^T for per-table
+      collision probability p).
+    - ``max_bucket_size`` drops degenerate mega-buckets (e.g. a spike
+      of identical/zero vectors) before the quadratic within-bucket
+      expansion — the same guard the text MinHash-LSH tier uses.
     """
-    planes = _deterministic_planes(dim, num_planes)
-    b = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
-    )
-    a_side = b.select(
-        "__bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
-    )
-    b_side = b.select(
-        "__bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
-    )
+    if num_planes is None:
+        n = corpus_size if corpus_size is not None else df.count()
+        num_planes = auto_num_planes(n)
+    pair_sets = []
+    for t in range(num_tables):
+        b = lsh_assign_buckets(
+            df.select(id_col, vec_col), vec_col, dim, num_planes, table=t
+        ).withColumn("__tbl", F.lit(t))
+        a_side = b.select(
+            "__tbl", "__bucket", F.col(id_col).alias("id_a")
+        )
+        b_side = b.select(
+            "__tbl", "__bucket", F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("__vb"),
+        )
+        if max_bucket_size is not None:
+            sizes = b.groupBy("__tbl", "__bucket").count()
+            keep = sizes.filter(F.col("count") <= max_bucket_size).select(
+                "__tbl", "__bucket"
+            )
+            a_side = a_side.join(F.broadcast(keep), ["__tbl", "__bucket"], "left_semi")
+        pair_sets.append(
+            a_side.join(b_side, ["__tbl", "__bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+    cands = pair_sets[0]
+    for p in pair_sets[1:]:
+        cands = cands.unionByName(p)
+    if num_tables > 1:
+        cands = cands.distinct()
+    # Re-attach vectors for the exact confirm. For the common 1-table
+    # case, join back is avoidable — but carrying both vectors through
+    # the candidate join is what we did anyway; keep one code path.
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
-        a_side.join(b_side, "__bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos_sim", cosine(F.col("__va"), F.col("__vb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    cents: Sequence[tuple[int, Sequence[float]]],
+    corpus_vec: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF cell assignment: append each vector's nearest-centroid id as
+    ONE shuffle-free expression (plan: Scan → Project, zero Exchange —
+    pinned by tests/test_plan_shape.py). Persist the result partitioned
+    by cell (``.write.partitionBy(cell_col)``) to make query-time cell
+    pruning a partition-pruned scan at 100 TB."""
+    return corpus.withColumn(cell_col, nearest_cells_expr(corpus_vec, cents, 1))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | Sequence[tuple[int, Sequence[float]]],
     k: int,
     n_probe: int = 2,
     corpus_id: str = "vec_id",
@@ -203,43 +376,40 @@ def ivf_topk(
     nearest centroid ("cell") once, then each query scans only its
     ``n_probe`` nearest cells.
 
-    Scale shape: the corpus-side assignment is a broadcast of the tiny
-    centroid table + a rank window per vector (embarrassingly parallel,
-    done once and cacheable / persistable as a cell-partitioned table);
-    query time is an equi-join on cell id — candidates shrink by
-    ~n_probe/n_list versus brute force. Centroids are caller-provided
-    (seed vectors, k-means output, …) so the operator stays
-    deterministic and engine-agnostic."""
-    cent = F.broadcast(centroids.select(centroid_id, centroid_vec))
+    Scale shape: both assignments are expression-only argmax over the
+    folded centroid table — a narrow map with ZERO exchanges (the k×dim
+    centroid literals live in the plan; for thousands of cells switch
+    to ``operators.kmeans.assign_clusters(method="pandas")``, the
+    Arrow-vectorized variant). Query time is an equi-join on cell id —
+    candidates shrink by ~n_probe/n_list versus brute force. Centroids
+    are caller-provided (k-means output, seed vectors) so the operator
+    stays deterministic. The previous implementation ranked a corpus ×
+    centroid cross join over a per-vector window — a full shuffle of
+    the k-expanded corpus that this formulation eliminates entirely.
+    """
+    if isinstance(centroids, DataFrame):
+        rows = centroids.select(centroid_id, centroid_vec).collect()
+        cents = [(int(r[centroid_id]), list(map(float, r[centroid_vec]))) for r in rows]
+    else:
+        cents = [(int(c), list(map(float, v))) for c, v in centroids]
 
-    def nearest_cells(df: DataFrame, id_col: str, vec_col: str, n: int) -> DataFrame:
-        scored = df.crossJoin(cent).select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.col(centroid_id),
-            cosine(F.col(vec_col), F.col(centroid_vec)).alias("__c_sim"),
+    cells = ivf_assign(
+        corpus.select(corpus_id, corpus_vec), cents, corpus_vec, "__cell"
+    )
+    if n_probe == 1:
+        probes = queries.select(
+            query_id, query_vec,
+            nearest_cells_expr(query_vec, cents, 1).alias("__cell"),
         )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("__c_sim").desc(), F.col(centroid_id).asc()
+    else:
+        probes = (
+            queries.select(query_id, query_vec)
+            .withColumn("__cells", nearest_cells_expr(query_vec, cents, n_probe))
+            .select(query_id, query_vec, F.explode("__cells").alias("__cell"))
         )
-        return (
-            scored.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= n)
-            .select(id_col, vec_col, centroid_id)
-        )
-
-    cells = nearest_cells(corpus, corpus_id, corpus_vec, 1)
-    probes = nearest_cells(queries, query_id, query_vec, n_probe)
-    scored = cells.join(F.broadcast(probes), centroid_id).select(
+    scored = cells.join(F.broadcast(probes), "__cell").select(
         F.col(query_id),
         F.col(corpus_id),
         cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
     )
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("cos_sim").desc(), F.col(corpus_id).asc()
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(query_id, corpus_id, "cos_sim", "rk")
-    )
+    return _per_query_topk(scored, query_id, corpus_id, k)

@@ -32,6 +32,39 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def fetch_to_cache(
+    url: str, cache_dir: str, filename: str | None = None, refresh: bool = False
+) -> str:
+    """Download a remote parquet once into a local cache and return the
+    local path (the reference reads parquet straight off HTTPS,
+    src/finlogic/data.py:16-19,44,49,58; Spark cannot scan ``https:``
+    URIs, so ingestion is download-once → ``spark.read.parquet``).
+
+    The cache key is the URL's md5 plus its basename, so distinct URLs
+    never collide and re-loads are free. ``file://`` URLs work too
+    (hermetic tests). Downloads go to a ``.part`` temp name and rename
+    atomically — a crashed download never poisons the cache.
+
+    Scale note: this is the DRIVER-side ingestion path for small dim
+    tables (the reference's entire dataset is a few hundred MB). Bulk
+    100 TB data should land in object storage reachable by executors
+    (s3a/abfss/hdfs) and be scanned directly — see load_table.
+    """
+    import hashlib
+    import urllib.request
+    from urllib.parse import urlparse
+
+    os.makedirs(cache_dir, exist_ok=True)
+    base = filename or os.path.basename(urlparse(url).path) or "data.parquet"
+    key = hashlib.md5(url.encode()).hexdigest()[:12]
+    local = os.path.join(cache_dir, f"{key}-{base}")
+    if refresh or not os.path.exists(local):
+        tmp = f"{local}.part"
+        urllib.request.urlretrieve(url, tmp)
+        os.replace(tmp, local)
+    return local
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy Parquet scan of one driver table.
 

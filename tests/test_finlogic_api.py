@@ -188,3 +188,52 @@ def test_indicators_consolidated_vs_separate_differ(engine):
     con_assets = [r[col] for r in con if r["indicator"] == "total_assets"][0]
     sep_assets = [r[col] for r in sep if r["indicator"] == "total_assets"][0]
     assert con_assets != sep_assets
+
+
+def test_engine_from_urls_downloads_once_and_caches(spark, tmp_path):
+    """Reference-parity remote load (fl.load needs no local files):
+    file:// stands in for https:// hermetically. Second load must hit
+    the cache — pinned by deleting the source before reloading."""
+    import shutil
+
+    from finlogic_spark.fixtures import make_financials, make_language, make_trades
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, pdf in (
+        ("financials", make_financials(42)),
+        ("trades", make_trades(43)),
+        ("language", make_language()),
+    ):
+        pdf.to_parquet(src / f"{name}.parquet")
+    urls = {
+        n: f"file://{src}/{n}.parquet" for n in ("financials", "trades", "language")
+    }
+    cache = tmp_path / "cache"
+    eng = Engine.from_urls(
+        spark,
+        urls["financials"],
+        urls["trades"],
+        urls["language"],
+        cache_dir=str(cache),
+        entry_order_col="entry_id",
+    )
+    info = {r["key"]: r["FinLogic Info"] for r in eng.info().collect()}
+    assert info["data_url"] == urls["financials"]
+    assert int(info["number_of_companies"]) > 0
+    n_rows = eng.financials.count()
+    cached_files = sorted(p.name for p in cache.iterdir())
+    assert len(cached_files) == 3
+
+    # Remove the "remote" source: a reload can only succeed via cache.
+    shutil.rmtree(src)
+    eng2 = Engine.from_urls(
+        spark,
+        urls["financials"],
+        urls["trades"],
+        urls["language"],
+        cache_dir=str(cache),
+        entry_order_col="entry_id",
+    )
+    assert eng2.financials.count() == n_rows
+    assert sorted(p.name for p in cache.iterdir()) == cached_files

@@ -52,3 +52,42 @@ def test_kmeans_centroids_power_ivf(spark):
     # With k-means cells matching the blobs, 1-probe IVF is exact here.
     assert got == want
     df.unpersist()
+
+
+def test_assign_methods_agree(spark):
+    df = _blobs(spark)
+    cents = [[0.0] * DIM, [10.0] * DIM, [-10.0, 10.0, -10.0, 10.0]]
+    by_expr = {
+        r["vec_id"]: r["__cluster"]
+        for r in assign_clusters(df, cents, method="expr").collect()
+    }
+    by_pandas = {
+        r["vec_id"]: r["__cluster"]
+        for r in assign_clusters(df, cents, method="pandas").collect()
+    }
+    assert by_expr == by_pandas
+
+
+def test_assign_large_k_no_plan_blowup(spark):
+    """k=512, dim=32 → 16384 literals would bloat a folded-literal plan;
+    auto must route to the Arrow path and assign correctly."""
+    import time
+
+    k, dim = 512, 32
+    cents = [[float((c * 31 + j * 7) % 97) for j in range(dim)] for c in range(k)]
+    rows = [(i, list(cents[i % k])) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    t0 = time.time()
+    assigned = assign_clusters(df, cents)  # auto → pandas
+    got = assigned.collect()
+    assert time.time() - t0 < 30
+    # Every vector IS a centroid → must be assigned to it (or an exact
+    # duplicate centroid with a lower index).
+    import math
+
+    for r in got:
+        want_d = min(
+            sum((a - b) ** 2 for a, b in zip(r["embedding"], c)) for c in cents
+        )
+        d = sum((a - b) ** 2 for a, b in zip(r["embedding"], cents[r["__cluster"]]))
+        assert math.isclose(d, want_d, abs_tol=1e-9)

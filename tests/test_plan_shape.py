@@ -65,6 +65,38 @@ def test_keep_last_single_shuffle(spark, sf_dir):
     assert plans.count_shuffles(df) == 1
 
 
+def test_ivf_assignment_adds_zero_exchanges(spark):
+    # The IVF cell assignment must be a narrow map (Scan → Project):
+    # round 1 ranked a corpus × centroid cross join over a per-vector
+    # window — a full shuffle of the k-expanded corpus. Pin its absence.
+    import math
+
+    from finlogic_spark.operators.similarity import ivf_assign
+
+    corpus = spark.createDataFrame(
+        [(i, [math.sin(i * 0.7 + j) for j in range(8)]) for i in range(50)],
+        "vec_id int, embedding array<double>",
+    )
+    cents = [(c, [math.cos(c + j) for j in range(8)]) for c in range(4)]
+    assigned = ivf_assign(corpus, cents, "embedding")
+    assert "Exchange" not in plans.formatted_plan(assigned)
+    assert assigned.count() == 50
+
+
+def test_lsh_bucket_assignment_adds_zero_exchanges(spark):
+    import math
+
+    from finlogic_spark.operators.similarity import lsh_assign_buckets
+
+    corpus = spark.createDataFrame(
+        [(i, [math.sin(i * 0.7 + j) for j in range(8)]) for i in range(50)],
+        "vec_id int, embedding array<double>",
+    )
+    b = lsh_assign_buckets(corpus, "embedding", dim=8, num_planes=4)
+    assert "Exchange" not in plans.formatted_plan(b)
+    assert b.select("__bucket").distinct().count() >= 2
+
+
 def test_correlated_exists_decorrelates_to_semi_join(spark, sf_dir):
     from finlogic_spark import driver_queries as dq
 
