@@ -48,6 +48,33 @@ BENCH_QUERIES = [
 ]
 
 
+def duckdb_baseline(sf_dir: str) -> dict[str, float]:
+    """Warm-run DuckDB timings of each bench query's oracle SQL on the
+    same parquet — the binding yardstick (BASELINE.md: the reference
+    publishes no numbers). Inlined here so every BENCH_r{N}.json carries
+    per-query ratios: a regression shows up in the query that caused
+    it, not just the total."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={os.cpu_count()}")
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in dq.ORACLES:
+            continue  # rows-only query: no SQL-expressible oracle
+        sql = dq.ORACLES[name]
+        con.sql(sql).fetchall()
+        start = time.perf_counter()
+        con.sql(sql).fetchall()
+        timings[name] = round(time.perf_counter() - start, 3)
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -65,6 +92,14 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
+    try:
+        base = duckdb_baseline(sf_dir)
+    except Exception:  # baseline must never break the bench line
+        base = {}
+    base_total = round(sum(base.values()), 3) if base else None
+    ratios = {
+        n: round(timings[n] / base[n], 2) for n in base if base[n] > 0
+    }
     print(
         json.dumps(
             {
@@ -73,6 +108,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "duckdb_baseline": base,
+                "duckdb_baseline_total": base_total,
+                "ratio_vs_duckdb": ratios,
+                "ratio_total": (
+                    round(total / base_total, 3) if base_total else None
+                ),
             }
         )
     )
