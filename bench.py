@@ -45,6 +45,10 @@ BENCH_QUERIES = [
     # sliding windows + vector near-dup
     "events_sliding_avg",
     "emb_cosine_neardup",
+    # training-data pipeline: vocab, interval join, dedup clustering
+    "doc_topk_tokens",
+    "events_interval_join",
+    "doc_dedup_clusters",
 ]
 
 

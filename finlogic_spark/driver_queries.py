@@ -1744,3 +1744,223 @@ def emb_ivf_topk(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", rN(F.col("cos_sim"), 6).alias("cos_sim"), "rk"
     ).orderBy("query_id", "rk")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: vocabulary, splits, sequence packing, dedup clusters
+# ---------------------------------------------------------------------------
+
+@q(
+    "doc_topk_tokens",
+    f"""
+    SELECT token, n FROM (
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+      GROUP BY token)
+    ORDER BY n DESC, token ASC LIMIT 20
+    """,
+)
+def doc_topk_tokens(spark, sf_dir):
+    # Corpus vocabulary building: explode tokens → partial-agg count →
+    # TakeOrderedAndProject top-k. The shuffle carries one row per
+    # distinct token per partition (map-side combine), not one per
+    # token occurrence — the 100 TB vocab-count shape.
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@q(
+    "sample_split_hash",
+    """
+    SELECT doc_id,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+)
+def sample_split_hash(spark, sf_dir):
+    # Deterministic train/val split: hash the stable id, compare the
+    # first hex byte ('e6' → 230/256 ≈ 89.8% train). Engine-independent
+    # (md5 is md5 everywhere), reshuffle-proof (no RNG, no row order
+    # dependence), and a narrow map — the only correct way to split at
+    # 100 TB where "random with a seed" is irreproducible across
+    # partitionings.
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "e6",
+            "train",
+        )
+        .otherwise("val")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "doc_pack_sequences",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM sized)
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor((cum - n_tokens) / 2048.0) AS INTEGER) AS seq_id
+    FROM packed ORDER BY doc_id
+    """,
+)
+def doc_pack_sequences(spark, sf_dir):
+    # Concat-and-chunk sequence packing (the LLM-pretraining batching
+    # step): per shard, a running token count assigns each document the
+    # training sequence its first token lands in (seq_id = start_offset
+    # div budget). Packing is PER SHARD, not global: a single global
+    # cumulative sum would serialize on one partition at 100 TB; the
+    # shard hash keeps the window shuffle balanced and each shard's
+    # sequences independent.
+    d = _t(spark, sf_dir, "documents")
+    budget = 2048
+    sized = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.floor((F.col("cum") - F.col("n_tokens")) / float(budget))
+            .cast("int")
+            .alias("seq_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "doc_dedup_clusters",
+    f"""
+    WITH RECURSIVE s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    sig AS (
+      SELECT doc_id,
+             list_min(list_transform(sh, x -> md5('0|' || x))) AS m0,
+             list_min(list_transform(sh, x -> md5('1|' || x))) AS m1,
+             list_min(list_transform(sh, x -> md5('2|' || x))) AS m2,
+             list_min(list_transform(sh, x -> md5('3|' || x))) AS m3,
+             list_min(list_transform(sh, x -> md5('4|' || x))) AS m4,
+             list_min(list_transform(sh, x -> md5('5|' || x))) AS m5
+      FROM s),
+    buckets AS (
+      SELECT doc_id, 0 AS band, md5(m0 || '|' || m1 || '|' || m2) AS bh FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(m3 || '|' || m4 || '|' || m5) AS bh FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id),
+    e2 AS (SELECT id_a AS es, id_b AS ed FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e2.ed, reach.r FROM reach JOIN e2 ON e2.es = reach.id)
+    SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
+    ORDER BY doc_id
+    """,
+)
+def doc_dedup_clusters(spark, sf_dir):
+    # Near-dup CLUSTERING: LSH emits candidate pairs; keeping one
+    # representative per duplicate class needs the transitive closure.
+    # Iterative min-label propagation (operators/graph.py) labels every
+    # doc with its component's smallest doc_id — the canonical
+    # representative a filter can then keep. The oracle computes the
+    # same closure with a recursive CTE.
+    from finlogic_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", k=3, num_hashes=6, bands=2)
+    cc = connected_components(
+        pairs, d.select("doc_id"), src="id_a", dst="id_b", id_col="doc_id"
+    )
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster")
+    ).orderBy("doc_id")
+
+
+@q(
+    "events_interval_join",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    purch AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, c.ts,
+           count(p.ts) AS n_purchases,
+           CAST(COALESCE(SUM(CAST(floor(p.value * 100.0 + 0.5) AS BIGINT)), 0)
+                AS DOUBLE) / 100.0 AS purchase_total
+    FROM clicks c LEFT JOIN purch p
+      ON c.user_id = p.user_id
+     AND p.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
+    GROUP BY c.event_id, c.user_id, c.ts
+    ORDER BY c.event_id
+    """,
+)
+def events_interval_join(spark, sf_dir):
+    # Interval join (engine addition, SURVEY §2.3): every purchase in
+    # the 30 minutes before each click, aggregated per click. The
+    # operator is a bucketized equi-join (operators/rangejoin.py) — the
+    # oracle's theta-join formulation would be a nested-loop join in
+    # Spark and is exactly what the operator exists to avoid.
+    from finlogic_spark.operators.rangejoin import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    pairs = interval_join(
+        clicks,
+        purchases,
+        on="ts",
+        by=["user_id"],
+        lower=-1800 * 1_000_000,  # 30 min in µs
+        upper=0,
+        right_cols=["value"],
+    )
+    per_click = pairs.groupBy("event_id").agg(
+        F.count("ts_right").alias("n_purchases"),
+        (
+            F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5))).cast("double")
+            / 100.0
+        ).alias("purchase_total"),
+    )
+    return (
+        clicks.join(per_click, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("purchase_total", F.lit(0.0)).alias("purchase_total"),
+        )
+        .orderBy("event_id")
+    )

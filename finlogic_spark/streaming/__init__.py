@@ -136,6 +136,40 @@ def dedup_stream(
     return df.dropDuplicatesWithinWatermark(keys)
 
 
+def stream_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window_minutes: int = 30,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    each click pairs with the same user's purchases from the preceding
+    ``window_minutes``. The batch twin is
+    ``operators.rangejoin.interval_join`` (events_interval_join oracle).
+
+    Scale notes: Structured Streaming buffers BOTH sides as keyed state;
+    the watermark + time-range condition let it evict state older than
+    (watermark + window), so memory is bounded by in-horizon traffic,
+    not stream length. Without the range condition in the join predicate
+    the state store can never evict — the condition is load-bearing,
+    not an optimization."""
+    c = with_event_time(clicks).withWatermark("ts", watermark)
+    p = (
+        with_event_time(purchases)
+        .selectExpr(
+            "user_id AS p_user_id", "ts AS p_ts", "value AS p_value"
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    cond = F.expr(
+        f"user_id = p_user_id AND p_ts >= ts - INTERVAL {window_minutes} MINUTES "
+        "AND p_ts <= ts"
+    )
+    return c.join(p, cond, "inner").select(
+        "event_id", "user_id", "ts", "p_ts", "p_value"
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, output_mode: str = "complete", timeout: int = 120
 ):

@@ -123,3 +123,61 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     plain_left = l.join(s_half, "l_suppkey", "left").count()
     salted_left = salted_join(l, s_half, "l_suppkey", num_salts=8, how="left").count()
     assert plain_left == salted_left == l.count()
+
+
+def test_connected_components_labels_min_id(spark):
+    from finlogic_spark.operators.graph import connected_components
+
+    # chain 1-2-3, clique 10-11-12, isolated 20.
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (11, 12), (10, 12)], "src long, dst long"
+    )
+    vertices = spark.createDataFrame(
+        [(v,) for v in (1, 2, 3, 10, 11, 12, 20)], "id long"
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(edges, vertices).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from finlogic_spark.operators.graph import connected_components
+
+    n = 12  # diameter 11: exercises multi-round propagation + checkpoints
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    vertices = spark.createDataFrame([(v,) for v in range(n)], "id long")
+    got = connected_components(edges, vertices).collect()
+    assert {r["label"] for r in got} == {0}
+
+
+def test_interval_join_bounds_inclusive(spark):
+    from finlogic_spark.operators.rangejoin import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 100), (2, "k", 200), (3, "x", 100)], "lid long, k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("k", 90, 9.0), ("k", 100, 1.0), ("k", 101, 2.0),
+         ("k", 189, 8.0), ("k", 190, 3.0), ("x", 95, 4.0)],
+        "k string, t long, v double",
+    )
+    out = interval_join(
+        left, right, on="t", by=["k"], lower=-10, upper=0, right_cols=["v"]
+    )
+    got = {(r["lid"], r["t_right"]) for r in out.collect()}
+    # [t-10, t] inclusive both ends; bucket-boundary matches included.
+    assert got == {(1, 90), (1, 100), (2, 190), (3, 95)}
+
+
+def test_interval_join_rejects_empty_window(spark):
+    import pytest
+
+    from finlogic_spark.operators.rangejoin import interval_join
+
+    left = spark.createDataFrame([(1, "k", 100)], "lid long, k string, t long")
+    with pytest.raises(ValueError):
+        interval_join(left, left, on="t", by=["k"], lower=5, upper=5)

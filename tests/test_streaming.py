@@ -111,3 +111,36 @@ def test_stateful_user_profile_matches_batch(spark, sf_dir, events_batch):
         assert g["value_sum"] == e["value_sum"]
         assert g["n_event_types"] == e["n_event_types"]
         assert not g["expired"]
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir, events_batch):
+    from finlogic_spark.operators.rangejoin import interval_join
+
+    clicks_s = st.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purch_s = st.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    got = _drain(
+        spark,
+        st.stream_interval_join(clicks_s, purch_s),
+        "t_ss_join",
+        mode="append",
+    )
+    batch_pairs = interval_join(
+        events_batch.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        ),
+        events_batch.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value"
+        ),
+        on="ts",
+        by=["user_id"],
+        lower=-1800 * 1_000_000,
+        upper=0,
+        right_cols=["value"],
+    )
+    g = {(r["event_id"], r["p_ts"]) for r in got.collect()}
+    b = {(r["event_id"], r["ts_right"]) for r in batch_pairs.collect()}
+    assert g == b
