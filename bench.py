@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     "doc_topk_tokens",
     "events_interval_join",
     "doc_dedup_clusters",
+    # corpus curation + q18
+    "doc_repetition",
+    "doc_vocab_prune",
+    "tpch_q18_big_orders",
 ]
 
 

@@ -32,14 +32,34 @@ def tokens(col: str | Column) -> Column:
     return F.filter(F.split(F.lower(c), "\\s+"), lambda t: t != "")
 
 
+def bind(expr: Column, fn) -> Column:
+    """Evaluate ``fn(x)`` with ``expr`` bound to the lambda variable
+    ``x``: the expression computes ONCE per row no matter how many times
+    ``fn`` references it. Catalyst HOF lambdas don't share
+    subexpressions — an expression referenced d times is re-inlined and
+    re-evaluated d times without this (measured: dominates per-row cost
+    for array-building exprs)."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def _with_tokens(col: str | Column, fn) -> Column:
-    """Evaluate ``fn(token_array)`` with tokenization bound to a lambda
-    variable: the tokenizer runs ONCE per row no matter how many times
-    ``fn`` references the array. Expressions that reference ``tokens()``
-    repeatedly get it re-inlined and re-evaluated per reference
-    (HOF lambdas don't share subexpressions) — per-row cost multiplies
-    by the reference count without this."""
-    return F.element_at(F.transform(F.array(tokens(col)), fn), 1)
+    """``bind`` specialized to the tokenizer."""
+    return bind(tokens(col), fn)
+
+
+def bigrams(ts: Column) -> Column:
+    """Adjacent-token bigram strings from a (lambda-bound) token array.
+    Empty for fewer than two tokens; null for null input."""
+    n = F.size(ts)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(ts, i), F.lit(" "), F.element_at(ts, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def token_count(col: str | Column) -> Column:
@@ -145,3 +165,43 @@ def fingerprint(col: str | Column) -> Column:
     reproducible in SQL (oracle: md5 of the same canonical string)."""
     canonical = F.array_join(F.array_sort(tokens(col)), " ")
     return F.md5(canonical)
+
+
+def repetition_signals(col: str | Column) -> Column:
+    """Gopher-style within-document repetition signals as one struct:
+    ``n_tokens``, ``distinct_ratio`` (distinct/total tokens — low means
+    the doc loops over few words), ``top_bigram_frac`` (share of the
+    doc's bigrams taken by its most frequent bigram — high means boiler-
+    plate/chant repetition). Nulls propagate (null text, <2 tokens →
+    null bigram fraction); downstream filters coalesce.
+
+    Expression-only and shuffle-FREE: the per-row mode count is
+    O(distinct·n) over the (lambda-bound, computed-once) bigram array —
+    for bounded-length documents that beats the explode→groupBy(doc,
+    gram) alternative, whose shuffle carries every bigram occurrence of
+    the corpus."""
+
+    def stats(ts: Column) -> Column:
+        n = F.size(ts)
+
+        def inner(bg: Column) -> Column:
+            top = F.array_max(
+                F.transform(
+                    F.array_distinct(bg),
+                    lambda x: F.size(F.filter(bg, lambda y: y == x)),
+                )
+            )
+            return F.struct(
+                n.cast("long").alias("n_tokens"),
+                F.try_divide(
+                    F.size(F.array_distinct(ts)).cast("double"),
+                    n.cast("double"),
+                ).alias("distinct_ratio"),
+                F.try_divide(
+                    top.cast("double"), F.size(bg).cast("double")
+                ).alias("top_bigram_frac"),
+            )
+
+        return bind(bigrams(ts), inner)
+
+    return _with_tokens(col, stats)

@@ -371,10 +371,16 @@ def ivf_topk(
     query_vec: str = "query_vec",
     centroid_id: str = "cid",
     centroid_vec: str = "cv",
+    corpus_assigned: bool = False,
 ) -> DataFrame:
     """IVF-style approximate top-k: assign every corpus vector to its
     nearest centroid ("cell") once, then each query scans only its
     ``n_probe`` nearest cells.
+
+    ``corpus_assigned=True`` skips the corpus-side assignment: pass a
+    corpus that already carries ``__cell`` (from ``ivf_assign``,
+    ideally persisted/partitioned by cell) so the per-query-batch plan
+    is probe + equi-join against the prebuilt index.
 
     Scale shape: both assignments are expression-only argmax over the
     folded centroid table — a narrow map with ZERO exchanges (the k×dim
@@ -393,8 +399,12 @@ def ivf_topk(
     else:
         cents = [(int(c), list(map(float, v))) for c, v in centroids]
 
-    cells = ivf_assign(
-        corpus.select(corpus_id, corpus_vec), cents, corpus_vec, "__cell"
+    cells = (
+        corpus.select(corpus_id, corpus_vec, "__cell")
+        if corpus_assigned
+        else ivf_assign(
+            corpus.select(corpus_id, corpus_vec), cents, corpus_vec, "__cell"
+        )
     )
     if n_probe == 1:
         probes = queries.select(
