@@ -106,3 +106,51 @@ def test_correlated_exists_decorrelates_to_semi_join(spark, sf_dir):
     # join — no per-row subquery execution survives in the plan.
     assert "LeftSemi" in plan
     assert "Subquery" not in plan
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    df = QUERIES["events_interval_join"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    # The bucketized formulation must plan as an equi (hash/merge) join;
+    # the naive range-predicate theta join plans BroadcastNestedLoopJoin
+    # (O(n*m) per key) — the operator exists to avoid exactly that.
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_signals_zero_exchanges(spark):
+    from finlogic_spark.functions.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c")], "doc_id long, text string"
+    ).select("doc_id", repetition_signals("text").alias("s"))
+    assert "Exchange" not in plans.formatted_plan(df)
+
+
+def test_vocab_prune_broadcasts_vocab(spark, sf_dir):
+    df = QUERIES["doc_vocab_prune"](spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+
+
+def test_lsh_index_serves_with_partition_pruning(spark, tmp_path):
+    # The 100 TB serving story: persist the bucketed corpus partitioned
+    # by bucket; a probe for one bucket must plan a partition-PRUNED
+    # scan (PartitionFilters on __bucket), not a full-corpus read.
+    import math
+
+    from finlogic_spark.operators.similarity import lsh_assign_buckets
+
+    corpus = spark.createDataFrame(
+        [(i, [math.sin(i * 0.7 + j) for j in range(8)]) for i in range(100)],
+        "vec_id int, embedding array<double>",
+    )
+    path = str(tmp_path / "lsh_index")
+    lsh_assign_buckets(corpus, "embedding", dim=8, num_planes=3).write.partitionBy(
+        "__bucket"
+    ).parquet(path)
+    index = spark.read.parquet(path)
+    some_bucket = index.select("__bucket").first()["__bucket"]
+    probe = index.filter(F.col("__bucket") == some_bucket)
+    plan = plans.formatted_plan(probe)
+    assert "PartitionFilters" in plan and "__bucket" in plan
+    assert probe.count() > 0
