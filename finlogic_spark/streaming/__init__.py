@@ -184,3 +184,47 @@ def run_to_memory_sink(
     )
     q.awaitTermination(timeout)
     return q
+
+
+def foreach_batch_idempotent_writer(path: str):
+    """``foreachBatch`` writer with per-batch-id directories: each
+    micro-batch overwrites ``{path}/batch_id={id}``, so a retried batch
+    (same deterministic batch id after failure recovery) replaces its
+    own output instead of appending duplicates — exactly-once OUTPUT on
+    top of at-least-once execution, with no transactional store.
+    This is the production sink pattern when the target is plain
+    parquet/object storage; read the result with
+    ``spark.read.option("basePath", path).parquet(path)`` (batch_id
+    becomes a partition column; last-writer-wins consumers dedup on it
+    if the stream runs in update mode)."""
+    import os
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(path, f"batch_id={batch_id}")
+        )
+
+    return write_batch
+
+
+def run_to_parquet_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    timeout: int = 120,
+):
+    """Drain a bounded stream (availableNow) through the idempotent
+    foreachBatch parquet sink. The checkpoint dir carries source offsets
+    + batch ids — restarting after a crash resumes from the last
+    committed batch, and the per-batch-id dirs absorb replays."""
+    q = (
+        stream_df.writeStream.foreachBatch(foreach_batch_idempotent_writer(path))
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    q.stop()
+    return q

@@ -144,3 +144,35 @@ def test_stream_interval_join_matches_batch(spark, sf_dir, events_batch):
     g = {(r["event_id"], r["p_ts"]) for r in got.collect()}
     b = {(r["event_id"], r["ts_right"]) for r in batch_pairs.collect()}
     assert g == b
+
+
+def test_foreach_batch_sink_idempotent_and_matches_batch(
+    spark, sf_dir, events_batch, tmp_path
+):
+    out_dir = str(tmp_path / "out")
+    st.run_to_parquet_sink(
+        st.tumbling_counts(st.read_events_stream(spark, sf_dir)),
+        out_dir,
+        str(tmp_path / "ck"),
+        output_mode="complete",
+    )
+    files = spark.read.option("basePath", out_dir).parquet(out_dir)
+    last = files.agg(F.max("batch_id")).first()[0]
+    got = files.filter(F.col("batch_id") == last)
+    batch = events_batch.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    g = {(r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()}
+    b = {(r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    assert g == b
+    # Replaying a batch id overwrites its directory instead of doubling
+    # it. Materialize the replay rows first: a lazy DataFrame over the
+    # target dir would be overwritten out from under its own read.
+    writer = st.foreach_batch_idempotent_writer(out_dir)
+    one = spark.createDataFrame(
+        got.drop("batch_id").limit(7).collect()
+    )
+    writer(one, int(last))
+    writer(one, int(last))
+    replay = spark.read.option("basePath", out_dir).parquet(out_dir)
+    assert replay.filter(F.col("batch_id") == last).count() == 7
