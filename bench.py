@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "doc_repetition",
     "doc_vocab_prune",
     "tpch_q18_big_orders",
+    "doc_decontaminate",
+    "doc_curation_pipeline",
 ]
 
 

@@ -60,6 +60,7 @@ from finlogic_spark.operators.text_dedup import (
     minhash_lsh_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
+    shingles,
     simhash,
 )
 from finlogic_spark.operators.topk import top_k
@@ -1054,6 +1055,16 @@ _SHINGLES_SQL = f"""
     END
 """
 
+# Rounded quality score over a `text` column — shared by doc_quality
+# and the curation pipeline oracle (mirrors functions.text.quality_score
+# term by term).
+_QUALITY_SQL = f"""floor((least(length(text) / 500.0, 1.0)
+                  + (1.0 - least((len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                                  / greatest(length(text), 1)) * 4.0, 1.0))
+                  + CASE WHEN (CAST(list_sum(list_transform({_TOKS_SQL}, x -> length(x))) AS DOUBLE)
+                               / greatest(len({_TOKS_SQL}), 1)) BETWEEN 3 AND 10
+                         THEN 1.0 ELSE 0.5 END) / 3.0 * 1000000.0 + 0.5) / 1000000.0"""
+
 
 @q(
     "doc_stats",
@@ -1119,13 +1130,7 @@ def doc_lang_id(spark, sf_dir):
 @q(
     "doc_quality",
     f"""
-    SELECT doc_id,
-           floor((least(length(text) / 500.0, 1.0)
-                  + (1.0 - least((len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
-                                  / greatest(length(text), 1)) * 4.0, 1.0))
-                  + CASE WHEN (CAST(list_sum(list_transform({_TOKS_SQL}, x -> length(x))) AS DOUBLE)
-                               / greatest(len({_TOKS_SQL}), 1)) BETWEEN 3 AND 10
-                         THEN 1.0 ELSE 0.5 END) / 3.0 * 1000000.0 + 0.5) / 1000000.0 AS quality
+    SELECT doc_id, {_QUALITY_SQL} AS quality
     FROM documents ORDER BY doc_id
     """,
 )
@@ -2207,3 +2212,161 @@ def tpch_q18_big_orders(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+_MINHASH_PAIRS_SQL = f"""
+    s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM ded),
+    sig AS (
+      SELECT doc_id,
+             list_min(list_transform(sh, x -> md5('0|' || x))) AS m0,
+             list_min(list_transform(sh, x -> md5('1|' || x))) AS m1,
+             list_min(list_transform(sh, x -> md5('2|' || x))) AS m2,
+             list_min(list_transform(sh, x -> md5('3|' || x))) AS m3,
+             list_min(list_transform(sh, x -> md5('4|' || x))) AS m4,
+             list_min(list_transform(sh, x -> md5('5|' || x))) AS m5
+      FROM s),
+    buckets AS (
+      SELECT doc_id, 0 AS band, md5(m0 || '|' || m1 || '|' || m2) AS bh FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(m3 || '|' || m4 || '|' || m5) AS bh FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id)
+"""
+
+
+@q(
+    "doc_decontaminate",
+    f"""
+    WITH t AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+               WHERE text IS NOT NULL),
+    e AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM t),
+    tot AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+    rare AS (SELECT s FROM e CROSS JOIN tot
+             GROUP BY s, tot.n HAVING count(*) <= tot.n * 0.05),
+    val_sh AS (
+      SELECT DISTINCT s FROM e
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6'),
+    hits AS (
+      SELECT e.doc_id, e.s FROM e
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6')
+    SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM hits h
+    JOIN val_sh v ON h.s = v.s
+    JOIN rare r ON h.s = r.s
+    GROUP BY h.doc_id ORDER BY h.doc_id
+    """,
+)
+def doc_decontaminate(spark, sf_dir):
+    # Train/test decontamination: flag TRAIN documents sharing a rare
+    # 3-shingle with any VAL document (the md5-hash split of
+    # sample_split_hash). Stop-shingles (doc frequency > 5% of the
+    # corpus) are excluded first — without the cap every doc "matches"
+    # through boilerplate, and the join degenerates. Shapes: distinct
+    # per-doc shingles → shingle-keyed semi-joins (the LSH-pair shape);
+    # the 5% threshold comes from a broadcast scalar agg, not a
+    # driver-side count.
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text"))).alias("s")
+    )
+    total = d.agg(F.count("*").alias("__n"))
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("__nd"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("__nd") <= F.col("__n") * 0.05)
+        .select("s")
+    )
+    is_val = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) >= "e6"
+    val_sh = sh.filter(is_val).select("s").distinct()
+    hits = sh.filter(~is_val)
+    return (
+        hits.join(val_sh, "s", "left_semi")
+        .join(rare, "s", "left_semi")
+        .groupBy("doc_id")
+        # (doc_id, s) is distinct by construction (array_distinct), and
+        # semi-joins never duplicate — count(*) == count(DISTINCT s).
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "doc_curation_pipeline",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, source, text, {_TOKS_SQL} AS toks
+      FROM documents WHERE text IS NOT NULL),
+    b2 AS (
+      SELECT *, CASE WHEN len(toks) >= 2
+             THEN list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END AS bg
+      FROM base),
+    gated AS (
+      SELECT doc_id, lang, source, text,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             md5(array_to_string(toks, ' ')) AS h
+      FROM b2
+      WHERE len(toks) >= 20
+        AND NOT COALESCE(({_TBF_SQL}) > 0.3 OR ({_DR_SQL}) < 0.5, FALSE)
+        AND ({_QUALITY_SQL}) >= 0.55),
+    reps AS (SELECT h, min(doc_id) AS mid FROM gated GROUP BY h),
+    ded AS (SELECT g.* FROM gated g
+            JOIN reps r ON g.h = r.h AND g.doc_id = r.mid),
+    {_MINHASH_PAIRS_SQL}
+    SELECT doc_id, lang, source, n_tokens FROM ded
+    WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+      AND substring(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 2)
+          < {_SMP_THR_SQL}
+    ORDER BY doc_id
+    """,
+)
+def doc_curation_pipeline(spark, sf_dir):
+    # End-to-end corpus curation flagship — the composed pipeline a
+    # training-data run actually executes, every stage an operator this
+    # engine already oracle-checks individually:
+    #   1. drop null text            4. exact dedup (keep min doc_id)
+    #   2. length / repetition /     5. near-dup removal (MinHash-LSH
+    #      quality gates                 pairs, drop the higher id)
+    #   3. (gates use the ROUNDED    6. deterministic stratified
+    #      6dp values, mirroring        downsampling by language
+    #      doc_repetition/quality)
+    # Stage order matters and is mirrored exactly in the oracle: dedup
+    # representatives depend on the gated survivor set, LSH buckets on
+    # the deduped set, sampling runs last.
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sig = d.select(
+        "doc_id", "lang", "source", "text",
+        repetition_signals("text").alias("__s"),
+    )
+    gated = (
+        sig.withColumn("__dr", rN(F.col("__s.distinct_ratio"), 6))
+        .withColumn("__tbf", rN(F.col("__s.top_bigram_frac"), 6))
+        .withColumn("__q", rN(quality_score("text"), 6))
+        .filter(
+            (F.col("__s.n_tokens") >= 20)
+            & ~F.coalesce(
+                (F.col("__tbf") > 0.3) | (F.col("__dr") < 0.5), F.lit(False)
+            )
+            & (F.col("__q") >= 0.55)
+        )
+        .select(
+            "doc_id", "lang", "source", "text",
+            F.col("__s.n_tokens").alias("n_tokens"),
+        )
+    )
+    ded = exact_dedup(gated, "text", "doc_id")
+    pairs = minhash_lsh_pairs(ded, "text", "doc_id", k=3, num_hashes=6, bands=2)
+    kept = ded.join(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    final = stratified_sample_hash(
+        kept, "lang", {"en": "g0", "de": "80", "fr": "80"},
+        id_col="doc_id", default_rate="40",
+    )
+    return final.select("doc_id", "lang", "source", "n_tokens").orderBy("doc_id")
