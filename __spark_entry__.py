@@ -33,8 +33,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent ANSI SQL for each query. Two queries are
-    rows-only by design and have no oracle entry:
-    ``media_feature_extract`` (binary decode is not SQL-expressible)
-    and ``approx_distinct`` (HLL sketches are engine-specific)."""
+    """DuckDB-equivalent ANSI SQL for each query — full coverage.
+    Non-SQL-expressible internals are checked property-style:
+    ``media_feature_extract`` compares decoded binary metadata against
+    the generator formulas plus embedding invariants, and
+    ``approx_distinct`` asserts the HLL estimate's error bound next to
+    exactly-compared counts."""
     return dict(dq.ORACLES)

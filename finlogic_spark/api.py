@@ -236,10 +236,29 @@ def load(
     min_volume: float = 100_000,
     **kwargs,
 ) -> Engine:
+    """Load the dataset and set it as the default engine.
+
+    ``data_dir`` may be a local directory OR a remote base URL
+    (https:// or file://) holding ``financials/trades/language.parquet``
+    — the reference's ``load()`` needs no local files
+    (src/finlogic/data.py:16-19,44,49,58); remote parquet is downloaded
+    once into a local cache (see ``Engine.from_urls``)."""
     global _DEFAULT
-    _DEFAULT = Engine.from_parquet_dir(
-        spark, data_dir, is_traded=is_traded, min_volume=min_volume, **kwargs
-    )
+    if data_dir.startswith(("http://", "https://", "file://")):
+        base = data_dir.rstrip("/")
+        _DEFAULT = Engine.from_urls(
+            spark,
+            f"{base}/financials.parquet",
+            f"{base}/trades.parquet",
+            f"{base}/language.parquet",
+            is_traded=is_traded,
+            min_volume=min_volume,
+            **kwargs,
+        )
+    else:
+        _DEFAULT = Engine.from_parquet_dir(
+            spark, data_dir, is_traded=is_traded, min_volume=min_volume, **kwargs
+        )
     return _DEFAULT
 
 

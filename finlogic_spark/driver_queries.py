@@ -1715,7 +1715,28 @@ def stream_user_profiles(spark, sf_dir):
     return keep_last(profiles, ["user_id"], ["n_events"]).orderBy("user_id")
 
 
-@q("media_feature_extract")  # rows-only: binary decode is not SQL-expressible
+@q(
+    "media_feature_extract",
+    """
+    -- The oracle reconstructs the generator's metadata formulas from
+    -- range(64): Spark's values come from DECODING the binary header
+    -- inside mapInPandas, so a hash match proves the binary round-trip
+    -- (header layout + byte order) end to end. The embedding itself is
+    -- md5-derived (not SQL-expressible); its checked invariants are
+    -- dimensionality and the documented [-1, 1) component range.
+    SELECT CAST(i AS BIGINT) AS media_id,
+           CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(64 + (i % 4) * 32 AS INTEGER) AS width,
+           CAST(48 + (i % 3) * 16 AS INTEGER) AS height,
+           CAST(CASE WHEN i % 3 = 0 THEN 1 ELSE 25 + i % 10 END
+                AS INTEGER) AS n_frames,
+           CAST(148 AS INTEGER) AS byte_len,
+           CAST(8 AS INTEGER) AS emb_dim,
+           TRUE AS emb_in_range
+    FROM range(64) t(i) ORDER BY media_id
+    """,
+)
 def media_feature_extract(spark, sf_dir):
     # Multimodal column pipeline: opaque binary payloads + typed
     # metadata → Arrow-batched mapInPandas decode/feature-extract.
@@ -1734,23 +1755,49 @@ def media_feature_extract(spark, sf_dir):
         "height",
         "n_frames",
         "byte_len",
-        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x), 6).alias(
-            "emb_sq_norm"
-        ),
+        F.size("embedding").alias("emb_dim"),
+        F.forall(
+            "embedding", lambda x: (x >= F.lit(-1.0)) & (x < F.lit(1.0))
+        ).alias("emb_in_range"),
     ).orderBy("media_id")
 
 
-@q("approx_distinct")  # no oracle: approx algorithms differ per engine
+@q(
+    "approx_distinct",
+    """
+    -- Property-style oracle: HLL sketch VALUES are engine-specific by
+    -- design, but the estimate's documented error bound is checkable —
+    -- the *_ok flags assert |approx - exact| / exact <= 6% (rsd 0.02,
+    -- 3 sigma). Spark's HLL++ is deterministic for fixed input, so the
+    -- flags are stable; a regression breaking the sketch flips a flag
+    -- and fails the value hash. Exact counts are compared directly.
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS approx_parts_ok,
+           TRUE AS approx_orders_ok
+    FROM lineitem
+    """,
+)
 def approx_distinct(spark, sf_dir):
     # A4 at scale: approx_count_distinct (HLL++) next to the exact
-    # count — the 100 TB variant of n_unique (SURVEY §2.4). Rows-only
-    # driver check: HLL sketches are engine-specific by design.
+    # count — the 100 TB variant of n_unique (SURVEY §2.4).
     l = _t(spark, sf_dir, "lineitem")
-    return l.agg(
-        F.count_distinct("l_partkey").alias("exact_parts"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.count_distinct("l_orderkey").alias("exact_orders"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    within = lambda approx, exact: (
+        F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= 0.06
+    )
+    return (
+        l.agg(
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.count_distinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        )
+        .select(
+            "exact_parts",
+            "exact_orders",
+            within("approx_parts", "exact_parts").alias("approx_parts_ok"),
+            within("approx_orders", "exact_orders").alias("approx_orders_ok"),
+        )
     )
 
 

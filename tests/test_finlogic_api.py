@@ -237,3 +237,32 @@ def test_engine_from_urls_downloads_once_and_caches(spark, tmp_path):
     )
     assert eng2.financials.count() == n_rows
     assert sorted(p.name for p in cache.iterdir()) == cached_files
+
+
+def test_module_load_accepts_remote_base_url(spark, tmp_path):
+    """fl.load(spark, '<url>') — the one-call remote path a reference
+    user expects: base URL holding the three parquet files, downloaded
+    into the cache and loaded without any pre-existing local dir."""
+    from finlogic_spark import api
+    from finlogic_spark.fixtures import make_financials, make_language, make_trades
+
+    src = tmp_path / "remote"
+    src.mkdir()
+    for name, pdf in (
+        ("financials", make_financials(42)),
+        ("trades", make_trades(43)),
+        ("language", make_language()),
+    ):
+        pdf.to_parquet(src / f"{name}.parquet")
+    eng = api.load(
+        spark,
+        f"file://{src}",
+        cache_dir=str(tmp_path / "cache"),
+        entry_order_col="entry_id",
+    )
+    try:
+        assert eng.financials.count() > 0
+        info = {r["key"]: r["FinLogic Info"] for r in api.info().collect()}
+        assert info["data_url"] == f"file://{src}/financials.parquet"
+    finally:
+        api._DEFAULT = None
