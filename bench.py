@@ -55,6 +55,12 @@ BENCH_QUERIES = [
     "tpch_q18_big_orders",
     "doc_decontaminate",
     "doc_curation_pipeline",
+    # round 2: TPC-H breadth, merge/upsert, embedding quantization
+    "tpch_q6",
+    "tpch_q10",
+    "merge_upsert_orders",
+    "emb_scalar_quantize",
+    "emb_pq_encode",
 ]
 
 

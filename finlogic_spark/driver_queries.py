@@ -47,6 +47,7 @@ from finlogic_spark.operators.asof import asof_join
 from finlogic_spark.operators.dedup import keep_first, keep_last
 from finlogic_spark.operators.reshape import pivot_wide, unpivot_long
 from finlogic_spark.operators.similarity import (
+    cosine,
     cosine_topk,
     ivf_assign,
     lsh_assign_buckets,
@@ -2417,3 +2418,387 @@ def doc_curation_pipeline(spark, sf_dir):
         id_col="doc_id", default_rate="40",
     )
     return final.select("doc_id", "lang", "source", "n_tokens").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization (storage tier for vector search at 100 TB)
+# ---------------------------------------------------------------------------
+
+# Shared recon expression: code_i = floor(v[i]*127/s + 0.5) (half-toward-
+# +inf — reproduces bit-for-bit in both engines, unlike round()); recon_i
+# = code_i * s / 127. s = 0 (all-zero vector) short-circuits to 0.0.
+_SQ_RECON_SQL = """
+      CASE WHEN s > 0.0 THEN
+        list_transform(range(1, 65),
+                       i -> floor(v[i] * 127.0 / s + 0.5) * s / 127.0)
+      ELSE list_transform(range(1, 65), i -> 0.0) END
+"""
+
+
+@q(
+    "emb_scalar_quantize",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS s FROM v),
+    r AS (SELECT vec_id, v, s, {_SQ_RECON_SQL} AS rec FROM s)
+    SELECT vec_id,
+           {_rN_sql('s', 6)} AS q_scale,
+           {_rN_sql('list_max(list_transform(range(1, 65), i -> abs(v[i] - rec[i])))', 6)}
+             AS max_abs_err,
+           {_rN_sql('''list_sum(list_transform(range(1, 65), i -> v[i] * rec[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> rec[i] * rec[i]))))''', 6)}
+             AS cos_recon
+    FROM r ORDER BY vec_id
+    """,
+)
+def emb_scalar_quantize(spark, sf_dir):
+    # int8 scalar quantization: 4 bytes/dim -> 1 byte/dim + one scale.
+    # The query verifies the full encode->decode loop: per-vector scale,
+    # worst-component reconstruction error (bounded by scale/254 + FP),
+    # and cosine(original, reconstruction) — the metric ANN serving
+    # actually cares about. Narrow map, zero exchanges.
+    from finlogic_spark.operators.quantize import scalar_dequantize, scalar_quantize
+
+    corpus = _emb_corpus(spark, sf_dir)
+    sq = scalar_quantize(corpus, "embedding", "q_code", "q_scale")
+    rec = scalar_dequantize("q_code", "q_scale")
+    v = F.col("embedding")
+    return (
+        sq.withColumn("__rec", rec)
+        .select(
+            "vec_id",
+            rN(F.col("q_scale"), 6).alias("q_scale"),
+            rN(
+                F.array_max(
+                    F.zip_with(v, F.col("__rec"), lambda a, b: F.abs(a - b))
+                ),
+                6,
+            ).alias("max_abs_err"),
+            rN(cosine(v, F.col("__rec")), 6).alias("cos_recon"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _pq_codebooks():
+    from finlogic_spark.operators.quantize import deterministic_codebooks
+
+    return deterministic_codebooks(m=8, k=16, width=8, scale=0.1)
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB twin of pq_encode/pq_decode over the SAME codebook
+    constants (seeded md5 — both engines inline identical literals).
+    Per subspace: 16 squared-L2 distances, first-min index = code
+    (lowest id on ties, matching the Spark struct-min); recon is the
+    concatenated chosen rows; sq_err mirrors the zip_with fold."""
+    cbs = _pq_codebooks()
+    code_exprs, cb_lits = [], []
+    for s, cb in enumerate(cbs):
+        rows = ", ".join(
+            "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]" for c in cb
+        )
+        cb_lits.append(f"[{rows}]")
+        dists = ", ".join(
+            "list_sum(list_transform(range(1, 9), "
+            f"j -> (v[{s * 8} + j] - {cb_lits[s]}[{c + 1}][j])"
+            f" * (v[{s * 8} + j] - {cb_lits[s]}[{c + 1}][j])))"
+            for c in range(len(cb))
+        )
+        code_exprs.append(
+            f"list_position([{dists}], list_min([{dists}])) - 1 AS c{s}"
+        )
+    recon = " || ".join(f"{cb_lits[s]}[c{s} + 1]" for s in range(len(cbs)))
+    code_str = " || '|' || ".join(f"CAST(c{s} AS VARCHAR)" for s in range(len(cbs)))
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    coded AS (SELECT vec_id, v, {", ".join(code_exprs)} FROM v),
+    r AS (SELECT vec_id, v, {code_str} AS pq_code, {recon} AS rec FROM coded)
+    SELECT vec_id, pq_code,
+           {_rN_sql('list_sum(list_transform(range(1, 65), i -> (v[i] - rec[i]) * (v[i] - rec[i])))', 6)}
+             AS sq_err
+    FROM r ORDER BY vec_id
+    """
+
+
+@q("emb_pq_encode", _pq_oracle_sql())
+def emb_pq_encode(spark, sf_dir):
+    # Product quantization: 64-dim float32 -> 8 one-byte codes (32x
+    # smaller). Encode is a shuffle-free per-subspace argmin with the
+    # codebooks folded into the plan as literals; decode reconstructs
+    # from codebook rows for approximate re-scoring. The query returns
+    # the code word and the reconstruction's squared error — the
+    # quantity a PQ-IVF serving stack scores with.
+    from finlogic_spark.operators.quantize import pq_decode, pq_encode
+
+    cbs = _pq_codebooks()
+    corpus = _emb_corpus(spark, sf_dir)
+    enc = pq_encode(corpus, cbs, "embedding", "pq_code")
+    v = F.col("embedding")
+    return (
+        enc.withColumn("__rec", pq_decode(cbs, "pq_code"))
+        .select(
+            "vec_id",
+            F.concat_ws(
+                "|", F.transform("pq_code", lambda x: x.cast("string"))
+            ).alias("pq_code"),
+            rN(
+                F.aggregate(
+                    F.zip_with(v, F.col("__rec"), lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("sq_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth: q4 (exists + grouped count), q6 (tight scan-agg),
+# q10 (returned-item revenue top-k), q14 (conditional revenue share)
+# ---------------------------------------------------------------------------
+
+@q(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4(spark, sf_dir):
+    # Q4 shape (adapted: this lineitem has no commit/receipt dates —
+    # the late-shipment predicate keeps the correlated-EXISTS form):
+    # date-sliced orders, left-semi join against qualifying lineitems,
+    # grouped count. The semi-join shuffles only orderkeys, and the
+    # shipdate predicate is pushed into the lineitem scan.
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "tpch_q6",
+    f"""
+    SELECT {_dsum_sql("l_extendedprice * l_discount", "revenue")}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark, sf_dir):
+    # Q6: the canonical scan-bound query — every predicate reaches the
+    # parquet reader (PushedFilters), projection prunes to 4 columns,
+    # and the agg is a two-phase partial sum with no grouped shuffle.
+    l = _t(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+@q(
+    "tpch_q10",
+    f"""
+    SELECT c_custkey, c_name,
+           {_dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")},
+           n_name
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def tpch_q10(spark, sf_dir):
+    # Q10: returned-item revenue. Fact-fact join shuffles on orderkey;
+    # customer and nation ride in as broadcasts; top-20 is
+    # TakeOrderedAndProject, never a global sort.
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("c_custkey").asc()], 20).select(
+        "c_custkey", "c_name", "revenue", "n_name"
+    )
+
+
+@q(
+    "tpch_q14",
+    f"""
+    SELECT {_rN_sql('''100.0 *
+        (CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN
+            CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)
+          ELSE 0 END) AS DOUBLE) / 100.0)
+        / (CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+            AS BIGINT)) AS DOUBLE) / 100.0)''', 6)} AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def tpch_q14(spark, sf_dir):
+    # Q14 shape (promo share -> ECONOMY share; this part table's type
+    # column is single-valued, not 'PROMO BURNISHED...'): conditional
+    # aggregate over a broadcast dimension join, one output row. Both
+    # sums use the exact-cents trick so the ratio is order-independent.
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + F.lit(0.5)
+    )
+    joined = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        rN(
+            (
+                F.lit(100.0)
+                * (
+                    F.sum(
+                        F.when(F.col("p_type") == "ECONOMY", rev_cents).otherwise(
+                            F.lit(0)
+                        )
+                    ).cast("double")
+                    / 100.0
+                )
+                / (F.sum(rev_cents).cast("double") / 100.0)
+            ),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+@q(
+    "window_distribution",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           floor((percent_rank() OVER w) * 1000000.0 + 0.5) / 1000000.0
+             AS pct_rank,
+           floor((cume_dist() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS cume,
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_orderpriority, quartile, o_orderkey
+    """,
+)
+def window_distribution(spark, sf_dir):
+    # Distribution window functions (ntile / percent_rank / cume_dist)
+    # — the ranking family beyond row_number: one hash-partitioned
+    # window pass, all three functions share the same sort.
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            rN(F.percent_rank().over(w), 6).alias("pct_rank"),
+            rN(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("o_orderpriority", "quartile", "o_orderkey")
+    )
+
+
+@q(
+    "merge_upsert_orders",
+    """
+    WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+                      o_totalprice AS price FROM orders),
+    c AS (SELECT CASE WHEN o_orderkey % 5 = 2
+                      THEN o_orderkey + 100000000 ELSE o_orderkey END AS k,
+                 CASE WHEN o_orderkey % 5 = 0 THEN 'UPDATED'
+                      WHEN o_orderkey % 5 = 2 THEN 'NEW' END AS status,
+                 CASE WHEN o_orderkey % 5 = 2 THEN 1.0 END AS price,
+                 o_orderkey % 5 = 1 AS is_deleted
+          FROM orders WHERE o_orderkey % 5 IN (0, 1, 2)),
+    merged AS (
+      SELECT COALESCE(t.k, c.k) AS k,
+             CASE WHEN c.k IS NOT NULL THEN COALESCE(c.status, t.status)
+                  ELSE t.status END AS status,
+             CASE WHEN c.k IS NOT NULL THEN COALESCE(c.price, t.price)
+                  ELSE t.price END AS price,
+             COALESCE(c.is_deleted, FALSE) AS del,
+             c.k IS NOT NULL AS m
+      FROM t FULL JOIN c ON t.k = c.k)
+    SELECT k, status, price FROM merged WHERE NOT (m AND del) ORDER BY k
+    """,
+)
+def merge_upsert_orders(spark, sf_dir):
+    # MERGE INTO as a dataflow: snapshot = orders, changeset derived
+    # from it deterministically — updates (partial: null price keeps the
+    # target's), deletes (flag column), inserts (fresh keys). One
+    # full-outer shuffle on the key; at scale both sides would be
+    # bucketed on k making this shuffle-free.
+    from finlogic_spark.operators.merge import merge_upsert
+
+    o = _t(spark, sf_dir, "orders")
+    target = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    m5 = F.col("o_orderkey") % 5
+    changes = (
+        o.filter(m5.isin(0, 1, 2))
+        .select(
+            F.when(m5 == 2, F.col("o_orderkey") + 100000000)
+            .otherwise(F.col("o_orderkey"))
+            .alias("k"),
+            F.when(m5 == 0, F.lit("UPDATED"))
+            .when(m5 == 2, F.lit("NEW"))
+            .alias("status"),
+            F.when(m5 == 2, F.lit(1.0)).alias("price"),
+            (m5 == 1).alias("is_deleted"),
+        )
+    )
+    return merge_upsert(target, changes, ["k"], delete_col="is_deleted").orderBy("k")
