@@ -55,12 +55,15 @@ BENCH_QUERIES = [
     "tpch_q18_big_orders",
     "doc_decontaminate",
     "doc_curation_pipeline",
-    # round 2: TPC-H breadth, merge/upsert, embedding quantization
+    # round 2: TPC-H breadth, merge/upsert, embedding quantization,
+    # funnel + SCD2
     "tpch_q6",
     "tpch_q10",
     "merge_upsert_orders",
     "emb_scalar_quantize",
     "emb_pq_encode",
+    "events_funnel",
+    "events_scd2",
 ]
 
 

@@ -2491,35 +2491,43 @@ def _pq_codebooks():
 def _pq_oracle_sql() -> str:
     """DuckDB twin of pq_encode/pq_decode over the SAME codebook
     constants (seeded md5 — both engines inline identical literals).
-    Per subspace: 16 squared-L2 distances, first-min index = code
-    (lowest id on ties, matching the Spark struct-min); recon is the
-    concatenated chosen rows; sq_err mirrors the zip_with fold."""
+
+    Relational formulation: the codebook unnests to (s, c, cv) rows,
+    distances come from one vector × codebook join (each distance
+    computed exactly once — a scalar per-centroid expression list made
+    DuckDB re-evaluate every distance ~16×, turning the oracle into a
+    3-minute query), the per-subspace first-min row is the code (ties →
+    lowest c, matching Spark's struct-min), recon is the ordered
+    concatenation of chosen rows, and sq_err mirrors the full-vector
+    zip_with fold."""
     cbs = _pq_codebooks()
-    code_exprs, cb_lits = [], []
-    for s, cb in enumerate(cbs):
-        rows = ", ".join(
-            "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]" for c in cb
-        )
-        cb_lits.append(f"[{rows}]")
-        dists = ", ".join(
-            "list_sum(list_transform(range(1, 9), "
-            f"j -> (v[{s * 8} + j] - {cb_lits[s]}[{c + 1}][j])"
-            f" * (v[{s * 8} + j] - {cb_lits[s]}[{c + 1}][j])))"
-            for c in range(len(cb))
-        )
-        code_exprs.append(
-            f"list_position([{dists}], list_min([{dists}])) - 1 AS c{s}"
-        )
-    recon = " || ".join(f"{cb_lits[s]}[c{s} + 1]" for s in range(len(cbs)))
-    code_str = " || '|' || ".join(f"CAST(c{s} AS VARCHAR)" for s in range(len(cbs)))
+    rows = ", ".join(
+        f"({s}, {c}, [" + ", ".join(repr(x) for x in cb[c]) + "]::DOUBLE[])"
+        for s, cb in enumerate(cbs)
+        for c in range(len(cb))
+    )
     return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    coded AS (SELECT vec_id, v, {", ".join(code_exprs)} FROM v),
-    r AS (SELECT vec_id, v, {code_str} AS pq_code, {recon} AS rec FROM coded)
+    cb AS (SELECT * FROM (VALUES {rows}) t(s, c, cv)),
+    d AS (
+      SELECT vec_id, s, c, cv,
+             list_sum(list_transform(range(1, 9),
+               j -> (v[s * 8 + j] - cv[j]) * (v[s * 8 + j] - cv[j]))) AS d
+      FROM v CROSS JOIN cb),
+    pick AS (
+      SELECT vec_id, s, c, cv FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d, c) AS rk FROM d)
+      WHERE rk = 1),
+    agg AS (
+      SELECT vec_id,
+             string_agg(CAST(c AS VARCHAR), '|' ORDER BY s) AS pq_code,
+             flatten(list(cv ORDER BY s)) AS rec
+      FROM pick GROUP BY vec_id)
     SELECT vec_id, pq_code,
            {_rN_sql('list_sum(list_transform(range(1, 65), i -> (v[i] - rec[i]) * (v[i] - rec[i])))', 6)}
              AS sq_err
-    FROM r ORDER BY vec_id
+    FROM agg JOIN v USING (vec_id) ORDER BY vec_id
     """
 
 
@@ -2802,3 +2810,85 @@ def merge_upsert_orders(spark, sf_dir):
         )
     )
     return merge_upsert(target, changes, ["k"], delete_col="is_deleted").orderBy("k")
+
+
+@q(
+    "events_funnel",
+    """
+    WITH t1s AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view') AS t1,
+             list_sort(list(ts) FILTER (WHERE event_type = 'click')) AS l2,
+             list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS l3
+      FROM events GROUP BY user_id),
+    t2s AS (SELECT user_id, t1,
+                   CASE WHEN t1 IS NOT NULL
+                        THEN list_filter(l2, x -> x > t1)[1] END AS t2, l3
+            FROM t1s),
+    t3s AS (SELECT user_id, t1, t2,
+                   CASE WHEN t2 IS NOT NULL
+                        THEN list_filter(l3, x -> x > t2)[1] END AS t3
+            FROM t2s),
+    wide AS (SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM t3s)
+    SELECT step, step_name, n_users,
+           floor(n_users / greatest(n1, 1) * 1000000.0 + 0.5) / 1000000.0
+             AS conversion
+    FROM (
+      SELECT 1 AS step, 'view' AS step_name, n1 AS n_users, n1 FROM wide
+      UNION ALL SELECT 2, 'click', n2, n1 FROM wide
+      UNION ALL SELECT 3, 'purchase', n3, n1 FROM wide)
+    ORDER BY step
+    """,
+)
+def events_funnel(spark, sf_dir):
+    # Ordered funnel view -> click -> purchase: step i counts only
+    # strictly after the user's step i-1 time. One shuffle total — the
+    # sequential semantics live in sorted arrays + filter()[0], not in
+    # per-step re-joins of the fact table.
+    from finlogic_spark.operators.funnel import funnel_counts
+
+    e = _t(spark, sf_dir, "events")
+    return funnel_counts(e, ["view", "click", "purchase"]).orderBy("step")
+
+
+@q(
+    "events_scd2",
+    """
+    WITH marked AS (
+      SELECT user_id, event_type AS state, ts,
+             CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+                  THEN 0 ELSE 1 END AS nw
+      FROM events
+      WHERE user_id < 25
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts, state
+                              ROWS UNBOUNDED PRECEDING) AS iv
+      FROM marked),
+    intervals AS (
+      SELECT user_id, iv, min(state) AS state, min(ts) AS valid_from
+      FROM numbered GROUP BY user_id, iv)
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY iv)
+             AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY iv) IS NULL
+             AS is_current
+    FROM intervals
+    ORDER BY user_id, valid_from
+    """,
+)
+def events_scd2(spark, sf_dir):
+    # SCD type-2 dimension from a change stream: per-user validity
+    # intervals of the event_type "state", half-open [from, to), lag
+    # change-points + running interval number + lead close — one key
+    # shuffle, reused across both windows and the grouped agg. user_id
+    # < 25 keeps the oracle comparison focused (full-table runs fine).
+    # The oracle numbers intervals ordering by (ts, state): equal-ts
+    # rows with equal state collapse anyway and the fixture's (user,
+    # ts) pairs are unique, so both orders agree deterministically.
+    from finlogic_spark.operators.scd import scd2_build
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    return scd2_build(
+        e, "user_id", "event_type", "ts", tiebreak_col="event_id"
+    ).withColumnRenamed("event_type", "state").orderBy("user_id", "valid_from")
