@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "emb_pq_encode",
     "events_funnel",
     "events_scd2",
+    "events_zorder",
 ]
 
 

@@ -2892,3 +2892,52 @@ def events_scd2(spark, sf_dir):
     return scd2_build(
         e, "user_id", "event_type", "ts", tiebreak_col="event_id"
     ).withColumnRenamed("event_type", "state").orderBy("user_id", "valid_from")
+
+
+def _zb_sql(col: str, lo: float, hi: float, bits: int) -> str:
+    n = (1 << bits) - 1
+    return (
+        f"least(greatest(floor((CAST({col} AS DOUBLE) - {float(lo)!r})"
+        f" / {float(hi - lo)!r} * {float(n + 1)!r}), 0), {n})::BIGINT"
+    )
+
+
+def _z_sql(cols: list[str], bits: int) -> str:
+    n = len(cols)
+    terms = [
+        f"((({c} >> {b}) % 2) << {b * n + i})"
+        for b in range(bits)
+        for i, c in enumerate(cols)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@q(
+    "events_zorder",
+    f"""
+    WITH g AS (
+      SELECT event_id,
+             {_zb_sql('user_id', 0.0, 256.0, 8)} AS ub,
+             {_zb_sql('value', 0.0, 20.0, 8)} AS vb
+      FROM events)
+    SELECT event_id, ub, vb, {_z_sql(['ub', 'vb'], 8)} AS z
+    FROM g ORDER BY event_id
+    """,
+)
+def events_zorder(spark, sf_dir):
+    # Morton z-values over (user bucket, value bucket) — the layout key
+    # zorder_write clusters files by so multi-dimension filters prune
+    # on parquet min/max stats. Pure shift/mask codegen expressions;
+    # the oracle mirrors the interleave bit for bit.
+    from finlogic_spark.operators.zorder import bucketize, z_value
+
+    e = _t(spark, sf_dir, "events")
+    g = e.select(
+        "event_id",
+        bucketize(F.col("user_id"), 0.0, 256.0, 8).alias("ub"),
+        bucketize(F.col("value"), 0.0, 20.0, 8).alias("vb"),
+    )
+    return g.select(
+        "event_id", "ub", "vb",
+        z_value([F.col("ub"), F.col("vb")], 8).alias("z"),
+    ).orderBy("event_id")

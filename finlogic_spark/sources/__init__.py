@@ -184,3 +184,52 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+# ---------------------------------------------------------------------------
+# Text formats (CSV / JSON lines) — schema-explicit ingest + sinks
+# ---------------------------------------------------------------------------
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV scan with a REQUIRED explicit schema.
+
+    Schema inference reads the data twice and guesses types per-file —
+    at 100 TB that is a full extra pass and a correctness hazard
+    (inference can disagree across files). An explicit DDL string makes
+    the scan single-pass and the types stable. Malformed rows land in
+    the PERMISSIVE default's null columns; pass mode='FAILFAST' to make
+    ingest strict instead."""
+    return (
+        spark.read.options(header=str(header).lower(), **options)
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: str, **options
+) -> DataFrame:
+    """JSON-lines scan with a REQUIRED explicit schema (same
+    single-pass / type-stability rationale as read_csv). Fields absent
+    from the schema are pruned at parse time — Jackson never
+    materializes them."""
+    return spark.read.options(**options).schema(schema).json(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, header: bool = True, mode: str = "overwrite"
+) -> None:
+    """CSV sink (interchange edge — parquet stays the analytic
+    format; CSV carries no types, no stats, no pruning)."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (interchange edge, same caveats as CSV)."""
+    df.write.mode(mode).json(path)

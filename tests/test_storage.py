@@ -92,3 +92,36 @@ def test_fact_layout_partition_pruning(spark, fixture_dir, tmp_path):
     years = fin.select(F.year("period_end")).distinct().count()
     assert pruned.count() == fin.filter(F.year("period_end") == 2022).count()
     assert years > 1  # fixture spans multiple years, so pruning is real
+
+
+def test_csv_json_roundtrip_with_explicit_schema(spark, tmp_path):
+    """Text-format ingest: explicit-schema CSV and JSON scans reproduce
+    a typed frame exactly (no inference pass); FAILFAST surfaces
+    malformed rows instead of nulling them."""
+    import pytest as _pytest
+
+    from finlogic_spark.sources import read_csv, read_json, write_csv, write_json
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True), (2, "b,c", 2.5, False), (3, None, None, True)],
+        "id long, name string, score double, flag boolean",
+    )
+    ddl = "id long, name string, score double, flag boolean"
+
+    cpath = str(tmp_path / "c")
+    write_csv(df, cpath)
+    back_c = read_csv(spark, cpath, ddl)
+    assert back_c.schema == df.schema
+    assert sorted(map(tuple, back_c.collect())) == sorted(map(tuple, df.collect()))
+
+    jpath = str(tmp_path / "j")
+    write_json(df, jpath)
+    back_j = read_json(spark, jpath, ddl)
+    assert back_j.schema == df.schema
+    assert sorted(map(tuple, back_j.collect())) == sorted(map(tuple, df.collect()))
+
+    # strict mode rejects malformed rows rather than silently nulling
+    bad = tmp_path / "bad" ; bad.mkdir()
+    (bad / "x.csv").write_text("id,name,score,flag\nnot_a_long,a,1.5,true\n")
+    with _pytest.raises(Exception, match="(?i)malformed|failfast|cannot"):
+        read_csv(spark, str(bad), ddl, mode="FAILFAST").collect()
