@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_scd2",
     "events_zorder",
+    "events_incremental_agg",
 ]
 
 

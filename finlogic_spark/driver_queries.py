@@ -2941,3 +2941,89 @@ def events_zorder(spark, sf_dir):
         "event_id", "ub", "vb",
         z_value([F.col("ub"), F.col("vb")], 8).alias("z"),
     ).orderBy("event_id")
+
+
+@q(
+    "events_incremental_agg",
+    """
+    -- The oracle IS the semantics contract: the incremental path
+    -- (snapshot of 3/4 of events + folded-in changeset of the rest)
+    -- must equal a from-scratch aggregate over ALL events.
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_incremental_agg(spark, sf_dir):
+    # Incremental aggregate maintenance: build the snapshot from the
+    # "old" partition of events, fold in the "late-arriving" changeset,
+    # and return the maintained table. Exact-cents sums make the
+    # incremental and recomputed paths bit-identical, so the oracle can
+    # be the full recompute.
+    from finlogic_spark.operators.incremental import (
+        aggregate_cents,
+        incremental_apply,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    old = e.filter(F.col("event_id") % 4 != 0)
+    late = e.filter(F.col("event_id") % 4 == 0)
+    snap = aggregate_cents(old, ["user_id"], ["value"], count_col="n_rows")
+    return (
+        incremental_apply(snap, late, ["user_id"], ["value"], count_col="n_rows")
+        .withColumnRenamed("value_cents", "value_cents")
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "approx_quantiles",
+    """
+    -- Property-style oracle (same pattern as approx_distinct): the
+    -- sketch VALUES are engine-specific, but Spark's approx_percentile
+    -- with accuracy 10000 carries a documented rank-error bound of
+    -- 1/10000; the flags assert the estimate lies within 1% of the
+    -- exact interpolated percentile. Exact values compare directly.
+    SELECT l_returnflag,
+           floor(quantile_cont(l_extendedprice, 0.5) * 100.0 + 0.5) / 100.0
+             AS exact_median,
+           floor(quantile_cont(l_extendedprice, 0.99) * 100.0 + 0.5) / 100.0
+             AS exact_p99,
+           TRUE AS median_ok,
+           TRUE AS p99_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def approx_quantiles(spark, sf_dir):
+    # The one-pass mergeable quantile sketch next to the exact answer —
+    # the 100 TB percentile path (exact percentile() buffers each
+    # group's values; the sketch is bounded-memory and combinable
+    # map-side).
+    l = _t(spark, sf_dir, "lineitem")
+    within = lambda approx, exact: (
+        F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= 0.01
+    )
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            rN(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("exact_median"),
+            rN(F.percentile("l_extendedprice", F.lit(0.99)), 2).alias("exact_p99"),
+            F.approx_percentile(
+                "l_extendedprice", F.lit(0.5), F.lit(10000)
+            ).alias("__am"),
+            F.approx_percentile(
+                "l_extendedprice", F.lit(0.99), F.lit(10000)
+            ).alias("__ap"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_median",
+            "exact_p99",
+            within("__am", "exact_median").alias("median_ok"),
+            within("__ap", "exact_p99").alias("p99_ok"),
+        )
+        .orderBy("l_returnflag")
+    )

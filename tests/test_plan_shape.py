@@ -154,3 +154,36 @@ def test_lsh_index_serves_with_partition_pruning(spark, tmp_path):
     plan = plans.formatted_plan(probe)
     assert "PartitionFilters" in plan and "__bucket" in plan
     assert probe.count() > 0
+
+
+def test_tpch_q6_all_predicates_pushed(spark, sf_dir):
+    # Q6 is scan-bound by design: every filter reaches the parquet
+    # reader and only the 4 referenced columns are read.
+    df = QUERIES["tpch_q6"](spark, sf_dir)
+    assert plans.has_pushed_filter(df, "l_shipdate")
+    assert plans.has_pushed_filter(df, "l_discount")
+    assert plans.has_pushed_filter(df, "l_quantity")
+    scans = plans.read_schema_columns(df)
+    assert scans and all(len(cols) <= 4 for cols in scans)
+
+
+def test_tpch_q10_broadcasts_dims_and_takes_ordered(spark, sf_dir):
+    df = QUERIES["tpch_q10"](spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+    assert plans.uses_take_ordered(df)
+    # fact-fact orderkey join + grouped agg are the only shuffles
+    assert plans.count_shuffles(df) <= 3
+
+
+def test_zorder_value_is_narrow_map(spark, sf_dir):
+    from finlogic_spark.operators.zorder import bucketize, z_value
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        bucketize(F.col("user_id"), 0.0, 256.0, 8).alias("ub"),
+        bucketize(F.col("value"), 0.0, 20.0, 8).alias("vb"),
+    )
+    z = e.select("event_id", z_value([F.col("ub"), F.col("vb")], 8).alias("z"))
+    # ensure_parallelism may add the one fan-out repartition; the z
+    # computation itself must not add more
+    assert plans.count_shuffles(z) <= 1
