@@ -102,24 +102,35 @@ def main() -> None:
     spark = get_spark("finlogic-bench")
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         # Steady-state timing: the first run pays one-off JVM/whole-stage
         # codegen compilation (irrelevant at any real scale and absent
         # from the DuckDB baseline, which is also measured warm); the
         # second run measures the actual data-path cost.
-        dq.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        start = time.perf_counter()
-        dq.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        # A single failing query must never sink the whole bench line:
+        # record its error and keep measuring the rest.
+        try:
+            dq.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            start = time.perf_counter()
+            dq.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
     try:
         base = duckdb_baseline(sf_dir)
     except Exception:  # baseline must never break the bench line
         base = {}
+    # Compare totals over the same query set: drop baselines for queries
+    # that errored on the Spark side (listed separately in "errors").
+    base = {n: v for n, v in base.items() if n in timings}
     base_total = round(sum(base.values()), 3) if base else None
     ratios = {
-        n: round(timings[n] / base[n], 2) for n in base if base[n] > 0
+        n: round(timings[n] / base[n], 2)
+        for n in base
+        if base[n] > 0 and n in timings
     }
     print(
         json.dumps(
@@ -128,6 +139,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                **({"errors": errors} if errors else {}),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "duckdb_baseline": base,
                 "duckdb_baseline_total": base_total,

@@ -947,7 +947,10 @@ def events_sessionize(spark, sf_dir):
     # F.session_window). One window shuffle on user_id.
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis(F.col("ts"))
+    # Driver parquet stores ts as TIMESTAMP_NTZ (no tz); unix_millis only
+    # accepts TIMESTAMP, so cast first. Session tz is UTC, so the epoch
+    # matches DuckDB's epoch_ms — and the gap difference is tz-invariant.
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
     prev = F.lag(ms).over(w)
     new_session = F.when(
         prev.isNull() | ((ms - prev) > 1800000), F.lit(1)

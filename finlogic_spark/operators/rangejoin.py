@@ -57,7 +57,9 @@ def interval_join(
 
     def numeric(df: DataFrame):
         if dict(df.dtypes)[on].startswith("timestamp"):
-            return F.unix_micros(F.col(on))
+            # cast handles TIMESTAMP_NTZ sources (unix_micros only
+            # accepts TIMESTAMP); differences are tz-invariant.
+            return F.unix_micros(F.col(on).cast("timestamp"))
         return F.col(on).cast("long")
 
     left_cols = left.columns

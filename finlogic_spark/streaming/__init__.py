@@ -50,10 +50,15 @@ def read_events_stream(
 
 
 def with_event_time(df: DataFrame) -> DataFrame:
-    """Normalize the ts column to a timestamp (events parquet carries
-    TIMESTAMP(NANOS); the batch reader path converts via nanosAsLong)."""
-    if dict(df.dtypes).get("ts") == "bigint":
+    """Normalize the ts column to TIMESTAMP: events parquet has carried
+    INT64-nanos and TIMESTAMP_NTZ layouts across driver versions, and
+    watermarks/event-time ops accept only TIMESTAMP (session tz UTC, so
+    the NTZ walltime maps 1:1 onto the epoch)."""
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
