@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "merge_upsert_orders",
     "emb_scalar_quantize",
     "emb_pq_encode",
+    # round 5: fused PQ-IVF ANN serving
+    "emb_pq_ivf_topk",
     "events_funnel",
     "events_scd2",
     "events_zorder",
@@ -139,7 +141,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                **({"errors": errors} if errors else {}),
+                # When any query errored, the headline total covers a
+                # smaller query set — flag it so round-over-round total
+                # comparisons can't mistake a failure for a speedup.
+                **({"errors": errors, "partial": True} if errors else {}),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "duckdb_baseline": base,
                 "duckdb_baseline_total": base_total,

@@ -2491,6 +2491,17 @@ def _pq_codebooks():
     return deterministic_codebooks(m=8, k=16, width=8, scale=0.1)
 
 
+def _pq_cb_values_sql() -> str:
+    """The PQ codebooks as DuckDB VALUES rows (s, c, cv) — both engines
+    inline identical seeded-md5 constants."""
+    cbs = _pq_codebooks()
+    return ", ".join(
+        f"({s}, {c}, [" + ", ".join(repr(x) for x in cb[c]) + "]::DOUBLE[])"
+        for s, cb in enumerate(cbs)
+        for c in range(len(cb))
+    )
+
+
 def _pq_oracle_sql() -> str:
     """DuckDB twin of pq_encode/pq_decode over the SAME codebook
     constants (seeded md5 — both engines inline identical literals).
@@ -2503,12 +2514,7 @@ def _pq_oracle_sql() -> str:
     lowest c, matching Spark's struct-min), recon is the ordered
     concatenation of chosen rows, and sq_err mirrors the full-vector
     zip_with fold."""
-    cbs = _pq_codebooks()
-    rows = ", ".join(
-        f"({s}, {c}, [" + ", ".join(repr(x) for x in cb[c]) + "]::DOUBLE[])"
-        for s, cb in enumerate(cbs)
-        for c in range(len(cb))
-    )
+    rows = _pq_cb_values_sql()
     return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cb AS (SELECT * FROM (VALUES {rows}) t(s, c, cv)),
@@ -3029,4 +3035,176 @@ def approx_quantiles(spark, sf_dir):
             within("__ap", "exact_p99").alias("p99_ok"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused PQ-IVF serving: the production ANN tier (brute force / LSH /
+# IVF / PQ-IVF). Index = (vec_id, cell, pq_code) ONLY — ~9 bytes/vector
+# instead of 256; serving never reads the original floats.
+# ---------------------------------------------------------------------------
+
+
+def _pq_ivf_index(spark, sf_dir):
+    # Build-once persisted serving index (same lifecycle as _lsh_index /
+    # _ivf_index): IVF cell assignment + PQ encode, embeddings projected
+    # away. Production writes this .partitionBy("__cell") so a probe is
+    # a partition-pruned scan of n_probe cells.
+    from finlogic_spark.operators.similarity import pq_ivf_index
+
+    key = ("pq_ivf", sf_dir)
+    if key not in _ANN_INDEX:
+        cents, _ = _ivf_index(spark, sf_dir)
+        idx = pq_ivf_index(
+            _emb_corpus(spark, sf_dir), cents, _pq_codebooks()
+        ).persist()
+        idx.count()
+        _ANN_INDEX[key] = (cents, idx)
+    return _ANN_INDEX[key]
+
+
+def _pq_ivf_oracle_sql() -> str:
+    """DuckDB twin of pq_ivf_topk: cells by cosine argmax to the 8 seed
+    centroids (as emb_ivf_topk), per-vector PQ codes by subspace argmin
+    (as emb_pq_encode), per-query LUT of subspace distances, adist =
+    s-ordered sum of LUT[s][code_s] (list_sum over list(d ORDER BY s)
+    matches Spark's left fold bit-for-bit), rank adist ASC."""
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+    qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+    cb AS (SELECT * FROM (VALUES {_pq_cb_values_sql()}) t(s, cc, cv)),
+    cells AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT vec_id, v, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY
+                 {_CENT_DOT} / ({_NORM_V} * {_CENT_NORM}) DESC, cid ASC) AS rk
+        FROM c CROSS JOIN cent) WHERE rk = 1),
+    codes AS (
+      SELECT vec_id, s, cc FROM (
+        SELECT d.vec_id, d.s, d.cc,
+               row_number() OVER (PARTITION BY d.vec_id, d.s
+                                  ORDER BY d.d, d.cc) AS rk
+        FROM (SELECT vec_id, s, cc,
+                     list_sum(list_transform(range(1, 9),
+                       j -> (v[s * 8 + j] - cv[j]) * (v[s * 8 + j] - cv[j]))) AS d
+              FROM c CROSS JOIN cb) d) WHERE rk = 1),
+    probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT query_id, qv, cid,
+               row_number() OVER (PARTITION BY query_id ORDER BY
+                 {_QCENT_DOT} / ({_NORM_Q} * {_CENT_NORM}) DESC, cid ASC) AS rk
+        FROM qs CROSS JOIN cent) WHERE rk <= 2),
+    lut AS (
+      SELECT query_id, s, cc,
+             list_sum(list_transform(range(1, 9),
+               j -> (qv[s * 8 + j] - cv[j]) * (qv[s * 8 + j] - cv[j]))) AS d
+      FROM qs CROSS JOIN cb),
+    scored AS (
+      SELECT p.query_id, ce.vec_id,
+             list_sum(list(l.d ORDER BY co.s)) AS adist
+      FROM probes p
+      JOIN cells ce USING (cid)
+      JOIN codes co ON co.vec_id = ce.vec_id
+      JOIN lut l ON l.query_id = p.query_id AND l.s = co.s AND l.cc = co.cc
+      GROUP BY p.query_id, ce.vec_id)
+    SELECT query_id, vec_id,
+           floor(adist * 1000000.0 + 0.5) / 1000000.0 AS adist, rk
+    FROM (SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS INTEGER) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    ORDER BY query_id, rk
+    """
+
+
+@q("emb_pq_ivf_topk", _pq_ivf_oracle_sql())
+def emb_pq_ivf_topk(spark, sf_dir):
+    # Fused PQ-IVF serving (asymmetric distance computation): per query,
+    # one expression builds the 8x16 LUT of query-to-codeword subspace
+    # distances; candidates come from an equi-join on the query's
+    # n_probe=2 nearest IVF cells against the persisted (vec_id, cell,
+    # pq_code) index; each candidate costs 8 lookups + adds. This is
+    # the 100 TB ANN serving shape: sub-linear candidates (IVF) x 32x
+    # smaller index (PQ) x O(m) scoring (ADC) - original vectors never
+    # read at serve time.
+    from finlogic_spark.operators.similarity import pq_ivf_topk
+
+    cents, idx = _pq_ivf_index(spark, sf_dir)
+    queries = _emb_corpus(spark, sf_dir).filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = pq_ivf_topk(idx, queries, cents, _pq_codebooks(), k=5, n_probe=2)
+    return out.select(
+        "query_id", "vec_id", rN(F.col("adist"), 6).alias("adist"), "rk"
+    ).orderBy("query_id", "rk")
+
+
+@q(
+    "stream_upsert_snapshot",
+    """
+    SELECT user_id, event_type, event_id, ts, value
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def stream_upsert_snapshot(spark, sf_dir):
+    # Streaming MERGE sink, end to end: the events CDC stream drains
+    # through foreachBatch merge_upsert into a versioned keyed snapshot
+    # (exactly-once via deterministic batch ids + committed-version
+    # reads). The batch-twin oracle is global keep-last per key: the
+    # per-batch (dedup -> MERGE) fold must equal the full recompute.
+    # The source is split into 3 chronological files so the sink folds
+    # REAL multi-batch state (CDC arrival order == event order, the
+    # standard CDC contract; the order-robust tier is keep_last on the
+    # unioned snapshot).
+    import os
+    import tempfile
+
+    from finlogic_spark.streaming import (
+        read_upsert_snapshot,
+        run_upsert_sink,
+        with_event_time,
+    )
+
+    e = with_event_time(_events(spark, sf_dir)).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    work = tempfile.mkdtemp(prefix="stream_upsert_")
+    src = os.path.join(work, "src")
+    # 3 chronological splits, written sequentially so file mtimes give
+    # the file source the arrival order (test-harness scaffolding: a
+    # production CDC source is ordered by construction).
+    from pyspark.sql import Window as W
+
+    split = F.ntile(3).over(
+        W.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    )
+    staged = e.withColumn("__b", split)
+    for i in (1, 2, 3):
+        staged.filter(F.col("__b") == i).drop("__b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"b{i}"))
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    run_upsert_sink(
+        stream,
+        os.path.join(work, "snap"),
+        os.path.join(work, "ckpt"),
+        keys=["user_id", "event_type"],
+        order_cols=["ts", "event_id"],
+    )
+    return (
+        read_upsert_snapshot(spark, os.path.join(work, "snap"))
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .orderBy("user_id", "event_type")
     )

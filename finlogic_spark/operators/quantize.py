@@ -103,13 +103,33 @@ def scalar_dequantize(
     )
 
 
-def _subspace_codebook_sql(codebook: Sequence[Sequence[float]]) -> str:
-    """Literal array<struct<i int, cv array<double>>> for one subspace's
-    codebook (i = centroid id)."""
-    elems = ", ".join(
-        f"named_struct('i', {i}, 'cv', {_sql_vec(c)})" for i, c in enumerate(codebook)
+def _codebooks_sql(codebooks: Sequence[Sequence[Sequence[float]]]) -> str:
+    """ONE literal ``array<array<array<double>>>``: CB[s][c][j]. A single
+    3-deep array literal keeps the expression tree small — the previous
+    per-subspace unrolled formulation (one argmin expression per
+    subspace, each inlining its own codebook) made plan construction +
+    codegen dominate wall clock (2.85× DuckDB at sf0.1, flagged round 3)."""
+    subs = ", ".join(
+        "array(" + ", ".join(_sql_vec(c) for c in cb) + ")" for cb in codebooks
     )
-    return f"array({elems})"
+    return f"array({subs})"
+
+
+def _check_widths(codebooks: Sequence[Sequence[Sequence[float]]]) -> int:
+    width = len(codebooks[0][0])
+    for cb in codebooks:
+        if any(len(c) != width for c in cb):
+            raise ValueError("all codebook rows must share one subspace width")
+    return width
+
+
+def _sq_l2_sql(a_sql: str, b_sql: str) -> str:
+    """Squared L2 as a left-to-right fold — the order DuckDB's
+    list_sum(list_transform(...)) reproduces bit-for-bit."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
 
 
 def pq_encode(
@@ -122,29 +142,25 @@ def pq_encode(
     nearest (squared-L2) codebook row to slice s of the vector.
 
     ``codebooks[s]`` is the list of centroid vectors for subspace s; all
-    subspaces must share one width ``dim/m``. One Catalyst expression
-    per subspace, single projection, zero exchanges — the codebooks live
-    in the plan as literals (PQ codebooks are small by construction:
-    m·k·(dim/m) floats, e.g. 8·16·8 = 1k doubles). Ties take the lowest
-    centroid id, matching ``kmeans.assign_clusters``.
+    subspaces must share one width ``dim/m``. The codebooks fold into
+    the plan as ONE 3-deep array literal (m·k·(dim/m) doubles, e.g.
+    8·16·8 = 1k) and the per-subspace argmin is a generic indexed
+    ``transform`` loop over it — a compact expression tree instead of m
+    unrolled argmins, so codegen stays cheap as m·k grows. Single
+    projection, zero exchanges. Ties take the lowest centroid id
+    (struct-min over ('d', 'i')), matching ``kmeans.assign_clusters``.
     """
     m = len(codebooks)
-    width = len(codebooks[0][0])
-    parts = []
-    for s, cb in enumerate(codebooks):
-        if any(len(c) != width for c in cb):
-            raise ValueError("all codebook rows must share one subspace width")
-        arr = _subspace_codebook_sql(cb)
-        sl = f"slice(transform(`{vec_col}`, x -> cast(x as double)), {s * width + 1}, {width})"
-        scored = (
-            f"transform({arr}, c -> named_struct("
-            f"'d', aggregate(zip_with({sl}, c.cv, (x, y) -> (x - y) * (x - y)), "
-            f"0.0D, (acc, v) -> acc + v), 'i', c.i))"
-        )
-        parts.append(f"array_min({scored}).i")
-    return df.withColumn(
-        code_col, F.expr(f"array({', '.join(parts)})").cast("array<int>")
+    width = _check_widths(codebooks)
+    cb = _codebooks_sql(codebooks)
+    v = f"transform(`{vec_col}`, x -> cast(x as double))"
+    dist = _sq_l2_sql(f"slice({v}, s * {width} + 1, {width})", "c")
+    expr = (
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"array_min(transform(element_at({cb}, s + 1), (c, ci) -> "
+        f"named_struct('d', {dist}, 'i', ci))).i)"
     )
+    return df.withColumn(code_col, F.expr(expr).cast("array<int>"))
 
 
 def pq_decode(
@@ -154,9 +170,45 @@ def pq_decode(
     """Concatenated reconstruction: subspace s contributes
     codebooks[s][code[s]]. Serving scores approximate distances against
     this without reading original vectors."""
-    pieces = []
-    for s, cb in enumerate(codebooks):
-        arr = _subspace_codebook_sql(cb)
-        # codebook rows are ordered by id, so decode is a direct index
-        pieces.append(f"element_at({arr}, `{code_col}`[{s}] + 1).cv")
-    return F.expr("concat(" + ", ".join(pieces) + ")")
+    m = len(codebooks)
+    cb = _codebooks_sql(codebooks)
+    return F.expr(
+        f"flatten(transform(sequence(0, {m - 1}), s -> "
+        f"element_at(element_at({cb}, s + 1), element_at(`{code_col}`, s + 1) + 1)))"
+    )
+
+
+def pq_lut_expr(
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    query_vec_col: str,
+) -> Column:
+    """Per-query ADC lookup table: ``array<array<double>>`` with
+    LUT[s][c] = ||query_slice_s − codebooks[s][c]||² (squared L2).
+
+    This is the query-side half of asymmetric distance computation
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011): the approximate distance from a query to a PQ-coded
+    corpus vector is ``Σ_s LUT[s][code[s]]`` — m table lookups + adds
+    per candidate, never touching the original floats. Computing the
+    LUT costs m·k subspace distances ONCE per query row; it amortizes
+    over every candidate that query scores."""
+    m = len(codebooks)
+    width = _check_widths(codebooks)
+    cb = _codebooks_sql(codebooks)
+    v = f"transform(`{query_vec_col}`, x -> cast(x as double))"
+    dist = _sq_l2_sql(f"slice({v}, s * {width} + 1, {width})", "c")
+    return F.expr(
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"transform(element_at({cb}, s + 1), c -> {dist}))"
+    )
+
+
+def pq_adist_expr(lut_col: str, code_col: str) -> Column:
+    """Asymmetric PQ distance: left-to-right fold over subspaces of
+    LUT[s][code[s]]. The fold order is pinned (s = 0..m−1) so a DuckDB
+    oracle summing the same terms in s-order reproduces the double
+    bit-for-bit — rank order must agree across engines."""
+    return F.expr(
+        f"aggregate(zip_with(`{lut_col}`, `{code_col}`, "
+        f"(b, cd) -> element_at(b, cd + 1)), 0.0D, (acc, d) -> acc + d)"
+    )

@@ -423,3 +423,87 @@ def ivf_topk(
         cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
     )
     return _per_query_topk(scored, query_id, corpus_id, k)
+
+
+def pq_ivf_index(
+    corpus: DataFrame,
+    cents: Sequence[tuple[int, Sequence[float]]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Build the fused PQ-IVF serving index: (id, __cell, pq_code) —
+    and NOTHING else. The original float vectors are projected away;
+    at 100 TB the index is ~m bytes/vector + a cell id, written
+    ``.write.partitionBy("__cell")`` so a probe is a partition-pruned
+    scan. Both the cell assignment and the PQ encode are shuffle-free
+    expression maps (zero exchanges), so the build is scan-shaped."""
+    from finlogic_spark.operators.quantize import pq_encode
+
+    assigned = ivf_assign(
+        corpus.select(corpus_id, corpus_vec), cents, corpus_vec, "__cell"
+    )
+    return pq_encode(assigned, codebooks, corpus_vec, "pq_code").select(
+        corpus_id, "__cell", "pq_code"
+    )
+
+
+def pq_ivf_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    cents: Sequence[tuple[int, Sequence[float]]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int,
+    n_probe: int = 2,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Fused PQ-IVF serving — the production ANN shape at 100 TB:
+    asymmetric-distance top-k over stored PQ codes inside each query's
+    ``n_probe`` nearest IVF cells, never reading the original vectors.
+
+    Per query row, ONE expression builds the m×k lookup table of
+    query-to-codeword squared distances (``pq_lut_expr``); the probe
+    set (query × n_probe cells, LUT attached) broadcasts into an
+    equi-join on cell id against the prebuilt ``pq_ivf_index``; each
+    candidate's approximate distance is m table lookups + adds
+    (``pq_adist_expr``). Ranking is adist ASC (it's a distance), corpus
+    id tiebreak; WindowGroupLimit prunes to k per partition pre-shuffle.
+
+    Cost per query batch: |q|·n_probe·(cells' share of corpus)
+    candidates × O(m) each — versus O(dim) per candidate for float
+    rescoring and a full-corpus scan for brute force. Recall is the
+    IVF probe recall × PQ ranking fidelity; both tunable (n_probe,
+    m·k) against the exact tier (``cosine_topk``)."""
+    from finlogic_spark.operators.quantize import pq_adist_expr, pq_lut_expr
+
+    q = queries.select(query_id, query_vec)
+    if n_probe == 1:
+        probes = q.select(
+            query_id,
+            nearest_cells_expr(query_vec, cents, 1).alias("__cell"),
+            pq_lut_expr(codebooks, query_vec).alias("__lut"),
+        )
+    else:
+        probes = (
+            q.withColumn("__cells", nearest_cells_expr(query_vec, cents, n_probe))
+            .withColumn("__lut", pq_lut_expr(codebooks, query_vec))
+            .select(query_id, F.explode("__cells").alias("__cell"), "__lut")
+        )
+    scored = (
+        index.join(F.broadcast(probes), "__cell")
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            pq_adist_expr("__lut", "pq_code").alias("adist"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adist").asc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id, corpus_id, "adist", "rk")
+    )

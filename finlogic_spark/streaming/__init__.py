@@ -58,6 +58,18 @@ def with_event_time(df: DataFrame) -> DataFrame:
     if dtype == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     elif dtype == "timestamp_ntz":
+        # The NTZ→TIMESTAMP cast reads the walltime in the SESSION tz;
+        # it is epoch-preserving only under UTC. Guard instead of
+        # silently shifting every window boundary when a caller brings
+        # a non-UTC session (get_spark pins UTC, arbitrary sessions
+        # may not).
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT"):
+            raise ValueError(
+                "with_event_time requires spark.sql.session.timeZone=UTC "
+                f"(got {tz!r}): casting TIMESTAMP_NTZ under a non-UTC "
+                "session tz silently shifts event times"
+            )
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
@@ -210,6 +222,130 @@ def foreach_batch_idempotent_writer(path: str):
         )
 
     return write_batch
+
+
+def _latest_snapshot_version(path: str, below: int | None = None) -> int | None:
+    """Highest COMMITTED snapshot version under ``path`` (dirs named
+    v=N carrying Spark's _SUCCESS marker), optionally restricted to
+    versions < ``below``. Local-FS listing here; on object storage the
+    same two-call pattern (list prefix + head marker) applies."""
+    import os
+    import re
+
+    if not os.path.isdir(path):
+        return None
+    best = None
+    for name in os.listdir(path):
+        m = re.fullmatch(r"v=(\d+)", name)
+        if not m:
+            continue
+        v = int(m.group(1))
+        if below is not None and v >= below:
+            continue
+        if not os.path.exists(os.path.join(path, name, "_SUCCESS")):
+            continue  # partial write from a crash: replay rebuilds it
+        if best is None or v > best:
+            best = v
+    return best
+
+
+def foreach_batch_upsert_writer(
+    path: str,
+    keys: list[str],
+    order_cols: list[str],
+    delete_col: str | None = None,
+    retain: int | None = None,
+):
+    """``foreachBatch`` MERGE sink: each micro-batch upserts its CDC
+    rows into a keyed snapshot — the streaming half of
+    ``operators.merge.merge_upsert``.
+
+    Per batch id N:
+    1. base snapshot = highest committed version v<N (None → empty);
+    2. the batch dedups to one change per key (``keep_last`` on
+       ``order_cols`` — CDC batches carry multiple versions per key);
+    3. ``merge_upsert`` applies update/insert/delete semantics;
+    4. the merged snapshot overwrites ``{path}/v=N``.
+
+    Exactly-once without a transactional store: batch ids are
+    deterministic under checkpoint recovery, so a REPLAYED batch N
+    recomputes v=N from the same base v<N and overwrites its own
+    half-written output (versions without _SUCCESS are never read).
+    Readers serve the highest committed version — snapshot isolation,
+    no reader/writer coordination.
+
+    Scale shape: one full-outer shuffle join per batch on the merge
+    key (the merge_upsert plan) over snapshot + batch — the same
+    MERGE cost a Delta/Iceberg sink pays, minus file-level pruning;
+    ``retain`` bounds storage by dropping versions older than the
+    last ``retain`` (keep ≥1 so replay always finds its base)."""
+    import os
+    import re
+    import shutil
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from finlogic_spark.operators.dedup import keep_last
+        from finlogic_spark.operators.merge import merge_upsert
+
+        spark = batch_df.sparkSession
+        base_v = _latest_snapshot_version(path, below=batch_id)
+        target_cols = [c for c in batch_df.columns if c != delete_col]
+        if base_v is None:
+            target = batch_df.select(*target_cols).limit(0)
+        else:
+            target = spark.read.parquet(os.path.join(path, f"v={base_v}"))
+        changes = keep_last(batch_df, keys, order_cols)
+        merged = merge_upsert(target, changes, keys, delete_col=delete_col)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(path, f"v={batch_id}")
+        )
+        if retain is not None:
+            committed = sorted(
+                int(m.group(1))
+                for name in os.listdir(path)
+                if (m := re.fullmatch(r"v=(\d+)", name))
+            )
+            for v in committed[: max(0, len(committed) - max(retain, 1))]:
+                shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+
+    return write_batch
+
+
+def run_upsert_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    order_cols: list[str],
+    delete_col: str | None = None,
+    retain: int | None = None,
+    timeout: int = 120,
+):
+    """Drain a bounded stream (availableNow) through the foreachBatch
+    MERGE sink; returns the query handle. Read the result with
+    ``read_upsert_snapshot``."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            foreach_batch_upsert_writer(path, keys, order_cols, delete_col, retain)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    q.stop()
+    return q
+
+
+def read_upsert_snapshot(spark, path: str) -> DataFrame:
+    """The current snapshot: highest committed v=N dir."""
+    import os
+
+    v = _latest_snapshot_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    return spark.read.parquet(os.path.join(path, f"v={v}"))
 
 
 def run_to_parquet_sink(

@@ -156,6 +156,38 @@ def test_lsh_index_serves_with_partition_pruning(spark, tmp_path):
     assert probe.count() > 0
 
 
+def test_pq_ivf_serving_plan(spark):
+    # The fused PQ-IVF serve path must be (a) an equi-join on cell id —
+    # never a nested-loop/cartesian candidate expansion — and (b) fed
+    # only by the (id, cell, pq_code) index: the corpus floats are
+    # projected away at build time and must not reappear at serve time.
+    import math
+
+    from finlogic_spark.operators.quantize import deterministic_codebooks
+    from finlogic_spark.operators.similarity import pq_ivf_index, pq_ivf_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [math.sin(i * 0.7 + j) for j in range(8)]) for i in range(100)],
+        "vec_id int, embedding array<double>",
+    )
+    cents = [(c, [math.cos(c + j) for j in range(8)]) for c in range(4)]
+    cbs = deterministic_codebooks(m=2, k=4, width=4)
+    idx = pq_ivf_index(corpus, cents, cbs)
+    assert idx.columns == ["vec_id", "__cell", "pq_code"]
+    # index build is scan-shaped: assignment + encode add zero exchanges
+    assert "Exchange" not in plans.formatted_plan(idx)
+
+    queries = spark.createDataFrame(
+        [(i, [math.sin(i * 0.9 + j) for j in range(8)]) for i in range(3)],
+        "query_id int, query_vec array<double>",
+    )
+    out = pq_ivf_topk(idx, queries, cents, cbs, k=5, n_probe=2)
+    plan = plans.formatted_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert out.count() > 0
+
+
 def test_tpch_q6_all_predicates_pushed(spark, sf_dir):
     # Q6 is scan-bound by design: every filter reaches the parquet
     # reader and only the 4 referenced columns are read.

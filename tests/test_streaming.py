@@ -176,3 +176,84 @@ def test_foreach_batch_sink_idempotent_and_matches_batch(
     writer(one, int(last))
     replay = spark.read.option("basePath", out_dir).parquet(out_dir)
     assert replay.filter(F.col("batch_id") == last).count() == 7
+
+
+def test_upsert_sink_folds_to_keep_last(spark, tmp_path):
+    # Three CDC batches applied through the MERGE sink must equal the
+    # global keep-last snapshot, with update/insert/delete all hit.
+    path, rows_schema = str(tmp_path / "snap"), "k long, v string, seq long"
+    writer = st.foreach_batch_upsert_writer(
+        path, keys=["k"], order_cols=["seq"], delete_col="is_del"
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(k, v, s, d) for k, v, s, d in rows],
+            "k long, v string, seq long, is_del boolean",
+        )
+
+    writer(batch([(1, "a0", 0, False), (2, "b0", 1, False)]), 0)
+    # update 1, insert 3; batch-internal dup on key 3 (seq 4 wins)
+    writer(
+        batch([(1, "a1", 2, False), (3, "c0", 3, False), (3, "c1", 4, False)]), 1
+    )
+    # delete 2, update 3
+    writer(batch([(2, None, 5, True), (3, "c2", 6, False)]), 2)
+
+    snap = st.read_upsert_snapshot(spark, path)
+    got = {r["k"]: (r["v"], r["seq"]) for r in snap.collect()}
+    assert got == {1: ("a1", 2), 3: ("c2", 6)}
+
+
+def test_upsert_sink_replay_is_idempotent(spark, tmp_path):
+    # A replayed batch (same deterministic id after crash recovery)
+    # rebuilds its version from the SAME base and overwrites itself.
+    path = str(tmp_path / "snap")
+    writer = st.foreach_batch_upsert_writer(path, keys=["k"], order_cols=["seq"])
+    b0 = spark.createDataFrame([(1, "a", 0), (2, "b", 1)], "k long, v string, seq long")
+    b1 = spark.createDataFrame([(1, "a1", 2), (3, "c", 3)], "k long, v string, seq long")
+    writer(b0, 0)
+    writer(b1, 1)
+    before = sorted(map(tuple, st.read_upsert_snapshot(spark, path).collect()))
+    writer(b1, 1)  # replay
+    after = sorted(map(tuple, st.read_upsert_snapshot(spark, path).collect()))
+    assert before == after
+    assert {r[0] for r in after} == {1, 2, 3}
+
+
+def test_upsert_sink_ignores_uncommitted_partial_writes(spark, tmp_path):
+    # A crash mid-write leaves v=N without _SUCCESS: readers must not
+    # serve it, and the replay must rebuild from the last committed base.
+    import os
+    import shutil
+
+    path = str(tmp_path / "snap")
+    writer = st.foreach_batch_upsert_writer(path, keys=["k"], order_cols=["seq"])
+    writer(spark.createDataFrame([(1, "a", 0)], "k long, v string, seq long"), 0)
+    # simulate the torn write of batch 1
+    torn = os.path.join(path, "v=1")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-corrupt.parquet"), "w") as f:
+        f.write("not parquet")
+    assert st._latest_snapshot_version(path) == 0
+    assert {r["k"] for r in st.read_upsert_snapshot(spark, path).collect()} == {1}
+    writer(spark.createDataFrame([(2, "b", 1)], "k long, v string, seq long"), 1)
+    assert st._latest_snapshot_version(path) == 1
+    assert {r["k"] for r in st.read_upsert_snapshot(spark, path).collect()} == {1, 2}
+    shutil.rmtree(str(tmp_path / "snap"), ignore_errors=True)
+
+
+def test_upsert_sink_retain_bounds_versions(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "snap")
+    writer = st.foreach_batch_upsert_writer(
+        path, keys=["k"], order_cols=["seq"], retain=2
+    )
+    for i in range(5):
+        writer(
+            spark.createDataFrame([(i, f"v{i}", i)], "k long, v string, seq long"), i
+        )
+    kept = sorted(n for n in os.listdir(path) if n.startswith("v="))
+    assert kept == ["v=3", "v=4"]
+    assert st.read_upsert_snapshot(spark, path).count() == 5

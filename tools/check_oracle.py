@@ -2,11 +2,17 @@
 queries() entry on Spark and its oracle_sql() on DuckDB, compare
 row count, column names, and order-insensitive values.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+The driver's own gate caps at the first 50 registry queries; this
+runs ALL of them. Each round commits the result as
+CORRECTNESS_local_r{N}.json (--json PATH) so full-registry coverage
+is auditable without re-running Spark.
+
+Usage: python tools/check_oracle.py [--json out.json] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -41,8 +47,13 @@ def normalize(df):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import importlib
 
@@ -57,6 +68,7 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -64,32 +76,59 @@ def main() -> int:
             spark_df = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            results[name] = {"status": "FAIL", "err": f"spark: {str(e)[:200]}"}
             print(f"FAIL {name}: spark error: {str(e)[:200]}")
             continue
         if name not in oracles:
+            results[name] = {"status": "ROWS_ONLY", "rows": len(spark_df)}
             print(f"ROWS-ONLY {name}: {len(spark_df)} rows")
             continue
         try:
             duck_df = con.sql(oracles[name]).df()
         except Exception as e:
             failures.append(name)
+            results[name] = {"status": "FAIL", "err": f"duckdb: {str(e)[:200]}"}
             print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
             continue
         sc, sv = normalize(spark_df)
         dc, dv = normalize(duck_df)
         if sc != dc:
             failures.append(name)
+            results[name] = {
+                "status": "FAIL", "err": f"columns spark={sc} duck={dc}"
+            }
             print(f"FAIL {name}: columns spark={sc} duck={dc}")
         elif len(sv) != len(dv):
             failures.append(name)
+            results[name] = {
+                "status": "FAIL", "err": f"rows spark={len(sv)} duck={len(dv)}"
+            }
             print(f"FAIL {name}: rows spark={len(sv)} duck={len(dv)}")
         elif sv != dv:
             failures.append(name)
             diff = [(a, b) for a, b in zip(sv, dv) if a != b][:3]
+            results[name] = {"status": "FAIL", "err": f"values differ: {diff}"}
             print(f"FAIL {name}: values differ; first diffs: {diff}")
         else:
+            results[name] = {
+                "status": "OK", "rows": len(sv),
+                "hash_match": True, "schema_match": True,
+            }
             print(f"OK   {name}: {len(sv)} rows")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(results),
+                    "n_failures": len(failures),
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
