@@ -3160,9 +3160,10 @@ def stream_upsert_snapshot(spark, sf_dir):
     # reads). The batch-twin oracle is global keep-last per key: the
     # per-batch (dedup -> MERGE) fold must equal the full recompute.
     # The source is split into 3 chronological files so the sink folds
-    # REAL multi-batch state (CDC arrival order == event order, the
-    # standard CDC contract; the order-robust tier is keep_last on the
-    # unioned snapshot).
+    # REAL multi-batch state. Correctness does NOT depend on the file
+    # source's arrival order: the sink's MERGE compares order_cols, so
+    # a stale row applied late is a no-op (order-robust), and the split
+    # names b1<b2<b3 keep lexicographic == chronological anyway.
     import os
     import tempfile
 
@@ -3177,19 +3178,21 @@ def stream_upsert_snapshot(spark, sf_dir):
     )
     work = tempfile.mkdtemp(prefix="stream_upsert_")
     src = os.path.join(work, "src")
-    # 3 chronological splits, written sequentially so file mtimes give
-    # the file source the arrival order (test-harness scaffolding: a
-    # production CDC source is ordered by construction).
-    from pyspark.sql import Window as W
-
-    split = F.ntile(3).over(
-        W.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # 3 chronological splits via a range repartition: a parallel
+    # sample-sort into 3 time ranges (partition id == range order) —
+    # no single-partition global window (ntile over an unpartitioned
+    # ORDER BY sorts the whole table on one task).
+    staged = e.repartitionByRange(3, F.col("ts"), F.col("event_id")).withColumn(
+        "__b", F.spark_partition_id()
     )
-    staged = e.withColumn("__b", split)
-    for i in (1, 2, 3):
-        staged.filter(F.col("__b") == i).drop("__b").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(src, f"b{i}"))
+    staged.persist()
+    try:
+        for i in (1, 2, 3):
+            staged.filter(F.col("__b") == i - 1).drop("__b").coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+    finally:
+        staged.unpersist()
     stream = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", 1)

@@ -19,6 +19,12 @@ Semantics (matched = key present in both):
 
 The changeset must be unique per key (enforce upstream with
 ``operators.dedup.keep_last`` — CDC streams carry multiple versions).
+
+Order-robust tier: with ``order_cols`` set, a matched change only wins
+when its order tuple is >= the target's — an out-of-order (stale) CDC
+row, including a stale delete, is a no-op instead of clobbering newer
+state. This is what makes a MERGE sink safe under source reordering
+(file mtime ties, replayed partitions) without any global ordering.
 """
 
 from __future__ import annotations
@@ -34,11 +40,15 @@ def merge_upsert(
     changes: DataFrame,
     keys: Sequence[str],
     delete_col: str | None = None,
+    order_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Full-outer merge of ``changes`` into ``target`` on ``keys``.
 
     Returns the merged snapshot with target's column order. Non-key
     columns present in only one side pass through from that side.
+    With ``order_cols`` (columns present on BOTH sides), a matched
+    change is applied only if its order tuple >= the target's — stale
+    rows arriving late are ignored (updates AND deletes).
     """
     keys = list(keys)
     t_cols = [c for c in target.columns if c not in keys]
@@ -64,8 +74,18 @@ def merge_upsert(
     joined = t.join(c, cond, "full_outer")
 
     matched_change = F.col(f"__ck_{keys[0]}").isNotNull()
-    # delete: matched + flag -> drop the row entirely
-    joined = joined.filter(~(matched_change & F.col("__del")))
+    if order_cols:
+        # Change wins on an insert (no target row) or when its order
+        # tuple is >= the target's; a stale matched change is a no-op.
+        t_ord = F.struct(*[F.col(f"__t_{c}") for c in order_cols])
+        c_ord = F.struct(*[F.col(f"__c_{c}") for c in order_cols])
+        change_wins = matched_change & (
+            F.col(f"__tk_{keys[0]}").isNull() | (c_ord >= t_ord)
+        )
+    else:
+        change_wins = matched_change
+    # delete: matched + flag (+ not stale) -> drop the row entirely
+    joined = joined.filter(~(change_wins & F.col("__del")))
 
     out_cols = [
         F.coalesce(F.col(f"__tk_{k}"), F.col(f"__ck_{k}")).alias(k) for k in keys
@@ -77,7 +97,7 @@ def merge_upsert(
             # (or unmatched target row) keeps the target value
             out_cols.append(
                 F.when(
-                    matched_change,
+                    change_wins,
                     F.coalesce(F.col(f"__c_{col}"), F.col(f"__t_{col}")),
                 )
                 .otherwise(F.col(f"__t_{col}"))

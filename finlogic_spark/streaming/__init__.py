@@ -199,7 +199,12 @@ def run_to_memory_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"memory-sink drain did not finish within {timeout}s; "
+            "the in-memory table would be partial"
+        )
     return q
 
 
@@ -224,29 +229,54 @@ def foreach_batch_idempotent_writer(path: str):
     return write_batch
 
 
-def _latest_snapshot_version(path: str, below: int | None = None) -> int | None:
-    """Highest COMMITTED snapshot version under ``path`` (dirs named
-    v=N carrying Spark's _SUCCESS marker), optionally restricted to
-    versions < ``below``. Local-FS listing here; on object storage the
-    same two-call pattern (list prefix + head marker) applies."""
-    import os
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path, jvm) for ``path`` via the Hadoop FileSystem
+    API — the same abstraction Spark's own committers use, so snapshot
+    management works identically on file:, hdfs: and s3a: URIs instead
+    of assuming the driver's POSIX view IS the store."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath, jvm
+
+
+def _list_versions(spark, path: str) -> dict[int, bool]:
+    """{version: is_committed} for ``v=N`` children of ``path``.
+    Committed = the dir carries Spark's ``_SUCCESS`` marker. One
+    listStatus + one exists per version dir — the two-call pattern
+    object stores price as LIST + HEAD."""
     import re
 
-    if not os.path.isdir(path):
-        return None
-    best = None
-    for name in os.listdir(path):
+    fs, jpath, jvm = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return {}
+    out: dict[int, bool] = {}
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
         m = re.fullmatch(r"v=(\d+)", name)
-        if not m:
+        if not m or not status.isDirectory():
             continue
-        v = int(m.group(1))
-        if below is not None and v >= below:
-            continue
-        if not os.path.exists(os.path.join(path, name, "_SUCCESS")):
-            continue  # partial write from a crash: replay rebuilds it
-        if best is None or v > best:
-            best = v
-    return best
+        marker = jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
+        out[int(m.group(1))] = bool(fs.exists(marker))
+    return out
+
+
+def _delete_version(spark, path: str, version: int) -> None:
+    fs, _, jvm = _hadoop_fs(spark, path)
+    vdir = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + f"/v={version}")
+    fs.delete(vdir, True)
+
+
+def _latest_snapshot_version(spark, path: str, below: int | None = None) -> int | None:
+    """Highest COMMITTED snapshot version under ``path`` (dirs named
+    v=N carrying Spark's _SUCCESS marker), optionally restricted to
+    versions < ``below``. Hadoop FS listing — DFS/object-store safe."""
+    committed = [
+        v
+        for v, ok in _list_versions(spark, path).items()
+        if ok and (below is None or v < below)
+    ]
+    return max(committed) if committed else None
 
 
 def foreach_batch_upsert_writer(
@@ -277,36 +307,46 @@ def foreach_batch_upsert_writer(
     Scale shape: one full-outer shuffle join per batch on the merge
     key (the merge_upsert plan) over snapshot + batch — the same
     MERGE cost a Delta/Iceberg sink pays, minus file-level pruning;
-    ``retain`` bounds storage by dropping versions older than the
-    last ``retain`` (keep ≥1 so replay always finds its base)."""
-    import os
-    import re
-    import shutil
+    ``retain`` bounds storage by dropping committed versions older
+    than the last max(retain, 2). The floor of 2 is load-bearing: a
+    checkpoint replay of batch N rebuilds v=N from the newest
+    committed base v<N, so at least one committed version strictly
+    below the newest must always survive pruning. Torn dirs (no
+    _SUCCESS) below the current batch are deleted outright and never
+    consume retain budget. All listing/deletion goes through the
+    Hadoop FileSystem API, so the sink works on hdfs:/s3a: paths,
+    not just the driver's local disk."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         from finlogic_spark.operators.dedup import keep_last
         from finlogic_spark.operators.merge import merge_upsert
 
         spark = batch_df.sparkSession
-        base_v = _latest_snapshot_version(path, below=batch_id)
+        root = path.rstrip("/")
+        base_v = _latest_snapshot_version(spark, path, below=batch_id)
         target_cols = [c for c in batch_df.columns if c != delete_col]
         if base_v is None:
             target = batch_df.select(*target_cols).limit(0)
         else:
-            target = spark.read.parquet(os.path.join(path, f"v={base_v}"))
+            target = spark.read.parquet(f"{root}/v={base_v}")
         changes = keep_last(batch_df, keys, order_cols)
-        merged = merge_upsert(target, changes, keys, delete_col=delete_col)
-        merged.write.mode("overwrite").parquet(
-            os.path.join(path, f"v={batch_id}")
+        # order_cols makes the MERGE order-robust: a stale change row
+        # (older order tuple than the snapshot's) is a no-op, so a
+        # reordered/replayed source cannot clobber newer state.
+        merged = merge_upsert(
+            target, changes, keys, delete_col=delete_col, order_cols=order_cols
         )
+        merged.write.mode("overwrite").parquet(f"{root}/v={batch_id}")
         if retain is not None:
-            committed = sorted(
-                int(m.group(1))
-                for name in os.listdir(path)
-                if (m := re.fullmatch(r"v=(\d+)", name))
-            )
-            for v in committed[: max(0, len(committed) - max(retain, 1))]:
-                shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+            versions = _list_versions(spark, path)
+            # Torn writes below this batch are unreadable garbage.
+            for v, ok in versions.items():
+                if not ok and v < batch_id:
+                    _delete_version(spark, path, v)
+            committed = sorted(v for v, ok in versions.items() if ok)
+            keep = max(retain, 2)
+            for v in committed[: max(0, len(committed) - keep)]:
+                _delete_version(spark, path, v)
 
     return write_batch
 
@@ -333,19 +373,31 @@ def run_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
-    q.stop()
+    _await_drain(q, timeout)
     return q
+
+
+def _await_drain(q, timeout: int) -> None:
+    """Wait for an availableNow drain to finish; a timeout means the
+    snapshot/output is PARTIAL, so raise instead of letting the caller
+    silently read a half-folded result (awaitTermination returns False
+    on timeout — the boolean is load-bearing)."""
+    finished = q.awaitTermination(timeout)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain did not finish within {timeout}s; "
+            "output is partial — raise the timeout or check the source"
+        )
+    q.stop()
 
 
 def read_upsert_snapshot(spark, path: str) -> DataFrame:
     """The current snapshot: highest committed v=N dir."""
-    import os
-
-    v = _latest_snapshot_version(path)
+    v = _latest_snapshot_version(spark, path)
     if v is None:
         raise FileNotFoundError(f"no committed snapshot under {path}")
-    return spark.read.parquet(os.path.join(path, f"v={v}"))
+    return spark.read.parquet(path.rstrip("/") + f"/v={v}")
 
 
 def run_to_parquet_sink(
@@ -366,6 +418,5 @@ def run_to_parquet_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
-    q.stop()
+    _await_drain(q, timeout)
     return q

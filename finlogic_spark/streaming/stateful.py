@@ -54,10 +54,22 @@ OUTPUT_SCHEMA = T.StructType(
 EVENT_TYPE_BITS = {"click": 0, "view": 1, "purchase": 2, "signup": 3, "error": 4}
 
 
-def _update_user_profile(
+def _make_update_user_profile(idle_timeout_ms: int | None):
+    def _update_user_profile(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        return _update_profile_impl(key, pdfs, state, idle_timeout_ms)
+
+    return _update_user_profile
+
+
+def _update_profile_impl(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
+    idle_timeout_ms: int | None,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.hasTimedOut:
@@ -91,7 +103,8 @@ def _update_user_profile(
         for et in pdf["event_type"]:
             mask |= 1 << EVENT_TYPE_BITS.get(et, 63)
     state.update((n, cents, last_seen, mask))
-    state.setTimeoutDuration(60 * 60 * 1000)  # expire after 1h idle
+    if idle_timeout_ms is not None:
+        state.setTimeoutDuration(idle_timeout_ms)  # expire idle keys
     yield pd.DataFrame(
         [
             {
@@ -105,20 +118,34 @@ def _update_user_profile(
     )
 
 
-def user_profile_stream(events: DataFrame) -> DataFrame:
+def user_profile_stream(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Running per-user profile over an event stream: arbitrary keyed
     state the built-in windowed aggs can't express (cross-batch
-    accumulation + custom merge logic + idle-key expiry)."""
+    accumulation + custom merge logic + idle-key expiry).
+
+    ``idle_timeout_ms`` arms processing-time expiry for idle keys —
+    for CONTINUOUS deployments only. Bounded drains (availableNow)
+    must leave it None: armed processing-time timers make Spark loop
+    "no new data but cleaning up state" no-data batches until the
+    timers fire, so an availableNow query with pending 1h timers
+    never terminates (observed: ~1 no-data batch/second, forever)."""
     from finlogic_spark.streaming import with_event_time
 
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         with_event_time(events)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update_user_profile,
+            _make_update_user_profile(idle_timeout_ms),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout_conf,
         )
     )

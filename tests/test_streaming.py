@@ -235,10 +235,10 @@ def test_upsert_sink_ignores_uncommitted_partial_writes(spark, tmp_path):
     os.makedirs(torn)
     with open(os.path.join(torn, "part-corrupt.parquet"), "w") as f:
         f.write("not parquet")
-    assert st._latest_snapshot_version(path) == 0
+    assert st._latest_snapshot_version(spark, path) == 0
     assert {r["k"] for r in st.read_upsert_snapshot(spark, path).collect()} == {1}
     writer(spark.createDataFrame([(2, "b", 1)], "k long, v string, seq long"), 1)
-    assert st._latest_snapshot_version(path) == 1
+    assert st._latest_snapshot_version(spark, path) == 1
     assert {r["k"] for r in st.read_upsert_snapshot(spark, path).collect()} == {1, 2}
     shutil.rmtree(str(tmp_path / "snap"), ignore_errors=True)
 
@@ -257,3 +257,73 @@ def test_upsert_sink_retain_bounds_versions(spark, tmp_path):
     kept = sorted(n for n in os.listdir(path) if n.startswith("v="))
     assert kept == ["v=3", "v=4"]
     assert st.read_upsert_snapshot(spark, path).count() == 5
+
+
+def test_upsert_sink_retain_floor_keeps_replay_base(spark, tmp_path):
+    # retain=1 must still keep one committed version strictly below the
+    # newest: a checkpoint replay of batch N rebuilds from base v<N, so
+    # pruning everything but v=N would silently drop all prior keys on
+    # replay (the effective retain floor is 2).
+    import os
+
+    path = str(tmp_path / "snap")
+    writer = st.foreach_batch_upsert_writer(
+        path, keys=["k"], order_cols=["seq"], retain=1
+    )
+    for i in range(3):
+        writer(
+            spark.createDataFrame([(i, f"v{i}", i)], "k long, v string, seq long"), i
+        )
+    kept = sorted(n for n in os.listdir(path) if n.startswith("v="))
+    assert kept == ["v=1", "v=2"]
+    # Replay of the newest batch finds its base and loses nothing.
+    writer(
+        spark.createDataFrame([(2, "v2", 2)], "k long, v string, seq long"), 2
+    )
+    assert st.read_upsert_snapshot(spark, path).count() == 3
+
+
+def test_upsert_sink_torn_dirs_do_not_consume_retain_budget(spark, tmp_path):
+    # A torn (no _SUCCESS) dir must not evict a committed version that
+    # replay still needs; it is deleted outright instead.
+    import os
+
+    path = str(tmp_path / "snap")
+    writer = st.foreach_batch_upsert_writer(
+        path, keys=["k"], order_cols=["seq"], retain=2
+    )
+    writer(spark.createDataFrame([(0, "a", 0)], "k long, v string, seq long"), 0)
+    writer(spark.createDataFrame([(1, "b", 1)], "k long, v string, seq long"), 1)
+    torn = os.path.join(path, "v=2")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-corrupt.parquet"), "w") as f:
+        f.write("not parquet")
+    writer(spark.createDataFrame([(3, "c", 3)], "k long, v string, seq long"), 3)
+    kept = sorted(n for n in os.listdir(path) if n.startswith("v="))
+    # torn v=2 deleted; committed {0,1,3} pruned to newest 2
+    assert kept == ["v=1", "v=3"]
+    assert st.read_upsert_snapshot(spark, path).count() == 3
+
+
+def test_upsert_sink_works_on_file_uri_via_hadoop_fs(spark, tmp_path):
+    # Version discovery/pruning goes through the Hadoop FileSystem API:
+    # a file: URI (which os.listdir/os.path.isdir would reject as a
+    # literal path) must work end to end, proving the sink is not
+    # coupled to the driver's POSIX view of the store.
+    import os
+
+    local = str(tmp_path / "snap")
+    uri = "file://" + local
+    writer = st.foreach_batch_upsert_writer(
+        uri, keys=["k"], order_cols=["seq"], retain=2
+    )
+    for i in range(4):
+        writer(
+            spark.createDataFrame([(i, f"v{i}", i)], "k long, v string, seq long"), i
+        )
+    assert not os.path.isdir(uri)  # the URI is not a POSIX path
+    assert st._latest_snapshot_version(spark, uri) == 3
+    kept = sorted(n for n in os.listdir(local) if n.startswith("v="))
+    assert kept == ["v=2", "v=3"]
+    snap = st.read_upsert_snapshot(spark, uri)
+    assert snap.count() == 4
