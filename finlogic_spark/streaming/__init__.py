@@ -234,10 +234,9 @@ def _hadoop_fs(spark, path: str):
     API — the same abstraction Spark's own committers use, so snapshot
     management works identically on file:, hdfs: and s3a: URIs instead
     of assuming the driver's POSIX view IS the store."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, jpath, jvm
+    from finlogic_spark.sources.fsutil import hadoop_fs
+
+    return hadoop_fs(spark, path)
 
 
 def _list_versions(spark, path: str) -> dict[int, bool]:
