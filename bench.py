@@ -71,12 +71,20 @@ BENCH_QUERIES = [
 ]
 
 
-def duckdb_baseline(sf_dir: str) -> dict[str, float]:
+def duckdb_baseline(sf_dir: str, runs: int = 3) -> dict[str, float]:
     """Warm-run DuckDB timings of each bench query's oracle SQL on the
     same parquet — the binding yardstick (BASELINE.md: the reference
     publishes no numbers). Inlined here so every BENCH_r{N}.json carries
     per-query ratios: a regression shows up in the query that caused
-    it, not just the total."""
+    it, not just the total.
+
+    Median of ``runs`` timed executions after one warmup: a single
+    warm run still swung a heavy query ~4x round-over-round (r4→r5:
+    doc_curation_pipeline 28.7→7.2 s moved ratio_total 0.41→0.58 with
+    an actually-faster Spark side) — the median makes the headline
+    ratio reflect the engine, not baseline variance."""
+    import statistics
+
     import duckdb
 
     con = duckdb.connect()
@@ -91,10 +99,13 @@ def duckdb_baseline(sf_dir: str) -> dict[str, float]:
         if name not in dq.ORACLES:
             continue  # rows-only query: no SQL-expressible oracle
         sql = dq.ORACLES[name]
-        con.sql(sql).fetchall()
-        start = time.perf_counter()
-        con.sql(sql).fetchall()
-        timings[name] = round(time.perf_counter() - start, 3)
+        con.sql(sql).fetchall()  # warmup (page cache, catalog)
+        samples = []
+        for _ in range(runs):
+            start = time.perf_counter()
+            con.sql(sql).fetchall()
+            samples.append(time.perf_counter() - start)
+        timings[name] = round(statistics.median(samples), 3)
     return timings
 
 
@@ -121,8 +132,9 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
+    baseline_runs = int(os.environ.get("SPARK_GRAFT_BASELINE_RUNS", "3"))
     try:
-        base = duckdb_baseline(sf_dir)
+        base = duckdb_baseline(sf_dir, runs=baseline_runs)
     except Exception:  # baseline must never break the bench line
         base = {}
     # Compare totals over the same query set: drop baselines for queries
@@ -146,6 +158,7 @@ def main() -> None:
                 # comparisons can't mistake a failure for a speedup.
                 **({"errors": errors, "partial": True} if errors else {}),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "baseline_runs": baseline_runs,  # per-query median of N warm runs
                 "duckdb_baseline": base,
                 "duckdb_baseline_total": base_total,
                 "ratio_vs_duckdb": ratios,

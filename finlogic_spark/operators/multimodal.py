@@ -86,6 +86,44 @@ def _decode_header(data: bytes) -> tuple[int, int, int, int]:
     return struct.unpack(">iiii", data[4:20])
 
 
+# ---------------------------------------------------------------------------
+# Pluggable decoders: decode(kind, raw) -> {width, height, n_frames, body}.
+# ``body`` is whatever byte payload downstream feature extraction should
+# hash/encode (decoded pixels for a real codec, the raw payload for the
+# stub). The stub is the hermetic default; ``pil_decoder`` drops a real
+# image codec behind the SAME interface when Pillow is installed — the
+# Spark-side plumbing (schema, Arrow batching, binary-in) is identical.
+# ---------------------------------------------------------------------------
+
+def stub_decoder(kind: str, raw: bytes) -> dict:
+    """Deterministic fake: parse the FLSM header our generator writes."""
+    w, h, _sr, frames = _decode_header(raw)
+    return {"width": w, "height": h, "n_frames": frames, "body": raw}
+
+
+def have_pil() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def pil_decoder(kind: str, raw: bytes) -> dict:
+    """Real image codec via Pillow (optional dependency): decodes
+    PNG/JPEG/... payloads to pixel bytes; non-image kinds (and FLSM
+    stub containers) fall through to the stub so mixed tables work."""
+    if kind != "image" or (raw is not None and raw[:4] == _MAGIC):
+        return stub_decoder(kind, raw)
+    import io
+
+    from PIL import Image  # noqa: PLC0415 — optional, import-gated
+
+    with Image.open(io.BytesIO(bytes(raw))) as im:
+        w, h = im.size
+        frames = int(getattr(im, "n_frames", 1))
+        body = im.convert("RGB").tobytes()
+    return {"width": w, "height": h, "n_frames": frames, "body": body}
+
+
 FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -113,9 +151,16 @@ def _bytes_to_embedding(data: bytes, dim: int) -> list[float]:
     return out[:dim]
 
 
-def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+def extract_features(
+    media: DataFrame, dim: int = 16, decoder=stub_decoder
+) -> DataFrame:
     """binary payload → (decoded metadata, embedding) via Arrow-batched
-    mapInPandas; the binary column does NOT survive into the output."""
+    mapInPandas; the binary column does NOT survive into the output.
+
+    ``decoder`` swaps the codec (see ``stub_decoder``/``pil_decoder``);
+    the output schema is decoder-independent. byte_len always reports
+    the stored payload size (storage accounting), while the embedding
+    is computed from the decoder's body (pixels for a real codec)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -124,16 +169,16 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["data"]
             ):
                 raw = bytes(data)
-                w, h, _sr, frames = _decode_header(raw)
+                d = decoder(kind, raw)
                 recs.append(
                     {
                         "media_id": media_id,
                         "kind": kind,
-                        "width": w,
-                        "height": h,
-                        "n_frames": frames,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "n_frames": d["n_frames"],
                         "byte_len": len(raw),
-                        "embedding": _bytes_to_embedding(raw, dim),
+                        "embedding": _bytes_to_embedding(d["body"], dim),
                     }
                 )
             yield pd.DataFrame(recs, columns=[f.name for f in FEATURES_SCHEMA])

@@ -223,40 +223,108 @@ def lsh_assign_buckets(
     return df.withColumn(bucket_col, lsh_bucket(vec_col, planes))
 
 
+def probe_masks(num_planes: int, radius: int) -> list[int]:
+    """XOR masks for multi-probe LSH: every bucket within Hamming
+    distance <= radius of the query's own bucket (mask 0)."""
+    import itertools
+
+    return [0] + [
+        sum(1 << b for b in combo)
+        for r in range(1, radius + 1)
+        for combo in itertools.combinations(range(num_planes), r)
+    ]
+
+
+def lsh_index_multi(
+    corpus: DataFrame,
+    vec_col: str,
+    dim: int,
+    num_planes: int,
+    num_tables: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-table LSH index: one row per (vector, table) carrying the
+    table id and that table's sign-pattern bucket. L independent plane
+    sets trade L× index size for recall ≈ 1-(1-p)^L — the classic LSH
+    lever; still a narrow shuffle-free map per table. Persist (or
+    ``write.partitionBy('__tbl', '__bucket')``) once, serve forever."""
+    parts = [
+        lsh_assign_buckets(
+            corpus.select(id_col, vec_col), vec_col, dim, num_planes, table=t
+        ).withColumn("__tbl", F.lit(t))
+        for t in range(num_tables)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int,
     dim: int,
-    num_planes: int = 6,
+    num_planes: int = 8,
+    num_tables: int = 8,
+    probe_radius: int = 1,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     corpus_bucketed: bool = False,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket (expected corpus/2^num_planes rows per bucket). Equi-join on
-    bucket id — a hash join Catalyst can broadcast or shuffle, never a
-    cross join. Recall is tunable via num_planes (fewer planes = bigger
-    buckets = higher recall, more compute).
+    """Approximate top-k via multi-table, multi-probe sign-pattern LSH:
+    candidates are corpus rows sharing a bucket with the query in ANY
+    of ``num_tables`` independent plane sets, where the query probes
+    every bucket within Hamming distance ``probe_radius`` of its own.
+    Equi-join on (table, bucket) — never a cross join.
+
+    Recall/cost: expected scanned fraction ≈ num_tables * n_probes /
+    2^num_planes (n_probes = 1 + C(planes, 1) + ... at the radius).
+    The shipped defaults (8 planes × 8 tables × radius 1 ≈ 28% of a
+    uniform corpus) measure recall@5 = 0.80 against exact cosine on
+    the driver's embeddings at sf0.1 (tools/measure_recall.py) —
+    single-table single-probe at 6 planes measured only 0.24, which is
+    why these are the defaults. On clustered real-world corpora the
+    same settings scan less and recall more.
 
     ``corpus_bucketed=True`` skips corpus-side assignment: pass a
-    corpus that already carries ``__bucket`` (from
-    ``lsh_assign_buckets``, ideally persisted) so per-query-batch work
-    is only the tiny query-side hash + join."""
+    corpus that already carries ``__tbl``/``__bucket`` (from
+    ``lsh_index_multi``, ideally persisted) so per-query-batch work is
+    only the tiny query-side hash + join."""
     c = (
         corpus
         if corpus_bucketed
-        else lsh_assign_buckets(corpus, corpus_vec, dim, num_planes)
-    ).select(corpus_id, corpus_vec, "__bucket")
-    q = lsh_assign_buckets(
-        queries.select(query_id, query_vec), query_vec, dim, num_planes
-    )
-    scored = c.join(F.broadcast(q), "__bucket").select(
-        F.col(query_id),
-        F.col(corpus_id),
-        cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
+        else lsh_index_multi(
+            corpus, corpus_vec, dim, num_planes, num_tables, id_col=corpus_id
+        )
+    ).select(corpus_id, corpus_vec, "__tbl", "__bucket")
+    q_parts = [
+        lsh_assign_buckets(
+            queries.select(query_id, query_vec), query_vec, dim, num_planes,
+            table=t,
+        ).withColumn("__tbl", F.lit(t))
+        for t in range(num_tables)
+    ]
+    q = q_parts[0]
+    for p in q_parts[1:]:
+        q = q.unionByName(p)
+    masks = probe_masks(num_planes, probe_radius)
+    q = q.withColumn(
+        "__mask", F.explode(F.array(*[F.lit(m) for m in masks]))
+    ).withColumn("__bucket", F.col("__bucket").bitwiseXOR(F.col("__mask")))
+    scored = (
+        c.join(F.broadcast(q), ["__tbl", "__bucket"])
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
+        )
+        # A candidate found in several tables/probes scores identically;
+        # dedupe before ranking so k distinct neighbors come back.
+        .groupBy(query_id, corpus_id)
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
     return _per_query_topk(scored, query_id, corpus_id, k)
 

@@ -81,3 +81,63 @@ def test_features_feed_similarity(spark, media):
     out = cosine_topk(corpus, queries, k=3)
     top1 = {r["query_id"]: r["vec_id"] for r in out.filter(F.col("rk") == 1).collect()}
     assert top1 == {0: 0, 1: 1}
+
+
+def test_codec_swap_same_schema(spark, media):
+    # The codec is pluggable behind one interface: a different decoder
+    # must yield the SAME schema (plumbing is codec-independent), with
+    # only the decoded values/embeddings differing.
+    from finlogic_spark.operators.multimodal import stub_decoder
+
+    def doubling_decoder(kind, raw):
+        d = stub_decoder(kind, raw)
+        return {**d, "width": d["width"] * 2, "body": d["body"][:16]}
+
+    a = extract_features(media, dim=8)
+    b = extract_features(media, dim=8, decoder=doubling_decoder)
+    assert a.schema == b.schema
+    ra = {r["media_id"]: r for r in a.collect()}
+    rb = {r["media_id"]: r for r in b.collect()}
+    assert set(ra) == set(rb)
+    for mid in ra:
+        assert rb[mid]["width"] == ra[mid]["width"] * 2
+        assert rb[mid]["byte_len"] == ra[mid]["byte_len"]  # storage size
+        assert rb[mid]["embedding"] != ra[mid]["embedding"]  # body changed
+
+
+def test_pil_decoder_falls_back_on_stub_containers(media):
+    # pil_decoder must pass FLSM stub payloads (and non-image kinds)
+    # through to the stub path — mixed tables decode without PIL.
+    from finlogic_spark.operators.multimodal import pil_decoder
+
+    feats = extract_features(media, dim=8, decoder=pil_decoder)
+    base = extract_features(media, dim=8)
+    assert feats.schema == base.schema
+    assert sorted(map(tuple, feats.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_pil_decoder_real_png(spark):
+    # Real-codec path: only runs where Pillow is installed (not in the
+    # hermetic container) — same schema, real pixel dimensions.
+    from finlogic_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        have_pil,
+        pil_decoder,
+    )
+
+    if not have_pil():
+        import pytest
+
+        pytest.skip("Pillow not installed; real-codec path exercised elsewhere")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (7, 3), (200, 10, 10)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(99, "image", bytearray(buf.getvalue()), None)], MEDIA_SCHEMA
+    )
+    row = extract_features(df, dim=8, decoder=pil_decoder).collect()[0]
+    assert (row["width"], row["height"], row["n_frames"]) == (7, 3, 1)
+    assert len(row["embedding"]) == 8
