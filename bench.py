@@ -82,11 +82,19 @@ def duckdb_baseline(sf_dir: str, runs: int = 3) -> dict[str, float]:
     warm run still swung a heavy query ~4x round-over-round (r4→r5:
     doc_curation_pipeline 28.7→7.2 s moved ratio_total 0.41→0.58 with
     an actually-faster Spark side) — the median makes the headline
-    ratio reflect the engine, not baseline variance."""
+    ratio reflect the engine, not baseline variance.
+
+    Per-query ceiling via $SPARK_GRAFT_BASELINE_TIMEOUT seconds
+    (default 300, 0 disables): at sf1 some baseline queries blow up
+    super-linearly (the engine's bucketed designs don't) — a timed-out
+    query is reported in ``timeouts`` as a LOWER BOUND instead of
+    stalling the bench for an hour."""
     import statistics
+    import threading
 
     import duckdb
 
+    timeout = float(os.environ.get("SPARK_GRAFT_BASELINE_TIMEOUT", "300"))
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={os.cpu_count()}")
     for t in (
@@ -94,24 +102,63 @@ def duckdb_baseline(sf_dir: str, runs: int = 3) -> dict[str, float]:
         "orders", "lineitem", "events", "documents", "embeddings",
     ):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    def timed_run(sql: str) -> float | None:
+        """Wall time of one execution, or None if interrupted at the
+        timeout (duckdb.interrupt() aborts the running query)."""
+        timer = (
+            threading.Timer(timeout, con.interrupt) if timeout > 0 else None
+        )
+        start = time.perf_counter()
+        try:
+            if timer:
+                timer.start()
+            con.sql(sql).fetchall()
+            return time.perf_counter() - start
+        except duckdb.InterruptException:
+            return None
+        except duckdb.Error:
+            # interrupt can surface as a generic error mid-operator
+            if timeout > 0 and time.perf_counter() - start >= timeout * 0.95:
+                return None
+            raise
+        finally:
+            if timer:
+                timer.cancel()
+
     timings: dict[str, float] = {}
+    timeouts: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in dq.ORACLES:
             continue  # rows-only query: no SQL-expressible oracle
         sql = dq.ORACLES[name]
-        con.sql(sql).fetchall()  # warmup (page cache, catalog)
+        first = timed_run(sql)  # warmup (page cache, catalog)
+        if first is None:
+            timeouts[name] = timeout  # lower bound: killed at ceiling
+            continue
         samples = []
         for _ in range(runs):
-            start = time.perf_counter()
-            con.sql(sql).fetchall()
-            samples.append(time.perf_counter() - start)
-        timings[name] = round(statistics.median(samples), 3)
-    return timings
+            s = timed_run(sql)
+            if s is not None:
+                samples.append(s)
+        timings[name] = round(
+            statistics.median(samples) if samples else first, 3
+        )
+    return timings, timeouts
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Optional subset (comma-separated names): scaling studies rerun
+    # just the queries under investigation at big SFs.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if subset:
+        wanted = [n.strip() for n in subset.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in BENCH_QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown bench queries: {unknown}")
+        BENCH_QUERIES[:] = wanted
     spark = get_spark("finlogic-bench")
 
     timings: dict[str, float] = {}
@@ -134,18 +181,25 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     baseline_runs = int(os.environ.get("SPARK_GRAFT_BASELINE_RUNS", "3"))
     try:
-        base = duckdb_baseline(sf_dir, runs=baseline_runs)
+        base, base_timeouts = duckdb_baseline(sf_dir, runs=baseline_runs)
     except Exception:  # baseline must never break the bench line
-        base = {}
+        base, base_timeouts = {}, {}
     # Compare totals over the same query set: drop baselines for queries
-    # that errored on the Spark side (listed separately in "errors").
+    # that errored on the Spark side (listed separately in "errors"),
+    # and exclude baseline-timeout queries from BOTH sides of
+    # ratio_total (their per-query ratios appear as upper bounds).
     base = {n: v for n, v in base.items() if n in timings}
     base_total = round(sum(base.values()), 3) if base else None
+    spark_on_base = round(sum(timings[n] for n in base), 3) if base else None
     ratios = {
         n: round(timings[n] / base[n], 2)
         for n in base
         if base[n] > 0 and n in timings
     }
+    for n, floor_s in base_timeouts.items():
+        if n in timings and floor_s > 0:
+            # baseline died at its ceiling: the true ratio is SMALLER
+            ratios[n] = round(timings[n] / floor_s, 2)
     print(
         json.dumps(
             {
@@ -161,9 +215,18 @@ def main() -> None:
                 "baseline_runs": baseline_runs,  # per-query median of N warm runs
                 "duckdb_baseline": base,
                 "duckdb_baseline_total": base_total,
+                # Queries whose BASELINE was killed at the per-query
+                # ceiling (value = the ceiling, a lower bound on the
+                # true baseline time; their ratio entries are upper
+                # bounds and they are excluded from ratio_total).
+                **(
+                    {"duckdb_baseline_timeouts": base_timeouts}
+                    if base_timeouts
+                    else {}
+                ),
                 "ratio_vs_duckdb": ratios,
                 "ratio_total": (
-                    round(total / base_total, 3) if base_total else None
+                    round(spark_on_base / base_total, 3) if base_total else None
                 ),
             }
         )

@@ -27,8 +27,14 @@ Output: single parquet file per table (DuckDB COPY), matching the
 driver layout so both bench.py's Spark side and its DuckDB baseline
 read it unchanged. Deterministic — no RNG, only hashes of ids.
 
-Usage: python tools/make_sf1.py [src_dir] [dest_dir]
+Usage: python tools/make_sf1.py [src_dir] [dest_dir] [key_offset]
          (defaults /root/testdata/sf0.1 -> /root/repo/testdata/sf1)
+
+``key_offset`` must exceed every key in src (default 10M fits the
+driver's sf0.1). Chaining (sf1 -> sf10) needs a LARGER offset than
+the previous round's max key — sf1 keys reach ~90M, so pass e.g.
+1000000000, otherwise replica i of key k collides with replica i+1
+of key k-10M (both hit k + (i+1)*10M).
 """
 
 from __future__ import annotations
@@ -54,8 +60,11 @@ COPY_ONCE = ["region", "nation"]
 
 
 def main() -> None:
+    global OFF
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dest = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata/sf1"
+    if len(sys.argv) > 3:
+        OFF = int(sys.argv[3])
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={os.cpu_count()}")
