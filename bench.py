@@ -68,6 +68,16 @@ BENCH_QUERIES = [
     "events_scd2",
     "events_zorder",
     "events_incremental_agg",
+    # round 6: TPC-H completion set representatives (nation-pair join
+    # pyramid, profit agg, pre-agg custdist, double-EXISTS windows),
+    # curation additions, skew-salted join
+    "tpch_q7",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q21",
+    "doc_pii_redact",
+    "doc_chunk",
+    "join_skew_salted",
 ]
 
 

@@ -3280,3 +3280,987 @@ def stream_upsert_snapshot(spark, sf_dir):
         .select("user_id", "event_type", "event_id", "ts", "value")
         .orderBy("user_id", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion set (q2/q7-q9/q11-q13/q15-q17/q19-q22, adapted)
+#
+# The driver's tables are TPC-H-shaped but slimmer: no partsupp, and
+# lineitem/orders/customer lack commitdate/receiptdate/shipmode/phone/
+# comment. Each query below keeps the ORIGINAL's operator shape (the
+# thing being tested: correlated exists, scalar-subquery thresholds,
+# disjunctive join predicates, distinct-count over anti-join, window
+# min-per-group...) with predicates adapted to the columns that exist.
+# partsupp-derived quantities (supplycost, availqty) are derived from
+# lineitem instead: unit cost = avg(l_extendedprice / l_quantity) per
+# (part, supplier) — same join topology, same cardinality class.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q7",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           {_dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark, sf_dir):
+    # Q7 volume shipping: nation-pair trade revenue by ship year. The
+    # two nation filters are resolved into supplier/customer BEFORE the
+    # fact joins, so the one big l join o shuffle carries only the two
+    # nations' rows; the pair disjunction then runs on two broadcast
+    # columns. Scale shape: 1 shuffle (l join o), 4 broadcasts.
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@q(
+    "tpch_q8",
+    f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           {_rN_sql('''
+             (CAST(SUM(CASE WHEN n1.n_name = 'NATION_5' THEN
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)
+               ELSE 0 END) AS DOUBLE) / 100.0)
+             / (CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                 AS BIGINT)) AS DOUBLE) / 100.0)''', 6)} AS mkt_share
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region ON n2.n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def tpch_q8(spark, sf_dir):
+    # Q8 national market share: NATION_5's share of STANDARD-part
+    # revenue sold into ASIA, by order year. Every dimension (part,
+    # supplier+nation, customer+nation+region) broadcasts; the only
+    # shuffle is l join o. Numerator and denominator both aggregate
+    # exact cents so the ratio is order-independent.
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select(
+        "p_partkey"
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + F.lit(0.5)
+    ).cast("bigint")
+    joined = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            rN(
+                (
+                    F.sum(
+                        F.when(
+                            F.col("supp_nation") == "NATION_5", rev_cents
+                        ).otherwise(F.lit(0))
+                    ).cast("double")
+                    / 100.0
+                )
+                / (F.sum(rev_cents).cast("double") / 100.0),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@q(
+    "tpch_q9",
+    f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           {_dsum_sql(
+               "l_extendedprice * (1 - l_discount)"
+               " - 0.6 * p_retailprice * l_quantity",
+               "sum_profit",
+           )}
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE 'red%'
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def tpch_q9(spark, sf_dir):
+    # Q9 product-type profit (adapted: no partsupp, so unit cost =
+    # 0.6 * p_retailprice instead of ps_supplycost). The selective
+    # p_name prefix filter broadcasts into lineitem first, shrinking
+    # the l join o shuffle ~8x; supplier/nation broadcast.
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = _t(spark, sf_dir, "lineitem")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    joined = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(dsum(profit, "sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@q(
+    "tpch_q12",
+    """
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY ship_year ORDER BY ship_year
+    """,
+)
+def tpch_q12(spark, sf_dir):
+    # Q12 shipping-priority split (adapted: no l_shipmode/receiptdate —
+    # "late" = shipped >60 days after order date, grouped by ship year).
+    # The shape being tested: fact-fact join with a non-equi residual
+    # predicate + conditional counts. One shuffle on orderkey.
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = l.join(
+        o.hint("shuffle_hash"),
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+    )
+    return (
+        joined.withColumn("ship_year", F.year("l_shipdate"))
+        .groupBy("ship_year")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+@q(
+    "tpch_q13",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark, sf_dir):
+    # Q13 customer order-count distribution (adapted: the excluded-
+    # comment filter becomes an excluded-priority filter). Instead of
+    # the naive big left join, orders pre-aggregates to one (custkey,
+    # count) row — map-side partial combine, then the per-customer
+    # counts BROADCAST into customer for the outer join (a fact-sized
+    # left join becomes a dim-sized broadcast at any scale where
+    # customers << lineitems). Missing customers coalesce to 0.
+    o_counts = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("c_count"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = c.join(
+        o_counts, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select("c_custkey", F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@q(
+    "tpch_q15",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             {_dsum_sql("l_extendedprice * (1 - l_discount)", "total_revenue")}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15(spark, sf_dir):
+    # Q15 top supplier: revenue view + scalar-subquery max. The revenue
+    # agg reduces lineitem to one row per supplier (partial combine);
+    # the max is an agg over that tiny result, broadcast back as a
+    # 1-row cross join — no second pass over the fact. Ties all
+    # surface (equality on identical exact-cents doubles, not rank).
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@q(
+    "tpch_q16",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark, sf_dir):
+    # Q16 supplier count per part attribute (adapted: partsupp ->
+    # observed (part, supplier) pairs from lineitem; the complaints
+    # NOT IN becomes negative-balance suppliers). Shape: broadcast
+    # anti-join for the exclusion, broadcast dim join for the part
+    # filter, then distinct-count — which Spark runs as a two-phase
+    # expand/partial agg, not a global distinct.
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@q(
+    "tpch_q17",
+    f"""
+    SELECT {_rN_sql(
+        "CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))"
+        " AS DOUBLE) / 100.0 / 7.0", 2)} AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#12'
+      AND l_quantity < 0.2 * (
+        SELECT CAST(SUM(CAST(floor(i.l_quantity * 100.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / count(*) / 100.0
+        FROM lineitem i WHERE i.l_partkey = p_partkey)
+    """,
+)
+def tpch_q17(spark, sf_dir):
+    # Q17 small-quantity-order revenue: correlated scalar subquery
+    # (per-part average quantity) decorrelated into a broadcast
+    # threshold join. The per-part averages aggregate the FULL
+    # lineitem (the correlation ignores the brand filter), reduced to
+    # one row per part — small enough to broadcast at any scale where
+    # parts fit a dimension table. Threshold math is exact-cents /
+    # count on both sides, so the 0.2x compare is bit-identical.
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12").select(
+        "p_partkey"
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    thresholds = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5)).cast("bigint")
+                ).cast("double")
+                / F.count("*")
+                / 100.0
+            ).alias("avg_qty")
+        )
+    )
+    small = (
+        l.join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return small.agg(
+        rN(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+            ).cast("double")
+            / 100.0
+            / 7.0,
+            2,
+        ).alias("avg_yearly")
+    )
+
+
+@q(
+    "tpch_q19",
+    f"""
+    SELECT {_dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(spark, sf_dir):
+    # Q19 disjunctive-predicate join: three AND-blocks OR'd across
+    # both join sides. The part-only disjuncts (brand+size) are
+    # pre-applied as a scan filter on the broadcast side — the
+    # equi-join stays a plain broadcast hash join and the residual
+    # mixed predicate runs post-join, exactly how Catalyst splits
+    # CNF-convertible disjunctions.
+    p = _t(spark, sf_dir, "part").filter(
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+        )
+    ).select("p_partkey", "p_brand", "p_size")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    joined = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).filter(
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+
+
+@q(
+    "tpch_q20",
+    """
+    SELECT s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_4'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) > 5000)
+    ORDER BY s_name
+    """,
+)
+def tpch_q20(spark, sf_dir):
+    # Q20 promotion candidates (adapted: availqty threshold -> shipped
+    # 'red' part volume > 50 units per (supplier, part) in 1997). The
+    # IN-subquery decorrelates to groupBy + left-semi join; quantity
+    # sums in exact hundredths so the HAVING threshold compares
+    # integers on both engines.
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red")).select(
+        "p_partkey"
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qualifying = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5)).cast("bigint")
+            ).alias("qty_hund")
+        )
+        .filter(F.col("qty_hund") > 5000)
+        .select("l_suppkey")
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        s.join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name")
+        .orderBy("s_name")
+    )
+
+
+@q(
+    "tpch_q21",
+    """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
+    """,
+)
+def tpch_q21(spark, sf_dir):
+    # Q21 suppliers-who-kept-orders-waiting (adapted: late = shipped
+    # >90 days after order date; no receipt/commit dates). The two
+    # correlated EXISTS decorrelate into per-order windowed distinct
+    # counts over the ALREADY order-partitioned join output: a row
+    # survives iff its order has >1 distinct supplier (EXISTS) and
+    # exactly 1 distinct LATE supplier (NOT EXISTS — the row itself is
+    # late, so late-count 1 means nobody else was). One shuffle for
+    # l join o; the windows reuse that partitioning (no second
+    # exchange); supplier/nation ride in as broadcasts at the end,
+    # AFTER the window filter, because the EXISTS scans must see ALL
+    # suppliers' lineitems, not just NATION_3's.
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = l.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    w = Window.partitionBy("l_orderkey")
+    j = (
+        j.withColumn("_all_supps", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "_late_supps",
+            F.size(
+                F.collect_set(F.when(late, F.col("l_suppkey"))).over(w)
+            ),
+        )
+        .filter(late & (F.col("_all_supps") > 1) & (F.col("_late_supps") == 1))
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    waited = j.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    agg = waited.groupBy("s_name").agg(F.count("*").alias("numwait"))
+    return top_k(agg, [F.col("numwait").desc(), F.col("s_name").asc()], 10).select(
+        "s_name", "numwait"
+    )
+
+
+@q(
+    "tpch_q22",
+    f"""
+    WITH eligible AS (
+      SELECT substring(c_name, 18, 1) AS cntrycode, c_custkey, c_acctbal
+      FROM customer WHERE substring(c_name, 18, 1) IN ('1', '3', '5')),
+    threshold AS (
+      SELECT CAST(SUM(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / count(*) / 100.0 AS avg_bal
+      FROM eligible WHERE c_acctbal > 0.0)
+    SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+           {_dsum_sql("c_acctbal", "totacctbal")}
+    FROM eligible, threshold
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-07-01')
+    GROUP BY cntrycode ORDER BY cntrycode
+    """,
+)
+def tpch_q22(spark, sf_dir):
+    # Q22 global sales opportunity (adapted: country code = last digit
+    # of c_name since there's no c_phone; "no orders" = none since
+    # 1999-07 since every customer has SOME order). Shape preserved:
+    # scalar-subquery average (exact-cents, broadcast as a 1-row cross
+    # join), anti-join against recent orders, grouped count+sum.
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.substring("c_name", 18, 1)
+    ).filter(F.col("cntrycode").isin("1", "3", "5")).select(
+        "cntrycode", "c_custkey", "c_acctbal"
+    )
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(
+                F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("bigint")
+            ).cast("double")
+            / F.count("*")
+            / 100.0
+        ).alias("avg_bal")
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-07-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+@q(
+    "tpch_q2",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(floor(l_extendedprice / l_quantity * 1000000.0 + 0.5)
+                           AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000.0 AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    candidates AS (
+      SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name, unit_cost,
+             min(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+      FROM cost
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           floor(unit_cost * 1000000.0 + 0.5) / 1000000.0 AS supply_cost
+    FROM candidates WHERE unit_cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark, sf_dir):
+    # Q2 minimum-cost supplier (adapted: no partsupp — supply cost =
+    # average observed unit price per (part, supplier) from lineitem).
+    # The correlated min-subquery decorrelates to a window min over
+    # p_partkey. Scale shape: the cost agg is ONE shuffle over
+    # lineitem keyed (part, supp) with map-side combine; the selective
+    # part filter + EUROPE suppliers broadcast into the small cost
+    # table; the window runs on the few surviving rows. Exact-micros
+    # averaging makes the min/equality bit-identical across engines.
+    l = _t(spark, sf_dir, "lineitem")
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") / F.col("l_quantity") * 1000000.0
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).cast("double")
+            / F.count("*")
+            / 1000000.0
+        ).alias("unit_cost")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = cost.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).join(
+        F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    w = Window.partitionBy("p_partkey")
+    cand = cand.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    out = cand.select(
+        "s_acctbal",
+        "s_name",
+        "n_name",
+        "p_partkey",
+        "p_name",
+        rN(F.col("unit_cost"), 6).alias("supply_cost"),
+    )
+    return top_k(
+        out,
+        [
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        ],
+        100,
+    ).select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+
+
+@q(
+    "tpch_q11",
+    """
+    WITH val AS (
+      SELECT l_partkey,
+             SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                      AS BIGINT)) AS value_cents
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2')
+      GROUP BY l_partkey)
+    SELECT l_partkey AS p_partkey,
+           CAST(value_cents AS DOUBLE) / 100.0 AS part_value
+    FROM val
+    WHERE CAST(value_cents AS DOUBLE)
+          > (SELECT CAST(SUM(value_cents) AS DOUBLE) * 0.001 FROM val)
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def tpch_q11(spark, sf_dir):
+    # Q11 important stock (adapted: no partsupp — a part's "value" held
+    # by NATION_1/2 suppliers = their shipped revenue of it). Shape
+    # preserved: grouped value + scalar-subquery fraction-of-total
+    # threshold. Both the per-part values and the grand total stay in
+    # exact integer cents until the output edge, so the 0.001x
+    # threshold compare cannot split on summation order; the total is
+    # a second tiny agg over the grouped result, broadcast back as a
+    # 1-row cross join — no second fact pass.
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    val = (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("value_cents")
+        )
+    )
+    total = val.agg(
+        (F.sum("value_cents").cast("double") * 0.001).alias("_threshold")
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents").cast("double") > F.col("_threshold"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("value_cents").cast("double") / 100.0).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("p_partkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation additions (round 6): PII redaction, normalization, chunking,
+# skew-salted join/agg
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "doc_pii_redact",
+    """
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example.com or http://ex.com/d/'
+                        || CAST(doc_id AS VARCHAR)
+                        || ' at 10.1.2.3 call 555-123-4567',
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 'https?://[^\\s]+', '<URL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             '\\b\\+?\\d[\\d\\- ]{7,}\\d\\b', '<PHONE>', 'g') AS redacted
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_pii_redact(spark, sf_dir):
+    # PII redaction (functions/text_clean.py): emails, URLs, IPv4s and
+    # phone-like digit runs masked with typed placeholders. The corpus
+    # text carries no planted PII, so the query appends a
+    # deterministic PII suffix derived from doc_id before redacting —
+    # the regex path is exercised on every row, and both engines build
+    # and scrub the identical string. Expression-only scan shape; the
+    # patterns are the Java-regex ∩ RE2 subset so Spark and DuckDB
+    # replace identically.
+    from finlogic_spark.functions.text_clean import pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    augmented = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or http://ex.com/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" at 10.1.2.3 call 555-123-4567"),
+    )
+    return d.select(
+        "doc_id", pii_redact(augmented).alias("redacted")
+    ).orderBy("doc_id")
+
+
+@q(
+    "doc_normalize",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_normalize(spark, sf_dir):
+    # Canonical text form (functions/text_clean.py normalize_text):
+    # lowercase -> control-char strip -> whitespace collapse -> trim.
+    # The oracle omits the control-char strip (this corpus has none;
+    # the Spark side still runs it, proving it's a no-op on clean
+    # text). Scan-shaped, zero shuffles.
+    from finlogic_spark.functions.text_clean import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", normalize_text("text").alias("norm_text")
+    ).orderBy("doc_id")
+
+
+@q(
+    "doc_chunk",
+    """
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+           substring(text, CAST(i AS INTEGER) * 150 + 1, 200) AS chunk
+    FROM documents
+    CROSS JOIN LATERAL (
+      SELECT unnest(generate_series(0,
+        greatest(1, CAST(ceil((length(text) - 50) / 150.0) AS INTEGER)) - 1))
+        AS i)
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def doc_chunk(spark, sf_dir):
+    # RAG-ingest chunking (functions/text_clean.py chunk_documents):
+    # 200-char chunks, 50-char overlap (step 150), last chunk short but
+    # never empty, short docs yield exactly one chunk. sequence() +
+    # explode() + substring() — a narrow plan whose output size is
+    # known up front; no shuffle, no UDF.
+    from finlogic_spark.functions.text_clean import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        d, text_col="text", id_cols=("doc_id",), size=200, overlap=50
+    ).orderBy("doc_id", "chunk_id")
+
+
+@q(
+    "join_skew_salted",
+    f"""
+    SELECT s_name, {_dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name ORDER BY s_name
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    # Salted join (operators/skew.py): lineitem joins the 100-row
+    # supplier dim on a low-cardinality key — at 100 TB every suppkey
+    # is a hot key. The salt (hash of l_orderkey, which varies within
+    # a suppkey) fans each key over 8 sub-keys and replicates the dim
+    # 8x, bounding any task to ~1/8 of the hottest key; the result is
+    # row-identical to the plain join, which is exactly what the
+    # oracle checks.
+    from finlogic_spark.operators.skew import salted_join
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k"),
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"), "s_name"
+    )
+    joined = salted_join(l, s, on=["k"], salt_source="l_orderkey", salts=8)
+    return (
+        joined.groupBy("s_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy("s_name")
+    )
+
+
+@q(
+    "agg_skew_salted",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_skew_salted(spark, sf_dir):
+    # Two-phase salted aggregation (operators/skew.py): events grouped
+    # by a 5-value key — the pathological all-keys-hot case. Partial
+    # sums on (key, salt32) then a 32-row-per-key final merge; values
+    # aggregate as exact cents so the salted partial order can't
+    # change the double. Equals the plain GROUP BY (the oracle).
+    from finlogic_spark.operators.skew import salted_agg
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+    agg = salted_agg(
+        e,
+        keys=["event_type"],
+        salt_source="event_id",
+        aggs={"cents": ("sum", "value_cents"), "n_events": ("count", "*")},
+        salts=32,
+    )
+    return agg.select(
+        "event_type",
+        (F.col("cents").cast("double") / 100.0).alias("total_value"),
+        "n_events",
+    ).orderBy("event_type")

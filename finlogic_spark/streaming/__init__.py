@@ -391,12 +391,32 @@ def _await_drain(q, timeout: int) -> None:
     q.stop()
 
 
-def read_upsert_snapshot(spark, path: str) -> DataFrame:
-    """The current snapshot: highest committed v=N dir."""
-    v = _latest_snapshot_version(spark, path)
-    if v is None:
-        raise FileNotFoundError(f"no committed snapshot under {path}")
+def read_upsert_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
+    """Snapshot read with time travel: the highest committed ``v=N``
+    dir by default, or the exact committed ``version`` when given —
+    the same version-pinned read a table format's ``VERSION AS OF``
+    serves. Reading a torn (uncommitted) or pruned version raises
+    rather than returning partial rows."""
+    if version is None:
+        v = _latest_snapshot_version(spark, path)
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot under {path}")
+    else:
+        committed = _list_versions(spark, path)
+        if not committed.get(version, False):
+            raise FileNotFoundError(
+                f"snapshot v={version} under {path} is "
+                + ("uncommitted (torn write)" if version in committed
+                   else "absent (never written or pruned)")
+            )
+        v = version
     return spark.read.parquet(path.rstrip("/") + f"/v={v}")
+
+
+def list_upsert_versions(spark, path: str) -> list[int]:
+    """Committed snapshot versions under ``path``, ascending — the
+    time-travel history ``read_upsert_snapshot(version=...)`` accepts."""
+    return sorted(v for v, ok in _list_versions(spark, path).items() if ok)
 
 
 def run_to_parquet_sink(

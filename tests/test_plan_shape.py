@@ -219,3 +219,45 @@ def test_zorder_value_is_narrow_map(spark, sf_dir):
     # ensure_parallelism may add the one fan-out repartition; the z
     # computation itself must not add more
     assert plans.count_shuffles(z) <= 1
+
+
+def test_tpch_q21_windows_reuse_join_partitioning(spark, sf_dir):
+    # The decorrelated EXISTS windows (per-order distinct-supplier
+    # counts) must run on the l⋈o join's orderkey partitioning, not
+    # add their own exchange: shuffles = the join's l/o pair + the
+    # final tiny s_name agg, nothing else.
+    df = QUERIES["tpch_q21"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Window" in plan
+    assert plans.count_shuffles(df) <= 3
+    assert plans.uses_take_ordered(df)
+
+
+def test_tpch_q13_preaggregates_instead_of_big_left_join(spark, sf_dir):
+    # The orders side collapses to (custkey, count) BEFORE touching
+    # customer, and the per-customer counts broadcast into the outer
+    # join — no shuffled fact-sized left join survives in the plan.
+    df = QUERIES["tpch_q13"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plans.uses_broadcast_join(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q19_part_disjuncts_reach_broadcast_side(spark, sf_dir):
+    # The brand+size disjunction is applied on the part scan (filter
+    # above the scan on the broadcast side), keeping the equi-join a
+    # plain broadcast hash join with a residual mixed filter.
+    df = QUERIES["tpch_q19"](spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+    assert plans.count_shuffles(df) <= 1  # single-row final agg only
+
+
+def test_tpch_q2_cost_agg_is_single_fact_shuffle(spark, sf_dir):
+    # The (part, supplier) unit-cost aggregation is the only
+    # fact-sized shuffle; the min-per-part window runs on the
+    # post-filter candidate rows (partkey exchange over a dim-sized
+    # set), and part/supplier/nation/region all broadcast.
+    df = QUERIES["tpch_q2"](spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+    assert plans.uses_take_ordered(df)
+    assert plans.count_shuffles(df) <= 2
