@@ -78,6 +78,14 @@ BENCH_QUERIES = [
     "doc_pii_redact",
     "doc_chunk",
     "join_skew_salted",
+    # round 6 (cont.): winnowing, repeated-span dedup, unigram LM gate,
+    # CDC diff, weighted sampling, one-scan profiling
+    "doc_winnow_fp",
+    "doc_segment_dedup",
+    "doc_unigram_logprob",
+    "snapshot_diff",
+    "sample_weighted",
+    "data_profile",
 ]
 
 

@@ -64,6 +64,17 @@ from finlogic_spark.operators.text_dedup import (
     simhash,
 )
 from finlogic_spark.operators.topk import top_k
+from finlogic_spark.operators.corpus import (
+    unigram_logprob_score,
+    weighted_sample,
+)
+from finlogic_spark.operators.diff import table_diff
+from finlogic_spark.operators.fuzzy import fuzzy_join_blocked
+from finlogic_spark.operators.profile import expect, profile_columns
+from finlogic_spark.operators.text_dedup import (
+    repeated_segment_dedup,
+    winnow_fingerprints,
+)
 
 
 # Tables whose queries are CPU-bound per row (tokenize/hash/vector math)
@@ -4264,3 +4275,310 @@ def agg_skew_salted(spark, sf_dir):
         (F.col("cents").cast("double") / 100.0).alias("total_value"),
         "n_events",
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Round 6 additions: winnowing fingerprints, corpus repeated-span dedup,
+# weighted sampling, unigram LM scoring, snapshot diff (CDC), single-pass
+# profiling / expectations, blocked fuzzy join (entity resolution).
+# ---------------------------------------------------------------------------
+
+@q(
+    "doc_winnow_fp",
+    f"""
+    WITH s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    h AS (SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM s),
+    m AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+            range(1, greatest(len(hs) - 3, 1) + 1),
+            i -> list_min(hs[i:i+3])))) AS fp FROM h)
+    SELECT doc_id, len(fp) AS n_fp, md5(array_to_string(fp, '')) AS fp_digest
+    FROM m ORDER BY doc_id
+    """,
+)
+def doc_winnow_fp(spark, sf_dir):
+    # Winnowing (MOSS) rolling-hash fingerprints: k=3-token shingle
+    # hashes, window-min over w=4 consecutive positions, distinct
+    # minima per doc. Expression-only — the whole query is one scan
+    # pass with zero shuffles (verified: plan has no Exchange).
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id", winnow_fingerprints("text", k=3, w=4).alias("fp")
+        )
+        .select(
+            "doc_id",
+            F.size("fp").cast("long").alias("n_fp"),
+            F.md5(F.array_join("fp", "")).alias("fp_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "doc_segment_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    seg AS (SELECT doc_id, i AS pos,
+                   array_to_string(toks[((i-1)*8+1):((i-1)*8+8)], ' ') AS seg
+            FROM t, unnest(range(1, CAST(ceil(len(toks) / 8.0) AS INT) + 1)) AS u(i)),
+    boiler AS (SELECT md5(seg) AS sh FROM seg
+               GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+    kept AS (SELECT doc_id, pos, seg FROM seg
+             WHERE md5(seg) NOT IN (SELECT sh FROM boiler)),
+    agg AS (SELECT doc_id, count(*) AS n_seg_kept,
+                   md5(string_agg(seg, ' ' ORDER BY pos)) AS clean_digest
+            FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n_seg_total FROM seg GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(tot.n_seg_total, 0) AS n_seg_total,
+           COALESCE(agg.n_seg_kept, 0) AS n_seg_kept,
+           COALESCE(agg.clean_digest, md5('')) AS clean_digest
+    FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN agg USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def doc_segment_dedup(spark, sf_dir):
+    # C4/Lee-et-al-style repeated-span removal at fixed 8-token
+    # segment granularity: segments occurring in >= 3 distinct docs
+    # are boilerplate and removed from every document.
+    d = _t(spark, sf_dir, "documents")
+    return repeated_segment_dedup(d, "text", "doc_id", seg=8, min_docs=3).orderBy(
+        "doc_id"
+    )
+
+
+def _hash_u_sql(id_expr: str, salt: str) -> str:
+    """SQL twin of operators.corpus.hash_uniform — identical digit
+    fold order so the double is bit-identical across engines."""
+    h = f"md5('{salt}|' || CAST({id_expr} AS VARCHAR))"
+    acc = "0"
+    for i in range(1, 7):
+        acc = (
+            f"(({acc}) * 16 + (instr('0123456789abcdef', substr({h}, {i}, 1)) - 1))"
+        )
+    return f"((CAST({acc} AS DOUBLE) + 0.5) / 16777216.0)"
+
+
+@q(
+    "sample_weighted",
+    f"""
+    WITH keyed AS (
+      SELECT o_orderkey,
+             pow({_hash_u_sql("o_orderkey", "wrs")}, 1.0 / o_totalprice) AS key_raw
+      FROM orders WHERE o_totalprice > 0
+      ORDER BY key_raw DESC, o_orderkey ASC LIMIT 100)
+    SELECT o_orderkey,
+           floor(key_raw * 1000000.0 + 0.5) / 1000000.0 AS sample_key
+    FROM keyed ORDER BY sample_key DESC, o_orderkey ASC
+    """,
+)
+def sample_weighted_q(spark, sf_dir):
+    # Efraimidis-Spirakis A-Res weighted sampling: top-100 orders by
+    # key u^(1/totalprice), u hash-derived (reshuffle-proof). Plan is
+    # TakeOrderedAndProject — per-partition top-k, no global sort.
+    o = _t(spark, sf_dir, "orders")
+    return (
+        weighted_sample(o, "o_orderkey", "o_totalprice", 100, salt="wrs")
+        .select("o_orderkey", "sample_key")
+        .orderBy(F.col("sample_key").desc(), F.col("o_orderkey").asc())
+    )
+
+
+@q(
+    "doc_unigram_logprob",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents),
+    vc AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM vc),
+    lp AS (SELECT token, CAST(floor(ln(n / total) * 1000000.0) AS BIGINT) AS lpq
+           FROM vc, tot),
+    s AS (SELECT doc_id, count(*) AS n_tokens, SUM(lpq) AS slpq
+          FROM tok JOIN lp USING (token) GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           floor(slpq / 1000000.0 / n_tokens * 1000000.0 + 0.5) / 1000000.0
+             AS logprob_per_token
+    FROM s ORDER BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark, sf_dir):
+    # CCNet-style cheap LM gate: mean unigram log-probability per
+    # token, frequencies from the corpus itself. log p quantized to
+    # integer micro-nats per VOCAB row, summed exactly per doc —
+    # engine- and partition-order-independent.
+    d = _t(spark, sf_dir, "documents")
+    return unigram_logprob_score(d, "text", "doc_id").orderBy("doc_id")
+
+
+@q(
+    "snapshot_diff",
+    """
+    WITH old_t AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    new_t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'N', o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0)
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                 AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                  THEN 'unchanged'
+                ELSE 'update' END AS change_type,
+           o.o_orderstatus AS old_o_orderstatus,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_orderstatus AS new_o_orderstatus,
+           n.o_totalprice AS new_o_totalprice
+    FROM old_t o FULL OUTER JOIN new_t n ON o.o_orderkey = n.o_orderkey
+    WHERE NOT (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+               AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+               AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+    ORDER BY o_orderkey
+    """,
+)
+def snapshot_diff(spark, sf_dir):
+    # CDC derivation between two snapshot versions of a keyed table
+    # (deterministic synthetic v2: %97 keys deleted, %13 statuses
+    # updated, %101 keys re-inserted under shifted ids). One full-outer
+    # shuffle join on the key; null-safe per-column compare.
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.col("o_totalprice"),
+            )
+        )
+    )
+    return table_diff(
+        o, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    ).orderBy("o_orderkey")
+
+
+@q(
+    "data_profile",
+    """
+    WITH p AS (
+      SELECT 'c_custkey' AS col_name, count(*) AS n_rows,
+             count(*) FILTER (c_custkey IS NULL) AS n_nulls,
+             count(DISTINCT c_custkey) AS n_distinct FROM customer
+      UNION ALL
+      SELECT 'c_name', count(*), count(*) FILTER (c_name IS NULL),
+             count(DISTINCT c_name) FROM customer
+      UNION ALL
+      SELECT 'c_nationkey', count(*), count(*) FILTER (c_nationkey IS NULL),
+             count(DISTINCT c_nationkey) FROM customer
+      UNION ALL
+      SELECT 'c_acctbal', count(*), count(*) FILTER (c_acctbal IS NULL),
+             count(DISTINCT c_acctbal) FROM customer
+      UNION ALL
+      SELECT 'c_mktsegment', count(*), count(*) FILTER (c_mktsegment IS NULL),
+             count(DISTINCT c_mktsegment) FROM customer)
+    SELECT col_name, n_rows, n_nulls, n_distinct,
+           floor(CAST(n_nulls AS DOUBLE) / n_rows * 1000000.0 + 0.5) / 1000000.0
+             AS frac_null
+    FROM p ORDER BY col_name
+    """,
+)
+def data_profile(spark, sf_dir):
+    # Single-pass per-column profile: one aggregate computes every
+    # column's null/distinct stats (the oracle's 5 UNION ALL scans
+    # collapse to ONE table read in Spark), exploded to long form.
+    c = _t(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    return profile_columns(c, cols).orderBy("col_name")
+
+
+@q(
+    "data_expectations",
+    """
+    WITH e AS (
+      SELECT 'key_not_null' AS expectation,
+             count(*) FILTER (NOT (o_orderkey IS NOT NULL)) AS n_violations,
+             count(*) AS n_rows FROM orders
+      UNION ALL
+      SELECT 'status_in_domain',
+             count(*) FILTER (NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)),
+             count(*) FROM orders
+      UNION ALL
+      SELECT 'price_positive',
+             count(*) FILTER (NOT COALESCE(o_totalprice > 0, FALSE)),
+             count(*) FROM orders
+      UNION ALL
+      SELECT 'price_below_cap',
+             count(*) FILTER (NOT COALESCE(o_totalprice < 400000.0, FALSE)),
+             count(*) FROM orders
+      UNION ALL
+      SELECT 'date_in_range',
+             count(*) FILTER (NOT COALESCE(
+               o_orderdate >= TIMESTAMP '1992-01-01'
+               AND o_orderdate < TIMESTAMP '1999-01-01', FALSE)),
+             count(*) FROM orders)
+    SELECT expectation, n_violations, n_rows FROM e ORDER BY expectation
+    """,
+)
+def data_expectations(spark, sf_dir):
+    # Constraint-violation counts in ONE map-side-combining pass
+    # (NULL predicate counts as a violation — three-valued logic must
+    # not let NULLs dodge checks). price_below_cap intentionally has
+    # real violations in the data.
+    o = _t(spark, sf_dir, "orders")
+    return expect(
+        o,
+        {
+            "key_not_null": F.col("o_orderkey").isNotNull(),
+            "status_in_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+            "price_positive": F.col("o_totalprice") > 0,
+            "price_below_cap": F.col("o_totalprice") < 400000.0,
+            "date_in_range": (
+                F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp")
+            )
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")),
+        },
+    ).orderBy("expectation")
+
+
+@q(
+    "join_fuzzy_blocked",
+    """
+    WITH reps AS (
+      SELECT p_name, min(p_partkey) AS rep_id FROM part GROUP BY p_name)
+    SELECT a.rep_id AS id_a, b.rep_id AS id_b,
+           a.p_name AS text_a, b.p_name AS text_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM reps a JOIN reps b
+      ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+     AND a.rep_id < b.rep_id
+    WHERE levenshtein(a.p_name, b.p_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def join_fuzzy_blocked_q(spark, sf_dir):
+    # Entity resolution two-step: exact-dedup names to one
+    # representative each, then blocked fuzzy join (block = the noun
+    # token; JVM-side levenshtein only within blocks — never the
+    # O(n^2) cross join).
+    p = _t(spark, sf_dir, "part")
+    reps = p.groupBy("p_name").agg(F.min("p_partkey").alias("rep_id"))
+    return fuzzy_join_blocked(
+        reps,
+        "rep_id",
+        "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)),
+        max_dist=1,
+    ).orderBy("id_a", "id_b")

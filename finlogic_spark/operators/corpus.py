@@ -138,3 +138,115 @@ def label_centroids(
             F.count("*").alias("n"),
         )
     )
+
+
+def hash_uniform(id_col: str | Column, salt: str = "wrs") -> Column:
+    """Engine-independent uniform double in (0, 1) from a stable id:
+    the first 6 md5 hex digits of ``salt|id`` parsed digit-by-digit
+    with instr() (both engines share instr; neither needs a hex-cast
+    builtin), +0.5 to stay strictly inside (0,1). Every arithmetic op
+    is exactly-rounded IEEE (integer build-up, one divide), so Spark
+    and the SQL oracle produce bit-identical doubles."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(F.lit(f"{salt}|"), c.cast("string")))
+    acc: Column = F.lit(0).cast("long")
+    for i in range(1, 7):
+        digit = F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - F.lit(1)
+        acc = acc * F.lit(16) + digit.cast("long")
+    return (acc.cast("double") + F.lit(0.5)) / F.lit(16777216.0)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    k: int,
+    salt: str = "wrs",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis
+    & Spirakis A-Res): each row draws key = u^(1/w) from its hash-
+    uniform u and weight w; the k largest keys are the sample. The
+    inclusion probability of a row is proportional to its weight, and
+    because u comes from `hash_uniform` the sample is reproducible
+    across runs, engines, and repartitionings — "rand() with a seed"
+    is none of those under Spark's partition-nondeterministic rand.
+
+    Plan: narrow map to compute keys, then TakeOrderedAndProject
+    (per-partition top-k, k rows per partition to the driver-side
+    merge) — no global sort, no full shuffle. Rows with weight <= 0 or
+    NULL are excluded (their key is undefined).
+
+    Returns the sampled rows plus ``sample_key`` (the A-Res priority,
+    rounded to 6 dp at the edge)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = hash_uniform(id_col, salt)
+    # try_divide: rows are already filtered to w > 0, but ANSI-mode
+    # constant folding evaluates 1.0/w eagerly for literal weights and
+    # would raise on 0 before the filter ever runs.
+    key = F.pow(u, F.try_divide(F.lit(1.0), w))
+    return (
+        df.filter(w > F.lit(0))
+        .withColumn(
+            "sample_key", F.floor(key * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        )
+        .withColumn("__key_raw", key)
+        .orderBy(F.col("__key_raw").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__key_raw")
+    )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Unigram language-model quality score per document — the cheap
+    tier of CCNet-style perplexity filtering: score(doc) = mean over
+    tokens of log p(token), p estimated from corpus frequencies
+    (``vocab_counts``: (token, n) — defaults to the corpus itself, so
+    every token is in-vocabulary). Low scores = rare-token soup
+    (gibberish, OCR noise); implausibly high = degenerate repetition
+    of common words. Use both tails as curation gates.
+
+    Cross-engine determinism: log p is computed ONCE PER VOCAB TOKEN
+    and floored to integer micro-nats; per-document summation is then
+    exact integer arithmetic, so the result is independent of Spark's
+    partial-aggregation order (a raw SUM(double) would not be).
+
+    Scale: vocab is corpus-bounded (top-V in practice — pass a pruned
+    ``vocab_counts``); the token→logp join shuffles on token with the
+    vocab side small enough for AQE to broadcast. One groupBy(id)
+    carries one row per document out."""
+    from finlogic_spark.functions.text import tokens as _tokens
+
+    tok = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("token"))
+    if vocab_counts is None:
+        vocab_counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    total = vocab_counts.agg(F.sum("n").cast("double").alias("__total"))
+    logp = vocab_counts.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.floor(F.log(F.col("n") / F.col("__total")) * F.lit(1e6))
+        .cast("long")
+        .alias("__lpq"),
+    )
+    scored = (
+        tok.join(logp, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("__lpq").alias("__sum_lpq"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (
+            F.floor(
+                F.col("__sum_lpq") / F.lit(1e6) / F.col("n_tokens") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("logprob_per_token"),
+    )

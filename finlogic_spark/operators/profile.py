@@ -1,0 +1,74 @@
+"""Single-pass data profiling / expectation checks — the validation
+pass a 100 TB ingest runs before anything downstream trusts the data
+(engine-scope addition; the reference validates eagerly per-row at
+load, which doesn't survive scale-out).
+
+Shape: ONE aggregate over the table computes every column's stats
+simultaneously (count/nulls via conditional sums that combine
+map-side; distinct counts via Spark's grouping-expand, still a single
+stage pipeline), then the 1-row wide result is exploded driver-free
+into the long (column, stat) layout. No per-column table scan — a
+naive loop of df.select(col).agg(...) reads the table N times; this
+reads it once and prunes nothing it doesn't need.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column profile in long form: (col_name, n_rows, n_nulls,
+    n_distinct, frac_null). n_distinct counts non-null values (both
+    engines' COUNT(DISTINCT) convention). frac_null is exact-rounded
+    (6 dp) so the double is engine-independent."""
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__rows").cast("long").alias("n_rows"),
+            F.col(f"__nn_{c}").cast("long").alias("n_nulls"),
+            F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+            (
+                F.floor(F.col(f"__nn_{c}") / F.col("__rows") * 1e6 + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("frac_null"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def expect(
+    df: DataFrame,
+    expectations: dict[str, "F.Column"],
+) -> DataFrame:
+    """Constraint violation counts in one pass: {name: boolean Column
+    that should be TRUE for every row} -> (expectation, n_violations,
+    n_rows). A row violates when the predicate is FALSE **or NULL**
+    (three-valued logic would otherwise let NULL rows dodge every
+    check). One map-side-combining aggregate, no shuffle of data rows.
+    """
+    aggs = [F.count(F.lit(1)).alias("__rows")] + [
+        F.sum(F.when(pred.isNull() | ~pred, 1).otherwise(0)).alias(f"__v_{name}")
+        for name, pred in expectations.items()
+    ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(name).alias("expectation"),
+            F.col(f"__v_{name}").cast("long").alias("n_violations"),
+            F.col("__rows").cast("long").alias("n_rows"),
+        )
+        for name in expectations
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("e")).select("e.*")

@@ -348,3 +348,128 @@ def simhash_agg(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp + bit
     return sums.select(F.col(id_col), fp.alias("simhash_fp"))
+
+
+def winnow_fingerprints(col: str | Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-token shingle, slide
+    a window of ``w`` consecutive shingle hashes, keep the minimum of
+    each window, return the sorted distinct minima. Any shared
+    substring of length >= k + w - 1 tokens between two documents is
+    GUARANTEED to contribute at least one common fingerprint — the
+    coverage guarantee simple minhash sampling lacks.
+
+    Rolling-hash flavor: the shingle hash stream IS the rolling hash
+    (position-ordered k-gram hashes); window-minima selection is the
+    winnowing step. md5 hex strings compare lexicographically on both
+    engines, so min() needs no numeric conversion.
+
+    Expression-only (no explode, no shuffle): the fingerprint set of a
+    bounded-length document is computed inside whole-stage codegen in
+    one scan pass — at 100 TB this is scan-shaped, embarrassingly
+    parallel, and the output (distinct minima) is a small fraction of
+    the shingle count (expected |fp| ~ 2/(w+1) of positions).
+
+    Documents with fewer than ``w`` windows degrade to min-of-all —
+    the standard short-document convention."""
+
+    def winnow(sh: Column) -> Column:
+        hashes = F.transform(sh, lambda s: F.md5(s))
+        n = F.size(hashes)
+        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(w - 1), F.lit(1)))
+        minima = F.transform(idx, lambda i: F.array_min(F.slice(hashes, i, w)))
+        return F.array_sort(F.array_distinct(minima))
+
+    # one-element-array bind: evaluate the shingle array once per row
+    # (HOF lambdas re-inline referenced expressions; see shingles()).
+    return F.flatten(F.transform(F.array(shingles(col, k)), winnow))
+
+
+def token_segments(col: str | Column, seg: int = 8) -> Column:
+    """Non-overlapping ``seg``-token segments of a document, in order.
+    The fixed-granularity unit for repeated-span removal on corpora
+    without line structure. Empty/null token streams yield an empty
+    array (never a reversed sequence() blowup)."""
+
+    def segment_list(t: Column) -> Column:
+        n = F.size(t)
+        n_seg = F.ceil(n / F.lit(float(seg))).cast("int")
+        return F.when(n <= F.lit(0), F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_seg, F.lit(1))),
+                lambda i: F.array_join(
+                    F.slice(t, (i - F.lit(1)) * F.lit(seg) + F.lit(1), seg), " "
+                ),
+            )
+        )
+
+    return F.flatten(F.transform(F.array(tokens(col)), segment_list))
+
+
+def repeated_segment_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seg: int = 8,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-level repeated-span removal (the C4 'dedup repeated
+    lines' / Lee et al. 2022 'Deduplicating Training Data' idea at
+    fixed segment granularity): split every document into consecutive
+    ``seg``-token segments, find segments whose exact content occurs in
+    >= ``min_docs`` DISTINCT documents (boilerplate: headers, license
+    blocks, navigation chrome), delete those segments from every
+    document, and reassemble the survivors in original order.
+
+    Returns one row per input document:
+    (id, n_seg_total, n_seg_kept, clean_digest) where clean_digest is
+    md5 of the space-joined surviving segments ('' when everything was
+    boilerplate — the row is kept so downstream length filters see it).
+
+    Plan shape at 100 TB: segments explode (narrow) -> hash-groupBy on
+    the segment hash with partial countDistinct (one shuffle, combines
+    map-side) -> the boilerplate set is FILTERED BEFORE the join
+    (segments repeated >= min_docs times are a tiny fraction of the
+    corpus), then ONE left join on the segment hash marks boilerplate
+    membership and ONE groupBy(id) computes total/kept counts and the
+    ordered reassembly together via conditional aggregates (a separate
+    totals branch would scan and shuffle the corpus a third time). No
+    step is quadratic; no driver-side state. The boilerplate side is
+    small enough that AQE will broadcast it at most scales, but
+    correctness never depends on that."""
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode_outer(token_segments(text_col, seg)).alias("__pos", "__seg"),
+    ).withColumn("__sh", F.md5(F.col("__seg")))
+    boiler = (
+        segs.filter(F.col("__seg").isNotNull())
+        .groupBy("__sh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= F.lit(min_docs))
+        .select("__sh", F.lit(1).alias("__boiler"))
+    )
+    # boiler's key is unique (groupBy output), so the left join never
+    # duplicates segment rows; null-segment rows (empty/null docs) have
+    # a null key, never match, and flow through to the final groupBy so
+    # every input document gets an output row.
+    marked = segs.join(boiler, "__sh", "left")
+    is_seg = F.col("__seg").isNotNull()
+    is_kept = is_seg & F.col("__boiler").isNull()
+    return marked.groupBy(id_col).agg(
+        F.sum(is_seg.cast("int")).cast("long").alias("n_seg_total"),
+        F.sum(is_kept.cast("int")).cast("long").alias("n_seg_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    # collect_list drops nulls: only kept segments enter
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(is_kept, F.struct("__pos", "__seg"))
+                        )
+                    ),
+                    lambda s: s["__seg"],
+                ),
+                " ",
+            )
+        ).alias("clean_digest"),
+    )
