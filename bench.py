@@ -86,6 +86,12 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "sample_weighted",
     "data_profile",
+    # round 6 (cont.): runtime-filter join, lexical retrieval,
+    # time-series gap-fill, robust outlier sweep
+    "join_bloom_pruned",
+    "doc_bm25_search",
+    "events_resample_ffill",
+    "events_outlier_mad",
 ]
 
 

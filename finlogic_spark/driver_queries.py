@@ -4582,3 +4582,168 @@ def join_fuzzy_blocked_q(spark, sf_dir):
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)),
         max_dist=1,
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Round 6b: bloom-pruned join, BM25 search, resample+ffill, robust outliers
+# ---------------------------------------------------------------------------
+
+@q(
+    "join_bloom_pruned",
+    f"""
+    SELECT c_nationkey, count(*) AS n_orders,
+           {_dsum_sql("o_totalprice", "total_price")}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 9000.0
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def join_bloom_pruned(spark, sf_dir):
+    # Runtime-filter join: a bloom bit-set built from the selective dim
+    # side broadcasts into the fact scan and drops non-matching orders
+    # BEFORE the join's exchange — the explicit version of Spark's AQE
+    # InjectRuntimeFilter, with no false negatives (the exact join
+    # removes bloom false positives), so the oracle is the plain join.
+    from finlogic_spark.operators.bloomjoin import bloom_pruned_join
+
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(
+            (F.col("c_mktsegment") == "MACHINERY")
+            & (F.col("c_acctbal") > 9000.0)
+        )
+        .select("c_custkey", "c_nationkey")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        bloom_pruned_join(o, dim, "o_custkey", "c_custkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@q(
+    "doc_bm25_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS token, len({_TOKS_SQL}) AS dl
+      FROM documents),
+    postings AS (
+      SELECT token, doc_id, dl, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+    stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS total_dl
+      FROM (SELECT doc_id, any_value(dl) AS dl FROM postings GROUP BY doc_id)),
+    terms(token) AS (VALUES ('dup'), ('vector'), ('spark')),
+    hits AS (SELECT p.* FROM postings p JOIN terms USING (token)),
+    dfs AS (SELECT token, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+    scored AS (
+      SELECT h.doc_id,
+             CAST(floor(
+               ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (h.tf * (1.2 + 1.0))
+               / (h.tf + 1.2 * (1.0 - 0.75
+                  + 0.75 * h.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))
+               * 1000000.0 + 0.5) AS BIGINT) AS score_u
+      FROM hits h JOIN dfs f USING (token) CROSS JOIN stats s)
+    SELECT doc_id, CAST(sum(score_u) AS DOUBLE) / 1000000.0 AS score,
+           count(*) AS n_terms_hit
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 20
+    """,
+)
+def doc_bm25_search(spark, sf_dir):
+    # Lexical retrieval over the inverted index: postings build is one
+    # (token, doc) shuffle; scoring semi-joins postings on the 3
+    # broadcast query terms so nothing downstream scales with corpus
+    # size. Per-term BM25 contributions are quantized to integer
+    # micro-units before the per-doc sum (partition-order-independent).
+    from finlogic_spark.operators.search import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, ["dup", "vector", "spark"], k=20)
+
+
+@q(
+    "events_resample_ffill",
+    """
+    WITH e AS (
+      SELECT user_id AS key, date_trunc('hour', ts) AS bucket_ts, value AS v
+      FROM events WHERE user_id % 20 = 0),
+    hourly AS (
+      SELECT key, bucket_ts,
+             (CAST(sum(CAST(floor(v * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+              / 100.0) / count(*) AS bucket_val
+      FROM e GROUP BY 1, 2),
+    bounds AS (
+      SELECT key, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+      FROM hourly GROUP BY 1),
+    grid AS (
+      SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM bounds)
+    SELECT g.key, g.bucket_ts,
+           floor(last_value(h.bucket_val IGNORE NULLS) OVER (
+             PARTITION BY g.key ORDER BY g.bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 1000000.0 + 0.5) / 1000000.0 AS val,
+           h.bucket_val IS NULL AS is_gap
+    FROM grid g LEFT JOIN hourly h USING (key, bucket_ts)
+    ORDER BY key, bucket_ts
+    """,
+)
+def events_resample_ffill(spark, sf_dir):
+    # Hypertable-style gap-fill: bucket-agg (map-side combine), per-key
+    # sequence() grid (no driver loop), forward-fill via running
+    # last(ignorenulls) window partitioned by series key — state is one
+    # key's grid, never global. Restricted to every 20th user to keep
+    # the oracle compare bounded; the plan is key-partitioned either way.
+    from finlogic_spark.operators.resample import resample_ffill
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    out = resample_ffill(e, "user_id", "ts", "value", step="1 hour")
+    return out.select(
+        "key", "bucket_ts", rN(F.col("val"), 6).alias("val"), "is_gap"
+    ).orderBy("key", "bucket_ts")
+
+
+@q(
+    "events_outlier_mad",
+    """
+    WITH med AS (
+      SELECT event_type,
+             floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0
+               AS grp_median
+      FROM events GROUP BY 1),
+    j AS (
+      SELECT e.event_id, e.event_type, e.value, m.grp_median
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type,
+             floor(quantile_cont(abs(value - grp_median), 0.5) * 1000000.0
+                   + 0.5) / 1000000.0 AS grp_mad
+      FROM j GROUP BY 1)
+    SELECT event_id, event_type, value, grp_median, grp_mad,
+           floor(0.6745 * (value - grp_median) / nullif(grp_mad, 0.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mod_z
+    FROM j JOIN mad USING (event_type)
+    WHERE abs(0.6745 * (value - grp_median) / nullif(grp_mad, 0.0)) > 3.5
+    ORDER BY event_id
+    """,
+)
+def events_outlier_mad(spark, sf_dir):
+    # Iglewicz–Hoaglin robust outliers per event type: median/MAD via
+    # two grouped exact percentiles + broadcast joins back (rows never
+    # shuffle); med/MAD quantized to 6 dp BEFORE the z computation so
+    # the flag decision is engine-deterministic. At 100 TB swap
+    # percentile → approx_percentile to make the agg fully partial.
+    from finlogic_spark.operators.profile import robust_outliers
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = robust_outliers(e, "event_type", "value", threshold=3.5)
+    return out.select(
+        "event_id", "event_type", "value", "grp_median", "grp_mad",
+        rN(F.col("mod_z"), 6).alias("mod_z"),
+    ).orderBy("event_id")

@@ -72,3 +72,52 @@ def expect(
         for name in expectations
     ]
     return row.select(F.explode(F.array(*structs)).alias("e")).select("e.*")
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Rows whose modified z-score |0.6745·(x − median)/MAD| exceeds
+    ``threshold`` (Iglewicz–Hoaglin robust outlier test), computed per
+    group. Median/MAD resist the very outliers they detect — a
+    mean/stddev z-score at 100 TB is dragged by the tail it's hunting.
+
+    Shape: two grouped exact-percentile aggregates (each one shuffle of
+    (group, value) pairs with partial collection) and two broadcast
+    joins of the tiny per-group stats back onto the rows — the row
+    table itself is never shuffled. At true 100 TB swap
+    F.percentile for approx_percentile(…, accuracy) to make the
+    aggregate fully partial — the test's semantics tolerate an
+    approximate center by construction.
+
+    Median and MAD are quantized to 6 dp before the z computation so
+    the flag decision is a deterministic function of (value, med6,
+    mad6) — engine-independent at the comparison boundary. Groups with
+    MAD = 0 (constant series) yield no outliers (null z), matching the
+    statistic's domain.
+    """
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    med = df.groupBy(group_col).agg(
+        q6(F.percentile(value_col, F.lit(0.5))).alias("__med")
+    )
+    j = df.join(F.broadcast(med), group_col)
+    mad = j.groupBy(group_col).agg(
+        q6(
+            F.percentile(F.abs(F.col(value_col) - F.col("__med")), F.lit(0.5))
+        ).alias("__mad")
+    )
+    z = (
+        F.lit(0.6745)
+        * (F.col(value_col) - F.col("__med"))
+        / F.nullif(F.col("__mad"), F.lit(0.0))
+    )
+    return (
+        j.join(F.broadcast(mad), group_col)
+        .withColumn("mod_z", z)
+        .filter(F.abs(F.col("mod_z")) > F.lit(threshold))
+        .withColumnRenamed("__med", "grp_median")
+        .withColumnRenamed("__mad", "grp_mad")
+    )

@@ -1,0 +1,232 @@
+"""Tests for round-6b operators: bloom-pruned join, BM25 search,
+resample + forward-fill, MAD robust outliers."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from finlogic_spark.operators.bloomjoin import (
+    bloom_prune,
+    bloom_pruned_join,
+    build_bloom_filter,
+)
+from finlogic_spark.operators.profile import robust_outliers
+from finlogic_spark.operators.resample import resample_ffill
+from finlogic_spark.operators.search import bm25_topk
+
+
+# ---------------------------------------------------------------- bloom join
+
+def _sides(spark):
+    build = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 100, 7)] + [(None, "dnull")],
+        "bk long, dval string",
+    )
+    probe = spark.createDataFrame(
+        [(k, k * 10) for k in range(100)] + [(None, -1)],
+        "pk long, pval long",
+    )
+    return probe, build
+
+
+def test_bloom_no_false_negatives(spark):
+    """Pruned join == plain inner join, bit for bit — the filter may
+    pass extra rows, never drop a matching one."""
+    probe, build = _sides(spark)
+    expected = sorted(
+        probe.join(build, probe.pk == build.bk).select("pk", "pval", "dval")
+        .collect()
+    )
+    got = sorted(
+        bloom_pruned_join(probe, build, "pk", "bk")
+        .select("pk", "pval", "dval").collect()
+    )
+    assert got == expected
+
+
+def test_bloom_tiny_filter_still_exact(spark):
+    """Undersized filter (64 bits, heavy false positives) must still
+    produce the exact join result — correctness never depends on m."""
+    probe, build = _sides(spark)
+    expected = sorted(
+        probe.join(build, probe.pk == build.bk).select("pk", "dval").collect()
+    )
+    got = sorted(
+        bloom_pruned_join(probe, build, "pk", "bk", num_bits=64, num_hashes=2)
+        .select("pk", "dval").collect()
+    )
+    assert got == expected
+
+
+def test_bloom_prunes_and_is_superset(spark):
+    """The pruned probe is a superset of true matches and, at sane
+    sizing, strictly smaller than the raw probe."""
+    probe, build = _sides(spark)
+    pruned = bloom_prune(
+        probe, "pk", build_bloom_filter(build, "bk")
+    )
+    pruned_keys = {r.pk for r in pruned.collect()}
+    true_keys = set(range(0, 100, 7))
+    assert true_keys <= pruned_keys
+    assert len(pruned_keys) < probe.count()  # nulls + most non-matches gone
+    assert None not in pruned_keys  # inner-join semantics
+
+
+def test_bloom_filter_is_one_bounded_row(spark):
+    _, build = _sides(spark)
+    num_bits = 1 << 10
+    rows = build_bloom_filter(build, "bk", num_bits=num_bits).collect()
+    assert len(rows) == 1
+    words = rows[0].bloom
+    assert len(words) <= num_bits // 64
+    assert all(isinstance(w, int) for w in words.values())
+
+
+# ---------------------------------------------------------------- BM25
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "apple banana cherry apple"),
+            (2, "apple banana"),
+            (3, "banana banana banana durian"),
+            (4, "cherry durian"),
+            (5, "unrelated words only here"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """'durian' (df=2) must contribute more than 'banana' (df=3): doc 4
+    (durian, no banana) should outrank doc 2 (banana, no durian)."""
+    out = bm25_topk(_corpus(spark), ["banana", "durian"], k=10).collect()
+    ranks = {r.doc_id: i for i, r in enumerate(out)}
+    assert set(ranks) == {1, 2, 3, 4}  # doc 5 has no query term
+    assert ranks[3] == 0  # has both terms, tf(banana)=3 → top
+    assert ranks[4] < ranks[2]
+    hits = {r.doc_id: r.n_terms_hit for r in out}
+    assert hits == {3: 2, 4: 1, 2: 1, 1: 1}
+
+
+def test_bm25_duplicate_query_terms_collapse(spark):
+    once = bm25_topk(_corpus(spark), ["banana"], k=10).collect()
+    twice = bm25_topk(_corpus(spark), ["banana", "banana"], k=10).collect()
+    assert [(r.doc_id, r.score) for r in once] == [
+        (r.doc_id, r.score) for r in twice
+    ]
+
+
+def test_bm25_score_monotone_in_tf(spark):
+    """Among docs equal in length, higher tf of the query term scores
+    higher (saturating, but strictly monotone)."""
+    docs = spark.createDataFrame(
+        [(1, "x x x a"), (2, "x x a a"), (3, "x a a a")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["a"], k=3).collect()
+    assert [r.doc_id for r in out] == [3, 2, 1]
+
+
+# ---------------------------------------------------------------- resample
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_resample_grid_and_ffill(spark):
+    events = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:10:00"), 10.0),
+            (1, _ts("2024-01-01 00:50:00"), 20.0),  # hour 0 mean = 15
+            # hours 1-2 are gaps
+            (1, _ts("2024-01-01 03:05:00"), 40.0),
+            (2, _ts("2024-01-01 05:30:00"), 7.0),  # single-bucket series
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = resample_ffill(events, "user_id", "ts", "value")
+    rows = {(r.key, r.bucket_ts.hour): (r.val, r.is_gap) for r in out.collect()}
+    assert len(rows) == 4 + 1  # key 1: hours 0..3; key 2: hour 5
+    assert rows[(1, 0)] == (15.0, False)
+    assert rows[(1, 1)] == (15.0, True)  # carried forward
+    assert rows[(1, 2)] == (15.0, True)
+    assert rows[(1, 3)] == (40.0, False)
+    assert rows[(2, 5)] == (7.0, False)
+
+
+def test_resample_no_cross_key_leak(spark):
+    """Fill must restart per key — key 2's first bucket may not inherit
+    key 1's value even though it sorts later globally."""
+    events = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00"), 100.0),
+            (2, _ts("2024-01-01 02:00:00"), 5.0),
+            (2, _ts("2024-01-01 04:00:00"), 9.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = resample_ffill(events, "user_id", "ts", "value")
+    k2 = {r.bucket_ts.hour: r.val for r in out.filter("key = 2").collect()}
+    assert k2 == {2: 5.0, 3: 5.0, 4: 9.0}
+
+
+# ---------------------------------------------------------------- outliers
+
+def test_mad_outlier_flags_planted_spike(spark):
+    base = [("a", float(i), 100.0 + (i % 11) - 5.0) for i in range(200)]
+    spike = [("a", 900.0, 500.0), ("a", 901.0, -300.0)]
+    df = spark.createDataFrame(
+        [(g, i, v) for g, i, v in base + spike],
+        "grp string, event_id double, value double",
+    )
+    out = robust_outliers(df, "grp", "value", threshold=3.5)
+    flagged = {r.event_id for r in out.collect()}
+    assert flagged == {900.0, 901.0}
+    signs = {r.event_id: r.mod_z for r in out.collect()}
+    assert signs[900.0] > 0 and signs[901.0] < 0
+
+
+def test_mad_constant_group_yields_no_outliers(spark):
+    df = spark.createDataFrame(
+        [("c", float(i), 42.0) for i in range(50)] + [("c", 99.0, 42.0)],
+        "grp string, event_id double, value double",
+    )
+    assert robust_outliers(df, "grp", "value").count() == 0
+
+
+def test_mad_groups_independent(spark):
+    """A value that's an outlier in a tight group is normal in a wide
+    one — stats must be per-group."""
+    tight = [("t", float(i), 10.0 + (i % 3) * 0.1) for i in range(60)]
+    wide = [("w", float(100 + i), float(i * 37 % 500)) for i in range(60)]
+    df = spark.createDataFrame(
+        tight + [("t", 999.0, 50.0)] + wide + [("w", 998.0, 50.0)],
+        "grp string, event_id double, value double",
+    )
+    out = robust_outliers(df, "grp", "value", threshold=3.5).collect()
+    assert ("t", 999.0) in {(r.grp, r.event_id) for r in out}
+    assert ("w", 998.0) not in {(r.grp, r.event_id) for r in out}
+
+
+def test_bloom_prune_runs_below_exact_join(spark):
+    """Plan pin: the bloom bit-check (BroadcastNestedLoopJoin with the
+    1-row filter) must sit BELOW the exact join in the physical plan —
+    rows are dropped in the scan-side stage, before the join moves
+    them. (Deeper nodes print later in the plan string.)"""
+    probe, build = _sides(spark)
+    plan = (
+        bloom_pruned_join(probe, build, "pk", "bk")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    bnl = plan.index("BroadcastNestedLoopJoin")
+    exact = min(
+        i for i in (
+            plan.find("BroadcastHashJoin"),
+            plan.find("SortMergeJoin"),
+            plan.find("ShuffledHashJoin"),
+        ) if i >= 0
+    )
+    assert bnl > exact  # bloom check is a child of (runs before) the join
