@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     "doc_bm25_search",
     "events_resample_ffill",
     "events_outlier_mad",
+    "events_histogram",
+    "emb_covariance",
+    "doc_tfidf_similar",
 ]
 
 

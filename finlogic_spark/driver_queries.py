@@ -4747,3 +4747,147 @@ def events_outlier_mad(spark, sf_dir):
         "event_id", "event_type", "value", "grp_median", "grp_mad",
         rN(F.col("mod_z"), 6).alias("mod_z"),
     ).orderBy("event_id")
+
+
+@q(
+    "events_histogram",
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(greatest(0, least(floor((value - 0.0) / 50.0), 9)) AS INT)
+               AS bin,
+             count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, bin, n,
+           0.0 + bin * 50.0 AS bin_lo,
+           0.0 + (bin + 1) * 50.0 AS bin_hi
+    FROM h ORDER BY event_type, bin
+    """,
+)
+def events_histogram(spark, sf_dir):
+    # Fixed-bound equi-width histogram per group: ONE map-side-
+    # combining aggregate over (group, bin) keys, single pass — the
+    # scale shape (data-driven bounds would need a min/max pre-pass).
+    from finlogic_spark.operators.profile import histogram_fixed
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        histogram_fixed(e, "event_type", "value", 0.0, 500.0, 10)
+        .select("event_type", "bin", "n", "bin_lo", "bin_hi")
+        .orderBy("event_type", "bin")
+    )
+
+
+@q(
+    "emb_covariance",
+    """
+    WITH px AS (
+      SELECT vec_id, r.range - 1 AS i,
+             CAST(embedding[r.range] AS DOUBLE) AS x,
+             CAST(floor(CAST(embedding[r.range] AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS xq
+      FROM embeddings, range(1, 65) r),
+    sums AS (
+      SELECT a.i AS i, b.i AS j,
+             sum(CAST(floor(a.x * b.x * 1000000.0 + 0.5) AS BIGINT)) AS sp,
+             count(*) AS n
+      FROM px a JOIN px b USING (vec_id) GROUP BY 1, 2),
+    means AS (SELECT i, sum(xq) AS sx FROM px GROUP BY 1)
+    SELECT s.i, s.j,
+           floor((CAST(s.sp AS DOUBLE) / 1000000.0 / s.n
+                  - (CAST(mi.sx AS DOUBLE) / 1000000.0 / s.n)
+                    * (CAST(mj.sx AS DOUBLE) / 1000000.0 / s.n))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cov
+    FROM sums s JOIN means mi ON mi.i = s.i JOIN means mj ON mj.i = s.j
+    ORDER BY s.i, s.j
+    """,
+)
+def emb_covariance(spark, sf_dir):
+    # Covariance of the embedding corpus (PCA / OPQ-rotation prep):
+    # per-row outer products quantized to integer micro-units, ONE
+    # groupBy over d^2 = 4096 keys with map-side combine — shuffle
+    # cost O(partitions * d^2), independent of row count. The i/j are
+    # 0-based; oracle mirrors via 1-based subscripts minus one.
+    from finlogic_spark.operators.linalg import covariance_matrix
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cov = covariance_matrix(emb, "embedding", 64)
+    return cov.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        rN(F.col("cov"), 6).alias("cov"),
+    ).orderBy("i", "j")
+
+
+@q(
+    "doc_tfidf_similar",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents),
+    postings AS (
+      SELECT token, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM postings),
+    dfs AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM postings GROUP BY 1),
+    wtd AS (
+      SELECT p.doc_id, p.token,
+             p.tf * ln(CAST((SELECT n_docs FROM nd) AS DOUBLE)
+                       / CAST(f.df AS DOUBLE)) AS w
+      FROM postings p JOIN dfs f USING (token)),
+    norms AS (
+      SELECT doc_id,
+             sqrt(CAST(sum(CAST(floor(w * w * 1000000.0 + 0.5) AS BIGINT))
+                       AS DOUBLE) / 1000000.0) AS norm
+      FROM wtd GROUP BY 1),
+    qp AS (
+      SELECT doc_id AS query_id, token, w AS wq
+      FROM wtd WHERE doc_id IN (0, 1, 2, 3, 4)),
+    dots AS (
+      SELECT q.query_id, d.doc_id,
+             sum(CAST(floor(q.wq * d.w * 1000000.0 + 0.5) AS BIGINT)) AS dot_u
+      FROM wtd d JOIN qp q USING (token)
+      WHERE d.doc_id != q.query_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT dt.query_id, dt.doc_id,
+             floor(CAST(dt.dot_u AS DOUBLE) / 1000000.0
+                   / (qn.norm * dn.norm) * 1000000.0 + 0.5) / 1000000.0
+               AS cos_sim
+      FROM dots dt JOIN norms qn ON qn.doc_id = dt.query_id
+                   JOIN norms dn ON dn.doc_id = dt.doc_id)
+    SELECT query_id, doc_id, cos_sim, rk FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, doc_id ASC)
+        AS INTEGER) AS rk
+      FROM scored) WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def doc_tfidf_similar(spark, sf_dir):
+    # Lexical "more like this": tf-idf cosine top-5 per query doc.
+    # Candidates come only from the token equi-join against the 5
+    # broadcast query docs' postings — bounded by |Q| x df, never
+    # all-pairs. Micro-unit-quantized dot/norm sums keep the cosine
+    # identical across engines and partitionings.
+    from finlogic_spark.operators.search import tfidf_similar
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_similar(d, [0, 1, 2, 3, 4], k=5).orderBy("query_id", "rk")
+
+
+@q("emb_pca_project")  # no SQL oracle: eigendecomposition isn't SQL-
+# expressible; invariants (orthonormality, variance ordering, numpy
+# parity) are pinned in tests/test_round6b_ops.py instead.
+def emb_pca_project(spark, sf_dir):
+    # PCA pipeline end-to-end: cluster-side covariance reduction →
+    # bounded 64x64 driver eigh (32 KB, like the k-means centroid
+    # collect) → expression-only zero-shuffle projection. Output
+    # rounded to 6 dp for stable hashing.
+    from finlogic_spark.operators.linalg import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pca_project(emb, "embedding", 64, 4)
+    return out.select(
+        "id",
+        F.transform(F.col("proj"), lambda x: rN(x, 6)).alias("proj"),
+    ).orderBy("id")

@@ -16,45 +16,33 @@ False positives are possible (removed by the exact join that follows);
 false negatives are not — the pruned join is bitwise-identical to the
 unpruned one.
 
-Layout: the filter is a map<long,long> of 64-bit words keyed by word
-index, built with one tiny shuffle (groupBy over at most num_bits/64
-word rows, partial bit_or combines map-side). It stays a 1-row
-DataFrame end-to-end — broadcast-nested-loop joined onto the probe, no
-driver collect, so the same plan runs unchanged on a real cluster.
-k hash functions are xxhash64 seeded 0..k-1 (the same 64-bit hash
-family Spark's own runtime bloom filters use).
+Layout: the filter is a DENSE array<long> of num_bits/64 words held in
+a 1-row DataFrame, built with one tiny shuffle (groupBy over at most
+num_bits/64 word rows, partial bit_or combines map-side) and broadcast
+onto the probe — no driver collect, so the same plan runs unchanged on
+a real cluster. k hash functions are xxhash64 seeded 0..k-1 (the same
+64-bit hash family Spark's own runtime bloom filters use).
+
+Probe-cost note (measured at 10x bench scale): the bit test is built
+as a SQL expression string — ``shiftleft(1L, pos % 64)`` — because the
+PySpark ``shiftleft`` wrapper only accepts a Python-int shift, and the
+workaround (indexing a 64-literal CreateArray per row per hash) showed
+up as the dominant probe cost (3.3x the expression-form wall time).
+The dense array (not map_from_entries) matters for the same reason:
+Spark's map element_at linearly scans the entries; array indexing is
+O(1).
 """
 
 from __future__ import annotations
 
-from functools import reduce
-
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
-    """k bit positions for a key: pmod(xxhash64(key, seed), m). pmod
-    (not %) so negative hashes land in [0, m)."""
-    return [
-        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
-        for i in range(num_hashes)
-    ]
-
-
-def _bit(pos: Column) -> Column:
-    """1 << (pos % 64) as a signed long, via a literal powers-of-two
-    table (PySpark's shiftleft only takes a Python-int shift, not a
-    Column). Index 63 wraps to the sign bit: Java long has no unsigned
-    1<<63, the negative value IS that bit pattern. Built per call, not
-    at module scope — Column literals need a live SparkContext."""
-    pow2 = F.array(
-        *[
-            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
-            for i in range(64)
-        ]
-    )
-    return F.element_at(pow2, (pos % 64).cast("int") + F.lit(1))
+def _pos_sql(key_col: str, seed: int, num_bits: int) -> str:
+    """Bit position for hash ``seed``: pmod(xxhash64(key, seed), m).
+    pmod (not %) so negative hashes land in [0, m)."""
+    return f"pmod(xxhash64({key_col}, {seed}), {num_bits})"
 
 
 def build_bloom_filter(
@@ -63,32 +51,47 @@ def build_bloom_filter(
     num_bits: int = 1 << 17,
     num_hashes: int = 5,
 ) -> DataFrame:
-    """1-row DataFrame ``(bloom: map<long,long>)`` — the bit-set of the
-    build side's keys, packed into 64-bit words keyed by word index.
-    Absent words are all-zero (element_at → null on probe = certain
-    miss). Null build keys set no bits: a null key never equi-joins, so
-    dropping it from the filter cannot create a false negative.
+    """1-row DataFrame ``(bloom: array<long>)`` — the bit-set of the
+    build side's keys packed into a dense array of num_bits/64 words
+    (untouched words are 0). Null build keys set no bits: a null key
+    never equi-joins, so dropping it cannot create a false negative.
 
     Size the filter to the build side: with k=5 hashes, m ≈ 10 bits per
-    distinct key gives ~1% false-positive rate; the map costs at most
+    distinct key gives ~1% false-positive rate; the array costs
     num_bits/8 bytes regardless of build cardinality.
     """
+    n_words = (num_bits + 63) // 64
     pos = F.explode(
-        F.array(*_positions(F.col(key_col), num_bits, num_hashes))
+        F.array(
+            *[
+                F.expr(_pos_sql(key_col, i, num_bits))
+                for i in range(num_hashes)
+            ]
+        )
     ).alias("pos")
     words = (
         build.filter(F.col(key_col).isNotNull())
         .select(pos)
         .select(
-            F.floor(F.col("pos") / F.lit(64)).cast("long").alias("w"),
-            _bit(F.col("pos")).alias("bit"),
+            F.expr("CAST(pos DIV 64 AS INT)").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            .alias("bit"),
         )
         .groupBy("w")
         .agg(F.expr("bit_or(bit)").alias("word"))
     )
+    # Densify in the 1-row build plan (n_words map lookups, once) so
+    # every probe-row lookup is O(1) array indexing, not a map scan.
     return words.agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("w"), F.col("word")))
+        ).alias("m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("m"), i), F.lit(0).cast("long")
+            ),
         ).alias("bloom")
     )
 
@@ -103,17 +106,25 @@ def bloom_prune(
     """Rows of ``probe`` whose key MIGHT be in the filter (all k bits
     set). Guaranteed superset of the exact semi-join — follow with the
     real join to discard false positives. num_bits/num_hashes must
-    match the build call. The 1-row filter broadcasts (BNL join with a
-    single row is a broadcast of the filter map, not a shuffle of the
-    probe); probe rows with a null key are dropped, matching inner-join
-    semantics.
+    match the build call. The 1-row filter broadcasts (a broadcast of
+    the word array, never a shuffle of the probe); probe rows with a
+    null key are dropped EXPLICITLY — Spark's xxhash64 hashes NULL to
+    the seed (not to NULL), so without the guard a null key would probe
+    real bit positions — matching inner-join semantics either way.
     """
-    probed = probe.join(F.broadcast(bloom))
-    checks = []
-    for p in _positions(F.col(key_col), num_bits, num_hashes):
-        word = F.element_at(F.col("bloom"), F.floor(p / F.lit(64)).cast("long"))
-        checks.append(word.isNotNull() & (word.bitwiseAND(_bit(p)) != 0))
-    return probed.filter(reduce(lambda a, b: a & b, checks)).drop("bloom")
+    checks = [f"({key_col} IS NOT NULL)"]
+    for i in range(num_hashes):
+        pos = _pos_sql(key_col, i, num_bits)
+        checks.append(
+            f"(element_at(bloom, CAST(({pos}) DIV 64 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(({pos}) % 64 AS INT)))"
+            " != 0"
+        )
+    return (
+        probe.join(F.broadcast(bloom))
+        .filter(F.expr(" AND ".join(checks)))
+        .drop("bloom")
+    )
 
 
 def bloom_pruned_join(

@@ -121,3 +121,34 @@ def robust_outliers(
         .withColumnRenamed("__med", "grp_median")
         .withColumnRenamed("__mad", "grp_mad")
     )
+
+
+def histogram_fixed(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Per-group equi-width histogram over FIXED bounds [lo, hi):
+    (group, bin, bin_lo, bin_hi, n). Values at/above ``hi`` clamp into
+    the last bin; values below ``lo`` into bin 0. Fixed bounds are the
+    scale-friendly shape — one map-side-combining aggregate over
+    (group, bin) keys, a single pass; data-driven bounds need a min/max
+    pre-pass (two scans) and make bins non-comparable across runs.
+    """
+    w = (hi - lo) / n_bins
+    bin_col = F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)),
+            F.lit(n_bins - 1),
+        ),
+    ).cast("int")
+    return (
+        df.groupBy(F.col(group_col), bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bin_lo", F.lit(lo) + F.col("bin") * F.lit(w))
+        .withColumn("bin_hi", F.lit(lo) + (F.col("bin") + 1) * F.lit(w))
+    )

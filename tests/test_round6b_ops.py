@@ -79,9 +79,10 @@ def test_bloom_filter_is_one_bounded_row(spark):
     num_bits = 1 << 10
     rows = build_bloom_filter(build, "bk", num_bits=num_bits).collect()
     assert len(rows) == 1
-    words = rows[0].bloom
-    assert len(words) <= num_bits // 64
-    assert all(isinstance(w, int) for w in words.values())
+    words = rows[0].bloom  # dense array<long>, O(1) probe lookup
+    assert len(words) == num_bits // 64
+    assert all(isinstance(w, int) for w in words)
+    assert any(w != 0 for w in words)
 
 
 # ---------------------------------------------------------------- BM25
@@ -230,3 +231,124 @@ def test_bloom_prune_runs_below_exact_join(spark):
         ) if i >= 0
     )
     assert bnl > exact  # bloom check is a child of (runs before) the join
+
+
+# ---------------------------------------------------------------- histogram
+
+def test_histogram_bins_and_clamping(spark):
+    from finlogic_spark.operators.profile import histogram_fixed
+
+    df = spark.createDataFrame(
+        [("g", -5.0), ("g", 0.0), ("g", 9.9), ("g", 10.0), ("g", 55.0),
+         ("g", 100.0), ("g", 250.0)],
+        "grp string, v double",
+    )
+    out = {r.bin: r.n for r in
+           histogram_fixed(df, "grp", "v", 0.0, 100.0, 10).collect()}
+    # -5 clamps into bin 0; 100 and 250 clamp into bin 9
+    assert out == {0: 3, 1: 1, 5: 1, 9: 2}
+
+
+def test_histogram_edges(spark):
+    from finlogic_spark.operators.profile import histogram_fixed
+
+    df = spark.createDataFrame([("g", 50.0)], "grp string, v double")
+    r = histogram_fixed(df, "grp", "v", 0.0, 100.0, 10).collect()[0]
+    assert (r.bin, r.bin_lo, r.bin_hi) == (5, 50.0, 60.0)
+
+
+# ---------------------------------------------------------------- covariance
+
+def test_covariance_matches_numpy(spark):
+    import numpy as np
+    from finlogic_spark.operators.linalg import covariance_matrix
+
+    rng = [[float(((i * 7 + j * 13) % 10) / 10.0) for j in range(4)]
+           for i in range(30)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "id long, vec array<double>"
+    )
+    got = {(r.i, r.j): r.cov
+           for r in covariance_matrix(df, "vec", 4).collect()}
+    want = np.cov(np.array(rng), rowvar=False, bias=True)
+    for i in range(4):
+        for j in range(4):
+            assert abs(got[(i, j)] - want[i, j]) < 1e-4  # micro-unit quantized
+    # symmetric by construction
+    for i in range(4):
+        for j in range(4):
+            assert abs(got[(i, j)] - got[(j, i)]) < 2e-6
+
+
+# ---------------------------------------------------------------- tf-idf sim
+
+def test_tfidf_similar_finds_near_duplicate(spark):
+    from finlogic_spark.operators.search import tfidf_similar
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),     # near-dup of 0
+            (2, "alpha beta something else"),  # partial overlap
+            (3, "totally different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_similar(docs, [0], k=3).collect()
+    assert out[0].doc_id == 1 and out[0].rk == 1
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids  # no shared informative token
+    assert 0 not in ids  # self excluded
+
+
+def test_tfidf_similar_per_query_topk(spark):
+    from finlogic_spark.operators.search import tfidf_similar
+
+    docs = spark.createDataFrame(
+        [(i, f"common w{i % 3} filler") for i in range(12)],
+        "doc_id long, text string",
+    )
+    out = tfidf_similar(docs, [0, 1], k=2)
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1}
+    for qid in (0, 1):
+        rks = sorted(r.rk for r in rows if r.query_id == qid)
+        assert rks == [1, 2]
+
+
+def test_pca_project_matches_numpy(spark):
+    import numpy as np
+    from finlogic_spark.operators.linalg import pca_project
+
+    data = [[float(((i * 3 + j * 5) % 7) - 3) + (0.5 if j == 0 else 0.0)
+             for j in range(6)] for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(data)], "vec_id long, vec array<double>"
+    )
+    got = {r.id: list(r.proj) for r in pca_project(df, "vec", 6, 2).collect()}
+    X = np.array(data)
+    C = np.cov(X, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(C)
+    comps = vecs[:, ::-1][:, :2]
+    for c in range(2):
+        j = int(np.abs(comps[:, c]).argmax())
+        if comps[j, c] < 0:
+            comps[:, c] = -comps[:, c]
+    want = X @ comps
+    for i in range(40):
+        for c in range(2):
+            assert abs(got[i][c] - want[i, c]) < 1e-3  # cov quantized @1e-6
+
+
+def test_pca_projected_variance_is_ordered(spark):
+    import numpy as np
+    from finlogic_spark.operators.linalg import pca_project
+
+    data = [[float((i * 13 + j * j * 7) % 11) for j in range(5)]
+            for i in range(60)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(data)], "vec_id long, vec array<double>"
+    )
+    P = np.array([r.proj for r in pca_project(df, "vec", 5, 3).collect()])
+    variances = P.var(axis=0)
+    assert variances[0] >= variances[1] >= variances[2]
