@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "events_histogram",
     "emb_covariance",
     "doc_tfidf_similar",
+    "doc_token_pmi",
 ]
 
 

@@ -4891,3 +4891,35 @@ def emb_pca_project(spark, sf_dir):
         "id",
         F.transform(F.col("proj"), lambda x: rN(x, 6)).alias("proj"),
     ).orderBy("id")
+
+
+@q(
+    "doc_token_pmi",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS token FROM documents),
+    n_t AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM toks),
+    pairs AS (
+      SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS n_ab
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2 HAVING count(*) >= 5)
+    SELECT tok_a, tok_b, n_ab,
+           floor(ln(CAST(n_ab AS DOUBLE) * (SELECT n_docs FROM nd)
+                    / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS pmi
+    FROM pairs JOIN n_t na ON na.token = tok_a
+               JOIN n_t nb ON nb.token = tok_b
+    ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 20
+    """,
+)
+def doc_token_pmi(spark, sf_dir):
+    # Collocation mining: document-presence PMI over one doc-keyed
+    # self-join (pairs bounded by per-doc distinct tokens, never corpus
+    # size) + broadcast unigram counts. All counts exact ints; the pmi
+    # double folds them in a fixed order on both engines.
+    from finlogic_spark.operators.corpus import token_cooccurrence
+
+    d = _t(spark, sf_dir, "documents")
+    return token_cooccurrence(d, min_support=5, k=20)

@@ -250,3 +250,72 @@ def unigram_logprob_score(
             / F.lit(1e6)
         ).alias("logprob_per_token"),
     )
+
+
+def token_cooccurrence(
+    docs: DataFrame,
+    min_support: int = 5,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k token pairs by pointwise mutual information:
+    (tok_a, tok_b, n_ab, pmi), tok_a < tok_b, n_ab >= min_support —
+    collocation mining / compound-term discovery over a corpus.
+
+    pmi = ln(P(a,b) / (P(a)P(b))) over document-level presence: every
+    count is an exact integer (distinct tokens per doc, one doc-keyed
+    self-join for pairs, partial-agg counts), and the one double
+    expression folds them in a fixed order — engine-deterministic.
+
+    Scale shape: the self-join shuffles on doc_id and emits L²/2 pairs
+    per doc where L = DISTINCT tokens per doc (bounded by doc length,
+    NOT corpus size); counts partial-aggregate map-side. At real corpus
+    scale, cap L by pre-pruning ultra-common tokens (they carry pmi ~ 0
+    by construction) with a document-frequency filter like
+    text_dedup.ngram_jaccard's — the same guard, same reason.
+    """
+    from finlogic_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+    )
+    n_t = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    n_docs = (
+        toks.groupBy("doc_id")
+        .agg(F.lit(1).alias("__one"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    )
+    a = toks.select(F.col("doc_id"), F.col("token").alias("tok_a"))
+    b = toks.select(F.col("doc_id"), F.col("token").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    na = n_t.select(F.col("token").alias("tok_a"), F.col("n").alias("n_a"))
+    nb = n_t.select(F.col("token").alias("tok_b"), F.col("n").alias("n_b"))
+    pmi = F.log(
+        F.col("n_ab").cast("double")
+        * F.col("n_docs")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    scored = (
+        pairs.join(F.broadcast(na), "tok_a")
+        .join(F.broadcast(nb), "tok_b")
+        .join(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            (F.floor(pmi * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
+        ).limit(k)
+    )

@@ -233,3 +233,42 @@ def write_csv(
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines sink (interchange edge, same caveats as CSV)."""
     df.write.mode(mode).json(path)
+
+
+def read_evolved(
+    spark: SparkSession,
+    paths: list[str],
+    renames: dict[str, str] | None = None,
+    casts: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read parquet written under an EVOLVING schema as one DataFrame —
+    the add-column / rename-column / widen-type story a long-lived
+    table accumulates (what Delta/Iceberg call schema evolution,
+    expressed with Spark primitives).
+
+    - Added columns: ``mergeSchema`` unions the file schemas; files
+      written before a column existed yield NULL for it — one footer
+      read per file, no data rewrite.
+    - Renamed columns: parquet matches by name, so a rename looks like
+      drop+add. ``renames`` maps old→new; each old column's values are
+      coalesced into the new name (old files populate it, new files
+      already carry it), then the old name is dropped.
+    - Widened types: ``casts`` maps column→target type, applied last
+      (e.g. int→bigint, float→double — the lossless widenings).
+
+    At 100 TB none of this touches data files: schema reconciliation is
+    footer metadata + per-row projection in the scan. The rewrite-free
+    property is exactly why evolution beats migration for big tables.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    for old, new in (renames or {}).items():
+        if old in df.columns and new in df.columns:
+            df = df.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(
+                old
+            )
+        elif old in df.columns:
+            df = df.withColumnRenamed(old, new)
+    for col, dtype in (casts or {}).items():
+        if col in df.columns:
+            df = df.withColumn(col, F.col(col).cast(dtype))
+    return df

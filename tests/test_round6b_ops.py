@@ -352,3 +352,61 @@ def test_pca_projected_variance_is_ordered(spark):
     P = np.array([r.proj for r in pca_project(df, "vec", 5, 3).collect()])
     variances = P.var(axis=0)
     assert variances[0] >= variances[1] >= variances[2]
+
+
+def test_token_pmi_detects_collocation(spark):
+    import math
+
+    from finlogic_spark.operators.corpus import token_cooccurrence
+
+    # "rock"/"roll" appear ONLY together, in half the docs →
+    # pmi = ln(10·20/(10·10)) = ln 2. "filler" is everywhere → every
+    # pair with it has pmi 0. "cat"/"dog" never co-occur.
+    docs = spark.createDataFrame(
+        [(i, "filler "
+          + ("rock roll" if i % 2 else ("cat" if i % 4 == 0 else "dog")))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = token_cooccurrence(docs, min_support=3, k=10).collect()
+    assert (out[0].tok_a, out[0].tok_b) == ("rock", "roll")
+    pairs = {(r.tok_a, r.tok_b): r.pmi for r in out}
+    assert abs(pairs[("rock", "roll")] - math.log(2.0)) < 1e-6
+    assert ("cat", "dog") not in pairs  # never co-occur
+    assert pairs[("filler", "rock")] == 0.0  # independent of ubiquitous
+
+
+def test_token_pmi_counts_presence_not_frequency(spark):
+    from finlogic_spark.operators.corpus import token_cooccurrence
+
+    docs = spark.createDataFrame(
+        [(0, "x y x y x y"), (1, "x y")],
+        "doc_id long, text string",
+    )
+    out = token_cooccurrence(docs, min_support=1, k=5).collect()
+    assert len(out) == 1
+    assert out[0].n_ab == 2  # 2 docs, not 4 token repetitions
+
+
+def test_read_evolved_schema(spark, tmp_path):
+    """Add-column + rename + widen across parquet generations: no data
+    rewrite, old files fill renamed/added columns via coalesce/NULL."""
+    from finlogic_spark.sources import read_evolved
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "id long, val_old int"
+    ).write.parquet(v1)
+    spark.createDataFrame(
+        [(3, 30, "x")], "id long, val_new int, extra string"
+    ).write.parquet(v2)
+    out = read_evolved(
+        spark, [v1, v2],
+        renames={"val_old": "val_new"},
+        casts={"val_new": "bigint"},
+    )
+    assert "val_old" not in out.columns
+    assert dict(out.dtypes)["val_new"] == "bigint"
+    rows = {r.id: (r.val_new, r.extra) for r in out.collect()}
+    assert rows == {1: (10, None), 2: (20, None), 3: (30, "x")}
