@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "emb_covariance",
     "doc_tfidf_similar",
     "doc_token_pmi",
+    "doc_source_cap",
 ]
 
 

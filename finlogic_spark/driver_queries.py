@@ -4923,3 +4923,30 @@ def doc_token_pmi(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return token_cooccurrence(d, min_support=5, k=20)
+
+
+@q(
+    "doc_source_cap",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS INTEGER) AS rn
+      FROM documents)
+    WHERE rn <= 10 ORDER BY source, doc_id
+    """,
+)
+def doc_source_cap(spark, sf_dir):
+    # Domain cap: deterministic hash-ranked sample of <=50 docs per
+    # source (caps bite: 25/source in the test tables) — reshuffle-
+    # proof (md5, not RNG), one window shuffle on
+    # the group key. The curation step that stops one domain from
+    # dominating the training mix.
+    from finlogic_spark.operators.corpus import cap_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(d, "source", "doc_id", cap=10).orderBy(
+        "source", "doc_id"
+    )

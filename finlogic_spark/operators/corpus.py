@@ -319,3 +319,34 @@ def token_cooccurrence(
             F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
         ).limit(k)
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep a deterministic sample of at most ``cap`` rows per group —
+    the domain-cap/contributor-cap step of corpus curation (no single
+    source may dominate the training mix).
+
+    Selection ranks rows inside each group by md5(salt‖id): stable
+    under any partitioning or insertion order (a "random with seed"
+    sample is irreproducible across repartitions), uniform because the
+    hash is, and re-runnable — the same rows survive every time. One
+    window shuffle on the group key; skew equals the largest single
+    group, the same bound the downstream pipeline already carries.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

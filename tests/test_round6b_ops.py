@@ -410,3 +410,21 @@ def test_read_evolved_schema(spark, tmp_path):
     assert dict(out.dtypes)["val_new"] == "bigint"
     rows = {r.id: (r.val_new, r.extra) for r in out.collect()}
     assert rows == {1: (10, None), 2: (20, None), 3: (30, "x")}
+
+
+def test_cap_per_group_deterministic_and_bounded(spark):
+    from finlogic_spark.operators.corpus import cap_per_group
+
+    df = spark.createDataFrame(
+        [(f"s{i % 3}", i) for i in range(90)], "src string, id long"
+    )
+    a = cap_per_group(df, "src", "id", cap=7)
+    counts = {r.src: r.n for r in
+              a.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"s0": 7, "s1": 7, "s2": 7}
+    # reshuffle-proof: a different partitioning keeps the SAME rows
+    b = cap_per_group(df.repartition(13, "id"), "src", "id", cap=7)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # small groups pass through untouched
+    tiny = spark.createDataFrame([("t", 1), ("t", 2)], "src string, id long")
+    assert cap_per_group(tiny, "src", "id", cap=7).count() == 2
