@@ -4939,9 +4939,9 @@ def doc_token_pmi(spark, sf_dir):
     """,
 )
 def doc_source_cap(spark, sf_dir):
-    # Domain cap: deterministic hash-ranked sample of <=50 docs per
-    # source (caps bite: 25/source in the test tables) — reshuffle-
-    # proof (md5, not RNG), one window shuffle on
+    # Domain cap: deterministic hash-ranked sample of <=10 docs per
+    # source (25/source in the test tables, so the cap binds) —
+    # reshuffle-proof (md5, not RNG), one window shuffle on
     # the group key. The curation step that stops one domain from
     # dominating the training mix.
     from finlogic_spark.operators.corpus import cap_per_group

@@ -39,10 +39,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _pos_sql(key_col: str, seed: int, num_bits: int) -> str:
-    """Bit position for hash ``seed``: pmod(xxhash64(key, seed), m).
-    pmod (not %) so negative hashes land in [0, m)."""
-    return f"pmod(xxhash64({key_col}, {seed}), {num_bits})"
+def _pos_sql(key_col: str, i: int, num_bits: int) -> str:
+    """Bit position i via Kirsch–Mitzenmacher double hashing:
+    pos_i = pmod(h1 + i·(h2|1), m) with h1/h2 = xxhash64(key, 0/1).
+    Two base hashes serve all k positions (plain per-i seeding costs k
+    xxhash64 per row — and 2k after the optimizer re-inlines each
+    position into its DIV 64 and % 64 uses; KM caps that at 4). h2|1
+    keeps the stride odd, coprime with the power-of-two m. pmod (not %)
+    so negative values land in [0, m).
+
+    CONTRACT: build and probe keys must be the SAME TYPE — xxhash64 is
+    type-sensitive (xxhash64(int 5) != xxhash64(bigint 5)), so a type
+    mismatch silently produces false negatives. bloom_pruned_join
+    enforces this; callers composing build/prune directly must too."""
+    # Reduce each base hash mod m BEFORE combining: raw h1 + i*h2 on
+    # full-range int64 overflows (ANSI mode throws). After pmod both
+    # operands are < m, so the combination stays far from the limit.
+    # (h2|1) is odd, and an odd value stays odd under pmod by a
+    # power-of-two m — the stride remains coprime with m.
+    h1 = f"pmod(xxhash64({key_col}, 0), {num_bits})"
+    h2 = f"pmod(xxhash64({key_col}, 1) | CAST(1 AS BIGINT), {num_bits})"
+    return f"pmod({h1} + {i} * {h2}, {num_bits})"
 
 
 def build_bloom_filter(
@@ -136,8 +153,27 @@ def bloom_pruned_join(
     num_hashes: int = 5,
 ) -> DataFrame:
     """Inner equi-join with the probe side bloom-reduced first. Result
-    is identical to ``probe.join(build, probe_key == build_key)`` —
-    the filter only removes rows the join would drop anyway."""
+    is identical to the plain inner join — the filter only removes rows
+    the join would drop anyway. Same-named keys join by name (one
+    merged key column, like ``probe.join(build, key)``); distinct names
+    keep both columns.
+
+    Raises on probe/build key dtype mismatch: xxhash64 is
+    type-sensitive, so hashing e.g. an int probe key against a bigint
+    build filter would silently drop matching rows (the equi-join
+    itself would have coerced them equal). Cast one side first.
+    """
+    p_type = dict(probe.dtypes)[probe_key]
+    b_type = dict(build.dtypes)[build_key]
+    if p_type != b_type:
+        raise TypeError(
+            f"bloom join key types differ (probe {probe_key}: {p_type}, "
+            f"build {build_key}: {b_type}); xxhash64 is type-sensitive, "
+            "so this would silently produce false negatives — cast one "
+            "side to the other's type first"
+        )
     bloom = build_bloom_filter(build, build_key, num_bits, num_hashes)
     pruned = bloom_prune(probe, probe_key, bloom, num_bits, num_hashes)
+    if probe_key == build_key:
+        return pruned.join(build, [probe_key])
     return pruned.join(build, F.col(probe_key) == F.col(build_key))

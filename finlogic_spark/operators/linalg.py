@@ -34,6 +34,11 @@ def covariance_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     quantized to micro-units, summed as integers, and the closed-form
     combination is a fixed sequence of double ops — engine-portable.
     """
+    # Enforce the fixed-dim contract: a ragged or null vector would
+    # silently drop cells, making each (i, j)'s n differ and the
+    # combined covariance wrong. Excluding bad rows keeps every cell's
+    # n identical (the formula's requirement).
+    df = df.filter(F.size(F.col(vec_col)) == dim)
     v = F.col(vec_col)
     cells = F.explode(
         F.flatten(
@@ -88,13 +93,18 @@ def pca_project(
     k: int,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Project vectors onto their top-k principal components:
-    (id, proj: array<double> length k). The d×d covariance reduces on
-    the cluster (see covariance_matrix — shuffle is O(partitions·d²));
-    only the d² matrix itself is collected for the eigendecomposition
+    """Project MEAN-CENTERED vectors onto their top-k principal
+    components: (id, proj: array<double> length k), scores zero-mean
+    per component as standard PCA defines them (projecting the raw
+    vectors would shift every coordinate by the constant μ·V_c —
+    harmless for distances, wrong for zero-thresholding or comparing
+    projections across snapshots whose corpus means differ, e.g. drift
+    detection). The d×d covariance reduces on the cluster (see
+    covariance_matrix — shuffle is O(partitions·d²)); only the d²
+    matrix + d-vector mean are collected for the eigendecomposition
     (64×64 = 32 KB here — bounded like the k-means centroid collect,
-    NOT row-scaled), and the components return to the executors as a
-    literal, so the projection is a narrow zero-shuffle map.
+    NOT row-scaled), and components + mean return to the executors as
+    literals, so the projection is a narrow zero-shuffle map.
 
     Component sign is normalized (largest-|loading| coordinate made
     positive) — eigenvectors are sign-ambiguous and numpy's choice is
@@ -106,6 +116,26 @@ def pca_project(
     C = np.zeros((dim, dim))
     for r in cov_rows:
         C[r.i, r.j] = r.cov
+    mean_rows = (
+        df.filter(F.size(F.col(vec_col)) == dim)
+        .select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("x").cast("double") * F.lit(1e6) + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1))
+            ).alias("mu")
+        )
+        .collect()
+    )
+    mu = np.zeros(dim)
+    for r in mean_rows:
+        mu[r.i] = r.mu
     # symmetrize: quantization leaves |C - C.T| <= 1e-6 asymmetry
     C = (C + C.T) / 2.0
     vals, vecs = np.linalg.eigh(C)  # ascending eigenvalues
@@ -118,15 +148,19 @@ def pca_project(
         F.array(*[F.lit(float(comps[i, c])) for i in range(dim)])
         for c in range(k)
     ]
+    mu_lit = F.array(*[F.lit(float(mu[i])) for i in range(dim)])
     v = F.col(vec_col)
+    centered = F.zip_with(v, mu_lit, lambda x, m: x.cast("double") - m)
     proj = F.array(
         *[
             F.aggregate(
-                F.zip_with(v, comp_lits[c], lambda x, y: x.cast("double") * y),
+                F.zip_with(centered, comp_lits[c], lambda x, y: x * y),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
             for c in range(k)
         ]
     )
-    return df.select(F.col(id_col).alias("id"), proj.alias("proj"))
+    return df.filter(F.size(v) == dim).select(
+        F.col(id_col).alias("id"), proj.alias("proj")
+    )

@@ -146,8 +146,17 @@ def histogram_fixed(
             F.lit(n_bins - 1),
         ),
     ).cast("int")
+    # NULL/NaN rows are excluded, not silently mis-binned: least/
+    # greatest SKIP null operands, so floor(NULL) -> least(NULL, 9)
+    # would land every NULL in the TOP bin; floor(NaN) casts to 0 and
+    # would land every NaN in bin 0. A histogram that invents counts in
+    # its extreme bins for missing data is worse than no histogram.
+    clean = df.filter(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    )
     return (
-        df.groupBy(F.col(group_col), bin_col.alias("bin"))
+        clean.groupBy(F.col(group_col), bin_col.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("bin_lo", F.lit(lo) + F.col("bin") * F.lit(w))
         .withColumn("bin_hi", F.lit(lo) + (F.col("bin") + 1) * F.lit(w))

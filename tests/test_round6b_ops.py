@@ -334,7 +334,7 @@ def test_pca_project_matches_numpy(spark):
         j = int(np.abs(comps[:, c]).argmax())
         if comps[j, c] < 0:
             comps[:, c] = -comps[:, c]
-    want = X @ comps
+    want = (X - X.mean(axis=0)) @ comps  # standard PCA: centered scores
     for i in range(40):
         for c in range(2):
             assert abs(got[i][c] - want[i, c]) < 1e-3  # cov quantized @1e-6
@@ -428,3 +428,61 @@ def test_cap_per_group_deterministic_and_bounded(spark):
     # small groups pass through untouched
     tiny = spark.createDataFrame([("t", 1), ("t", 2)], "src string, id long")
     assert cap_per_group(tiny, "src", "id", cap=7).count() == 2
+
+
+def test_bloom_same_name_key_joins_by_name(spark):
+    import pytest
+
+    probe = spark.createDataFrame(
+        [(k, k * 2) for k in range(30)], "k long, pv long"
+    )
+    build = spark.createDataFrame(
+        [(k, f"b{k}") for k in range(0, 30, 5)], "k long, bv string"
+    )
+    got = sorted(
+        bloom_pruned_join(probe, build, "k", "k")
+        .select("k", "pv", "bv").collect()
+    )
+    want = sorted(probe.join(build, "k").select("k", "pv", "bv").collect())
+    assert got == want
+
+
+def test_bloom_key_type_mismatch_raises(spark):
+    import pytest
+
+    probe = spark.createDataFrame([(1, 1)], "k int, pv int")
+    build = spark.createDataFrame([(1, 1)], "bk long, bv int")
+    with pytest.raises(TypeError, match="type-sensitive"):
+        bloom_pruned_join(probe, build, "k", "bk")
+
+
+def test_histogram_excludes_null_and_nan(spark):
+    from finlogic_spark.operators.profile import histogram_fixed
+
+    df = spark.createDataFrame(
+        [("g", 5.0), ("g", None), ("g", float("nan")), ("g", 95.0)],
+        "grp string, v double",
+    )
+    out = {r.bin: r.n for r in
+           histogram_fixed(df, "grp", "v", 0.0, 100.0, 10).collect()}
+    # NULL must not land in the top bin, NaN must not land in bin 0
+    assert out == {0: 1, 9: 1}
+
+
+def test_covariance_skips_ragged_vectors(spark):
+    from finlogic_spark.operators.linalg import covariance_matrix
+
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [9.0]), (3, None)],
+        "id long, vec array<double>",
+    )
+    got = {(r.i, r.j): r.cov for r in covariance_matrix(df, "vec", 2).collect()}
+    assert len(got) == 4
+    # must equal the covariance of ONLY the two complete vectors —
+    # ragged/null rows excluded, not partially counted
+    want = np.cov(np.array([[1.0, 2.0], [3.0, 4.0]]), rowvar=False, bias=True)
+    for i in range(2):
+        for j in range(2):
+            assert abs(got[(i, j)] - want[i, j]) < 1e-4
