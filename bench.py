@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "doc_tfidf_similar",
     "doc_token_pmi",
     "doc_source_cap",
+    "events_retention_cohorts",
+    "events_markov_transitions",
 ]
 
 

@@ -4950,3 +4950,66 @@ def doc_source_cap(spark, sf_dir):
     return cap_per_group(d, "source", "doc_id", cap=10).orderBy(
         "source", "doc_id"
     )
+
+
+@q(
+    "events_retention_cohorts",
+    """
+    WITH ua AS (
+      SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS w FROM events),
+    cohort AS (SELECT u, min(w) AS c FROM ua GROUP BY 1),
+    ret AS (
+      SELECT c AS cohort_week,
+             CAST(datediff('day', CAST(c AS DATE), CAST(w AS DATE)) / 7
+                  AS INT) AS week_offset,
+             count(DISTINCT ua.u) AS n_active
+      FROM ua JOIN cohort ON ua.u = cohort.u GROUP BY 1, 2),
+    sz AS (SELECT c AS cohort_week, count(*) AS cohort_size
+           FROM cohort GROUP BY 1)
+    SELECT cohort_week, week_offset, n_active, cohort_size,
+           floor(CAST(n_active AS DOUBLE) / cohort_size * 1000000.0 + 0.5)
+             / 1000000.0 AS retention
+    FROM ret JOIN sz USING (cohort_week)
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    # Weekly cohort retention: distinct (user, week) presence collapses
+    # event volume first; everything after partial-aggregates. The
+    # product-analytics staple, one user-keyed join.
+    from finlogic_spark.operators.funnel import retention_cohorts
+
+    e = _t(spark, sf_dir, "events")
+    return retention_cohorts(e, "user_id", "ts").orderBy(
+        "cohort_week", "week_offset"
+    )
+
+
+@q(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_state,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+      FROM events),
+    pairs AS (
+      SELECT from_state, to_state, count(*) AS n FROM seq
+      WHERE to_state IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT from_state, sum(n) AS total FROM pairs GROUP BY 1)
+    SELECT from_state, to_state, n,
+           floor(CAST(n AS DOUBLE) / total * 1000000.0 + 0.5) / 1000000.0 AS p
+    FROM pairs JOIN tot USING (from_state)
+    ORDER BY from_state, to_state
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    # Behavioral-flow transition matrix: one lead() window pass per
+    # user (deterministic via the event_id tiebreak) + partial-agg
+    # counts + broadcast per-state totals.
+    from finlogic_spark.operators.funnel import transition_matrix
+
+    e = _t(spark, sf_dir, "events")
+    return transition_matrix(
+        e, "user_id", "ts", "event_type", "event_id"
+    ).orderBy("from_state", "to_state")

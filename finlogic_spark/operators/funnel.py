@@ -101,3 +101,91 @@ def funnel_counts(
     for p in per_step[1:]:
         out = out.unionByName(p)
     return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort retention matrix: (cohort_week, week_offset,
+    n_active, cohort_size, retention) — the product-analytics staple
+    (what fraction of each signup cohort is still active N weeks on).
+
+    Shape: distinct (user, week) presence first (collapses event
+    volume to at most users x weeks BEFORE anything heavier runs),
+    cohort = min week per user, one user-keyed join back (both sides
+    already partitioned by user from their aggregates), then a count-
+    distinct over (cohort, offset) — every stage partial-aggregates.
+    Nothing scales with raw event count past the first dedup.
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    ua = events.select(F.col(user_col).alias("u"), wk.alias("w")).distinct()
+    cohort = ua.groupBy("u").agg(F.min("w").alias("c"))
+    j = ua.join(cohort, "u")
+    ret = (
+        j.groupBy(
+            F.col("c").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("c")) / 7).cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("u").alias("n_active"))
+    )
+    size = cohort.groupBy(F.col("c").alias("cohort_week")).agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return ret.join(F.broadcast(size), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (
+            F.floor(
+                F.col("n_active") / F.col("cohort_size") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("retention"),
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    order_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: (from_state, to_state, n, p) with p = n / out-degree of
+    from_state — behavioral-flow analysis (what users do next).
+
+    One window pass (lead over the key partition, deterministic via
+    the order_col tiebreak) + one count aggregate + a broadcast of the
+    per-state totals. The window shuffle is on the sequence key; skew
+    equals the busiest single key's history.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col), F.col(order_col)
+    )
+    pairs = (
+        events.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_state").agg(F.sum("n").alias("total"))
+    return pairs.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        "n",
+        (
+            F.floor(F.col("n") / F.col("total") * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("p"),
+    )

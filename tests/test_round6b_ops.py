@@ -486,3 +486,51 @@ def test_covariance_skips_ragged_vectors(spark):
     for i in range(2):
         for j in range(2):
             assert abs(got[(i, j)] - want[i, j]) < 1e-4
+
+
+def test_retention_cohorts_math(spark):
+    from finlogic_spark.operators.funnel import retention_cohorts
+
+    # cohort A (week of Jan 1): users 1,2 — user 1 returns week+1;
+    # cohort B (week of Jan 8): user 3 only.
+    events = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00")),
+            (2, _ts("2024-01-02 11:00:00")),
+            (1, _ts("2024-01-08 09:00:00")),  # week offset 1
+            (3, _ts("2024-01-09 12:00:00")),  # later cohort
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = {(r.cohort_week.day, r.week_offset):
+           (r.n_active, r.cohort_size, r.retention)
+           for r in retention_cohorts(events, "user_id", "ts").collect()}
+    assert out[(1, 0)] == (2, 2, 1.0)
+    assert out[(1, 1)] == (1, 2, 0.5)
+    assert out[(8, 0)] == (1, 1, 1.0)
+    assert len(out) == 3
+
+
+def test_transition_matrix_probabilities(spark):
+    from finlogic_spark.operators.funnel import transition_matrix
+
+    events = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:01"), "a", 1),
+            (1, _ts("2024-01-01 00:00:02"), "b", 2),
+            (1, _ts("2024-01-01 00:00:03"), "a", 3),
+            (1, _ts("2024-01-01 00:00:04"), "c", 4),
+            (2, _ts("2024-01-01 00:00:01"), "a", 5),
+            (2, _ts("2024-01-01 00:00:02"), "b", 6),
+        ],
+        "user_id long, ts timestamp, state string, event_id long",
+    )
+    out = {(r.from_state, r.to_state): (r.n, r.p)
+           for r in transition_matrix(
+               events, "user_id", "ts", "state", "event_id").collect()}
+    # from 'a': a->b twice, a->c once; no cross-user pair (1's last 'c'
+    # never transitions into user 2's events)
+    assert out[("a", "b")] == (2, 0.666667)
+    assert out[("a", "c")] == (1, 0.333333)
+    assert out[("b", "a")] == (1, 1.0)
+    assert ("c", "a") not in out
