@@ -534,3 +534,20 @@ def test_transition_matrix_probabilities(spark):
     assert out[("a", "c")] == (1, 0.333333)
     assert out[("b", "a")] == (1, 1.0)
     assert ("c", "a") not in out
+
+
+def test_registry_consistency():
+    """Meta-guard: every bench query is registered, every oracle key
+    names a registered query, and no registry entry is None — a rename
+    in one place can't silently desynchronize the driver contract."""
+    import bench
+    from finlogic_spark import driver_queries as dq
+
+    missing_bench = [q for q in bench.BENCH_QUERIES if q not in dq.QUERIES]
+    assert missing_bench == []
+    orphan_oracles = [q for q in dq.ORACLES if q not in dq.QUERIES]
+    assert orphan_oracles == []
+    assert all(callable(fn) for fn in dq.QUERIES.values())
+    # every query without an oracle is a deliberate rows-only op
+    rows_only = sorted(set(dq.QUERIES) - set(dq.ORACLES))
+    assert rows_only == ["emb_pca_project"]
