@@ -551,3 +551,20 @@ def test_registry_consistency():
     # every query without an oracle is a deliberate rows-only op
     rows_only = sorted(set(dq.QUERIES) - set(dq.ORACLES))
     assert rows_only == ["emb_pca_project"]
+
+
+def test_bm25_postings_shuffle_is_reused(spark):
+    """Plan pin (post-execution adaptive plan): the postings build
+    feeds four consumers (stats, term hits, df counts, scoring) but
+    its shuffle must materialize ONCE — AQE resolves the shared
+    subplans to ReusedExchange nodes. A regression here re-tokenizes
+    the corpus per branch (measured 6.7x slower at 100x bench scale)."""
+    docs = spark.createDataFrame(
+        [(i, f"a b c w{i % 5}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    df = bm25_topk(docs, ["a", "w1"], k=5)
+    df.collect()  # AQE finalizes reuse only at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 2
