@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "doc_source_cap",
     "events_retention_cohorts",
     "events_markov_transitions",
+    "stream_resample_ffill",
 ]
 
 

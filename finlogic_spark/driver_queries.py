@@ -5013,3 +5013,54 @@ def events_markov_transitions(spark, sf_dir):
     return transition_matrix(
         e, "user_id", "ts", "event_type", "event_id"
     ).orderBy("from_state", "to_state")
+
+
+@q(
+    "stream_resample_ffill",
+    """
+    WITH e AS (
+      SELECT user_id AS key, date_trunc('hour', ts) AS bucket_ts, value AS v
+      FROM events WHERE user_id % 20 = 0),
+    hourly AS (
+      SELECT key, bucket_ts,
+             (CAST(sum(CAST(floor(v * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+              / 100.0) / count(*) AS bucket_val
+      FROM e GROUP BY 1, 2),
+    bounds AS (
+      SELECT key, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+      FROM hourly GROUP BY 1),
+    grid AS (
+      SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM bounds)
+    SELECT g.key, g.bucket_ts,
+           floor(last_value(h.bucket_val IGNORE NULLS) OVER (
+             PARTITION BY g.key ORDER BY g.bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 1000000.0 + 0.5) / 1000000.0 AS val,
+           h.bucket_val IS NULL AS is_gap
+    FROM grid g LEFT JOIN hourly h USING (key, bucket_ts)
+    ORDER BY key, bucket_ts
+    """,
+)
+def stream_resample_ffill(spark, sf_dir):
+    # Streaming twin of events_resample_ffill: the applyInPandasWithState
+    # gap-fill drained through a bounded file stream. State per key is
+    # ONE open bucket (3 longs); grid rows are emitted as hours close.
+    # keep_last over (key, bucket) by the monotonic n_obs collapses the
+    # open bucket's tentative update-mode re-emissions, so the result
+    # is micro-batch-boundary independent and equals the batch SQL.
+    from finlogic_spark.streaming import read_events_stream, run_to_memory_sink
+    from finlogic_spark.streaming.stateful import resample_ffill_stream
+
+    stream = read_events_stream(spark, sf_dir).filter(
+        F.col("user_id") % 20 == 0
+    )
+    handle = run_to_memory_sink(
+        resample_ffill_stream(stream), "q_resample_ffill", output_mode="update"
+    )
+    handle.stop()
+    rows = spark.table("q_resample_ffill")
+    final = keep_last(rows, ["key", "bucket_ts"], ["n_obs"])
+    return final.select(
+        "key", "bucket_ts", rN(F.col("val"), 6).alias("val"), "is_gap"
+    ).orderBy("key", "bucket_ts")

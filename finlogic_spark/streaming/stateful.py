@@ -149,3 +149,125 @@ def user_profile_stream(
             timeoutConf=timeout_conf,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming time-series gap-fill: the stateful twin of
+# operators/resample.py (hypertable gapfill on an unbounded stream).
+# ---------------------------------------------------------------------------
+
+# Open-bucket state per key: (bucket start micros, exact cent sum,
+# event count). Gap rows need no carried value — they are emitted at
+# bucket-close time from the just-finalized average.
+RESAMPLE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("hour_us", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+RESAMPLE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("bucket_ts", T.TimestampType()),
+        T.StructField("val", T.DoubleType()),
+        T.StructField("is_gap", T.BooleanType()),
+        T.StructField("n_obs", T.LongType()),
+    ]
+)
+
+_HOUR_US = 3_600_000_000
+
+
+def _bucket_avg(sum_cents: int, n: int) -> float:
+    # identical fold order to the batch twin: (cents / 100.0) / n
+    return (sum_cents / 100.0) / n
+
+
+def _resample_update(
+    key: tuple,
+    pdfs: "Iterator[pd.DataFrame]",
+    state: "GroupState",
+) -> "Iterator[pd.DataFrame]":
+    """Per-key hourly resample + forward-fill. Events are folded into
+    the open hour bucket; an event in a LATER hour closes the bucket
+    (emit final avg), emits one gap row per empty hour carrying that
+    avg, and opens the new bucket. The still-open bucket is emitted
+    tentatively each invocation (update mode) — its event count n_obs
+    is monotonic per (key, hour), so keep-last-by-n_obs collapses the
+    emissions to the final value regardless of micro-batch boundaries.
+    Late events (hour < open bucket) are dropped, the watermark
+    discipline of every windowed op in this module."""
+    (user_id,) = key
+    hour_us, sum_cents, n = state.get if state.exists else (-1, 0, 0)
+    out: list[dict] = []
+
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        state.update((hour_us, sum_cents, n))
+        return
+    events = pd.concat(chunks, ignore_index=True)
+    events = events.sort_values(["ts", "event_id"], kind="stable")
+    ts_us = pd.to_datetime(events["ts"]).astype("int64") // 1000
+    ev_hour_us = (ts_us // _HOUR_US) * _HOUR_US
+    cents = np.floor(events["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+
+    for h, c in zip(ev_hour_us.to_numpy(), cents):
+        h = int(h)
+        if hour_us == -1:  # first event for this key
+            hour_us, sum_cents, n = h, 0, 0
+        if h < hour_us:
+            continue  # late data: below the open bucket, dropped
+        if h > hour_us:
+            fill = _bucket_avg(sum_cents, n)
+            out.append(
+                {"key": user_id, "hour_us": hour_us, "val": fill,
+                 "is_gap": False, "n_obs": n}
+            )
+            for gap in range(hour_us + _HOUR_US, h, _HOUR_US):
+                out.append(
+                    {"key": user_id, "hour_us": gap, "val": fill,
+                     "is_gap": True, "n_obs": 0}
+                )
+            hour_us, sum_cents, n = h, 0, 0
+        sum_cents += int(c)
+        n += 1
+
+    state.update((hour_us, sum_cents, n))
+    if n > 0:  # tentative emission of the open bucket
+        out.append(
+            {"key": user_id, "hour_us": hour_us,
+             "val": _bucket_avg(sum_cents, n), "is_gap": False, "n_obs": n}
+        )
+    if out:
+        pdf = pd.DataFrame(out)
+        pdf["bucket_ts"] = pd.to_datetime(pdf.pop("hour_us"), unit="us")
+        yield pdf[["key", "bucket_ts", "val", "is_gap", "n_obs"]]
+
+
+def resample_ffill_stream(events: DataFrame) -> DataFrame:
+    """Streaming hypertable gap-fill (stateful twin of
+    operators/resample.resample_ffill): per-key hourly buckets with
+    forward-filled gaps, emitted incrementally as the stream closes
+    each hour. State per key is ONE open bucket (3 longs) — O(keys),
+    not O(events) and not O(span); the emitted grid is produced
+    bucket-by-bucket as data arrives, never re-scanned.
+
+    Output carries ``n_obs`` so a downstream keep-last over
+    (key, bucket_ts) ordered by n_obs collapses the open bucket's
+    tentative re-emissions; callers drop it after deduping."""
+    from finlogic_spark.streaming import with_event_time
+
+    return (
+        with_event_time(events)
+        .select("user_id", "ts", "value", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _resample_update,
+            outputStructType=RESAMPLE_OUTPUT_SCHEMA,
+            stateStructType=RESAMPLE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

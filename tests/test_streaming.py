@@ -327,3 +327,67 @@ def test_upsert_sink_works_on_file_uri_via_hadoop_fs(spark, tmp_path):
     assert kept == ["v=2", "v=3"]
     snap = st.read_upsert_snapshot(spark, uri)
     assert snap.count() == 4
+
+
+def test_stream_resample_ffill_across_batch_boundaries(spark, tmp_path):
+    """The stateful gap-fill must produce the batch operator's exact
+    output even when the stream splits mid-series: the open bucket at
+    the boundary is finalized by the next batch's events, and gap rows
+    spanning the boundary carry the pre-boundary average."""
+    import pandas as pd
+
+    from finlogic_spark.operators.dedup import keep_last
+    from finlogic_spark.operators.resample import resample_ffill
+    from finlogic_spark.streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+    )
+    from finlogic_spark.streaming.stateful import resample_ffill_stream
+    from pyspark.sql import functions as F
+
+    def ev(uid, ts, val, eid):
+        return (eid, pd.Timestamp(ts).value, uid, "click", val, "{}")
+
+    # batch 1: hours 0 (two events -> avg) and 1; batch 2: hour 4
+    # (closes hour 1, emits gaps 2-3) plus a LATE hour-0 event (dropped)
+    b1 = [ev(1, "2024-01-01 00:10:00", 10.0, 1),
+          ev(1, "2024-01-01 00:40:00", 20.0, 2),
+          ev(1, "2024-01-01 01:30:00", 30.0, 3)]
+    b2 = [ev(1, "2024-01-01 04:05:00", 50.0, 4),
+          ev(1, "2024-01-01 00:59:00", 999.0, 5)]  # late, below open bucket
+    cols = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    d = str(tmp_path / "stream_src")
+    import glob as _glob
+    import os as _os
+    _os.makedirs(d)
+    # two files -> two micro-batches (maxFilesPerTrigger=1), written in
+    # lexicographic = chronological order like the CDC staging layout
+    for name, batch in (("b1", b1), ("b2", b2)):
+        spark.createDataFrame(batch, cols).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d + "_tmp")
+        part = _glob.glob(d + "_tmp/part-*.parquet")[0]
+        _os.rename(part, f"{d}/{name}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{d}/b1.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+    handle = run_to_memory_sink(
+        resample_ffill_stream(stream), "q_test_resample", output_mode="update"
+    )
+    handle.stop()
+    rows = keep_last(
+        spark.table("q_test_resample"), ["key", "bucket_ts"], ["n_obs"]
+    )
+    got = {(r.key, r.bucket_ts.hour): (r.val, r.is_gap)
+           for r in rows.collect()}
+    assert got[(1, 0)] == (15.0, False)   # late 999 NOT folded in
+    assert got[(1, 1)] == (30.0, False)
+    assert got[(1, 2)] == (30.0, True)
+    assert got[(1, 3)] == (30.0, True)
+    assert got[(1, 4)] == (50.0, False)
+    assert len(got) == 5
