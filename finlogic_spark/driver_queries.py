@@ -4713,18 +4713,37 @@ def events_resample_ffill(spark, sf_dir):
     "events_outlier_mad",
     """
     WITH med AS (
+      -- order-statistics median (same formula as the Spark side: the
+      -- <=2 middle rows averaged), NOT quantile_cont — both engines
+      -- run the identical arithmetic, and on the Spark side the sort
+      -- spills where a percentile agg buffer would hold the group in
+      -- memory.
       SELECT event_type,
-             floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0
-               AS grp_median
-      FROM events GROUP BY 1),
+             floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS grp_median
+      FROM (
+        SELECT event_type, value AS v,
+               row_number() OVER (PARTITION BY event_type ORDER BY value)
+                 AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL)
+      WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+         OR rn = CAST(floor(n / 2.0) AS BIGINT) + 1
+      GROUP BY event_type),
     j AS (
       SELECT e.event_id, e.event_type, e.value, m.grp_median
       FROM events e JOIN med m USING (event_type)),
     mad AS (
       SELECT event_type,
-             floor(quantile_cont(abs(value - grp_median), 0.5) * 1000000.0
-                   + 0.5) / 1000000.0 AS grp_mad
-      FROM j GROUP BY 1)
+             floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS grp_mad
+      FROM (
+        SELECT event_type, abs(value - grp_median) AS v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(value - grp_median)) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM j WHERE abs(value - grp_median) IS NOT NULL)
+      WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+         OR rn = CAST(floor(n / 2.0) AS BIGINT) + 1
+      GROUP BY event_type)
     SELECT event_id, event_type, value, grp_median, grp_mad,
            floor(0.6745 * (value - grp_median) / nullif(grp_mad, 0.0)
                  * 1000000.0 + 0.5) / 1000000.0 AS mod_z

@@ -568,3 +568,19 @@ def test_bm25_postings_shuffle_is_reused(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedExchange") >= 2
+
+
+def test_mad_spill_safe_path_matches_default(spark):
+    """The order-statistics (spill-safe) median path must produce the
+    same outlier set and stats as the percentile-aggregate default —
+    they are two physical strategies for one logical operator."""
+    rows = [("a", float(i), float((i * 37) % 100)) for i in range(151)]
+    rows += [("a", 900.0, 5000.0), ("b", 901.0, 1.0)] + [
+        ("b", float(200 + i), 50.0 + (i % 7)) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "grp string, event_id double, value double")
+    fast = sorted(map(tuple, robust_outliers(df, "grp", "value").collect()))
+    safe = sorted(
+        map(tuple, robust_outliers(df, "grp", "value", spill_safe=True).collect())
+    )
+    assert fast == safe and len(fast) > 0
