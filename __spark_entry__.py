@@ -38,5 +38,7 @@ def oracle_sql() -> dict[str, str]:
     ``media_feature_extract`` compares decoded binary metadata against
     the generator formulas plus embedding invariants, and
     ``approx_distinct`` asserts the HLL estimate's error bound next to
-    exactly-compared counts."""
-    return dict(dq.ORACLES)
+    exactly-compared counts. Data-dependent oracles (emb_pca_project
+    bakes numpy-derived component literals into its projection SQL) are
+    resolved here against the driver's sf=0.01 gate directory."""
+    return dq.resolve_oracles()

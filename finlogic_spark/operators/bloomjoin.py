@@ -68,10 +68,14 @@ def build_bloom_filter(
     num_bits: int = 1 << 17,
     num_hashes: int = 5,
 ) -> DataFrame:
-    """1-row DataFrame ``(bloom: array<long>)`` — the bit-set of the
-    build side's keys packed into a dense array of num_bits/64 words
-    (untouched words are 0). Null build keys set no bits: a null key
-    never equi-joins, so dropping it cannot create a false negative.
+    """1-row DataFrame ``(__bloom_words: array<long>)`` — the bit-set
+    of the build side's keys packed into a dense array of num_bits/64
+    words (untouched words are 0). Null build keys set no bits: a null
+    key never equi-joins, so dropping it cannot create a false
+    negative. The column name is deliberately collision-proof: the
+    filter is cross-joined onto arbitrary caller DataFrames in
+    bloom_prune, so a friendly name like 'bloom' would shadow (and then
+    drop) a caller column of the same name.
 
     Size the filter to the build side: with k=5 hashes, m ≈ 10 bits per
     distinct key gives ~1% false-positive rate; the array costs
@@ -109,7 +113,7 @@ def build_bloom_filter(
             lambda i: F.coalesce(
                 F.element_at(F.col("m"), i), F.lit(0).cast("long")
             ),
-        ).alias("bloom")
+        ).alias("__bloom_words")
     )
 
 
@@ -133,14 +137,14 @@ def bloom_prune(
     for i in range(num_hashes):
         pos = _pos_sql(key_col, i, num_bits)
         checks.append(
-            f"(element_at(bloom, CAST(({pos}) DIV 64 AS INT) + 1)"
+            f"(element_at(__bloom_words, CAST(({pos}) DIV 64 AS INT) + 1)"
             f" & shiftleft(CAST(1 AS BIGINT), CAST(({pos}) % 64 AS INT)))"
             " != 0"
         )
     return (
         probe.join(F.broadcast(bloom))
         .filter(F.expr(" AND ".join(checks)))
-        .drop("bloom")
+        .drop("__bloom_words")
     )
 
 

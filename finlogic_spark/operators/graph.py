@@ -3,29 +3,42 @@
 LSH/Jaccard emit PAIRS, but keeping one representative per duplicate
 CLASS needs the transitive closure (a~b, b~c ⇒ keep one of {a,b,c}).
 
-Algorithm: iterative min-label propagation. Every vertex starts
-labelled with its own id; each round every vertex takes the minimum
-label among itself and its neighbours; at fixpoint each component is
-labelled with its smallest member id (the canonical representative).
+Two interchangeable algorithms behind one signature:
 
-Scale notes:
-- Each round is one shuffle join (labels ⋈ edges on src) plus one
-  partial-aggregated groupBy min — the minimal per-round plan. Rounds
-  needed = graph diameter; near-dup graphs are overwhelmingly tiny
-  cliques and short chains, so a handful of rounds closes sf-scale and
-  web-scale corpora alike. (For adversarial long-chain graphs the
-  large-star/small-star alternating algorithm [Kiveris et al., "CC in
-  MapReduce and Beyond"] converges in O(log² n) rounds — same building
-  blocks, swap the propagation rule.)
-- ``localCheckpoint`` truncates the per-iteration lineage — without it
-  the plan doubles every round and analysis cost explodes by round ~10.
-- Labels are monotonically non-increasing, so the sum of labels is a
-  convergence certificate: one cheap agg per round, no expensive
-  changed-row join.
-- ONE Spark job per round: the checkpoint is lazy (``eager=False``) and
-  the convergence agg is the action that materializes it — round 4
-  ran an eager checkpoint job AND a separate sum job, doubling driver
-  round-trip latency per iteration at web-scale graph sizes.
+- ``label`` — iterative min-label propagation. Every vertex starts
+  labelled with its own id; each round every vertex takes the minimum
+  label among itself and its neighbours; at fixpoint each component is
+  labelled with its smallest member id. Rounds = graph DIAMETER: the
+  cheapest per-round plan (one join + one partial-agg min), ideal for
+  the tiny-clique/short-chain graphs near-dup candidates actually form,
+  but an adversarial n-vertex chain needs n rounds.
+- ``star`` — large-star/small-star alternation [Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14]. Large-star
+  hangs every neighbour LARGER than u off the minimum of u's
+  neighbourhood; small-star re-hangs the smaller neighbours. Each pair
+  of steps roughly squares path-shortcutting, so convergence is
+  O(log² n) rounds worst-case (log-ish in practice) — a 10k chain
+  closes in ~5 alternations where min-label needs 10k rounds (pinned
+  in tests/test_operators.py).
+- ``auto`` (default) — min-label for ``label_rounds`` rounds (the
+  measured fast path); if the graph hasn't converged by then it is NOT
+  clique-shaped: collapse it through the partial labels (src/dst →
+  current label, self-edges dropped — strictly shrinking) and finish
+  with star alternation. Worst case O(log² n) rounds overall, fast
+  path identical to ``label``.
+
+Scale notes (both algorithms):
+- Per round: shuffles keyed by vertex id with map-side partial mins —
+  no broadcast of anything graph-sized, no driver collect.
+- ``localCheckpoint(eager=False)`` truncates per-iteration lineage —
+  without it the plan doubles every round and analysis cost explodes
+  by round ~10; the convergence certificate's agg is the one action
+  that materializes each round (ONE Spark job per round).
+- Convergence certificates are cheap aggregates: min-label uses the
+  monotone sum-of-labels; star uses (edge count, sum u, sum v) over
+  the canonicalized edge set, confirmed by an exact except-check
+  before declaring the fixpoint (certificate equality is necessary,
+  the except makes it sufficient).
 """
 
 from __future__ import annotations
@@ -41,13 +54,25 @@ def connected_components(
     dst: str = "dst",
     id_col: str = "id",
     max_iters: int = 25,
+    algorithm: str = "auto",
+    label_rounds: int = 8,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label each vertex with the smallest vertex id reachable from it
     (= its connected component's canonical representative).
 
     ``vertices`` must carry every id (isolated vertices label
     themselves). Returns (id_col, label). Deterministic.
+    ``algorithm``: 'label' (diameter-bounded min propagation), 'star'
+    (O(log² n) large/small-star), or 'auto' (label fast path, star
+    escalation after ``label_rounds`` — see module docstring).
+    ``stats``: pass a dict to receive {'label_rounds', 'star_rounds'}
+    actually executed (round-complexity pins in tests).
     """
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(
+            f"algorithm must be 'auto', 'label' or 'star'; got {algorithm!r}"
+        )
     und = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
@@ -64,8 +89,62 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=False)
     )
+    if stats is None:
+        stats = {}
+    stats["label_rounds"] = 0
+    stats["star_rounds"] = 0
+    if algorithm != "star":
+        rounds = max_iters if algorithm == "label" else label_rounds
+        labels, converged = _min_label_rounds(und, labels, rounds, stats)
+    else:
+        converged = False
+    if not converged and algorithm != "label":
+        # Escalate: the graph is not clique-shaped. Collapse every edge
+        # through the partial labels (strictly shrinking: any edge
+        # inside an already-merged region becomes a dropped self-edge)
+        # and run the O(log² n) star alternation on the remainder. The
+        # star output labels the COLLAPSED vertices (current labels);
+        # composing through `labels` restores per-vertex results.
+        collapsed = (
+            und.join(labels.withColumnRenamed("id", "s"), "s")
+            .select(F.col("label").alias("cs"), "d")
+            .join(
+                labels.withColumnRenamed("id", "d").withColumnRenamed(
+                    "label", "cd"
+                ),
+                "d",
+            )
+            .select(F.col("cs").alias("s"), F.col("cd").alias("d"))
+            .filter(F.col("s") != F.col("d"))
+        )
+        roots = _star_labels(collapsed, max_iters, stats)
+        labels = (
+            labels.withColumnRenamed("label", "mid")
+            .join(
+                roots.withColumnRenamed("id", "mid"),
+                "mid",
+                "left",
+            )
+            .select(
+                "id", F.coalesce("label", F.col("mid")).alias("label")
+            )
+        )
+    und.unpersist()
+    isolated = (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(labels.select("id"), "id", "left_anti")
+        .withColumn("label", F.col("id"))
+    )
+    return labels.unionByName(isolated)
+
+
+def _min_label_rounds(
+    und: DataFrame, labels: DataFrame, max_iters: int, stats: dict
+) -> tuple[DataFrame, bool]:
+    """Min-label propagation rounds; returns (labels, converged)."""
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iters):
+        stats["label_rounds"] += 1
         prop = (
             und.join(labels, und.s == labels.id)
             .select(F.col("d").alias("id"), "label")
@@ -82,12 +161,99 @@ def connected_components(
         )
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:
-            break
+            return labels, True
         prev_sum = new_sum
-    und.unpersist()
-    isolated = (
-        vertices.select(F.col(id_col).alias("id"))
-        .join(labels.select("id"), "id", "left_anti")
-        .withColumn("label", F.col("id"))
+    return labels, False
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (u=min, v=max), self-edges
+    dropped, distinct."""
+    return (
+        e.select(
+            F.least("s", "d").alias("u"), F.greatest("s", "d").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
     )
-    return labels.unionByName(isolated)
+
+
+def _star_labels(
+    edges_sd: DataFrame, max_iters: int, stats: dict | None = None
+) -> DataFrame:
+    """Large-star/small-star alternation to fixpoint; input (s, d)
+    directed-or-not edges, output (id, label) for every NON-ROOT edge
+    endpoint plus (root, root) rows — i.e. every endpoint labelled with
+    its component min.
+
+    Each alternation:
+    - large-star: per neighbourhood Γ⁺(u) = Γ(u) ∪ {u} with
+      m = min Γ⁺(u), emit (v, m) for every v ∈ Γ(u), v > u. Every edge
+      is emitted from its smaller endpoint's group, so connectivity is
+      preserved while large vertices re-hang off local minima.
+    - small-star: per u over its SMALLER neighbours N = {v ∈ Γ(u):
+      v < u}, m = min N, emit (u, m) and (v, m) for v ∈ N — the step
+      that collapses chains of minima.
+    Both emit only (bigger, smaller) pairs; a disjoint union of
+    min-rooted stars is a fixpoint of the pair. Fixpoint detection:
+    cheap certificate (count, sum u, sum v) on the canonical edge set,
+    confirmed exact with subtract when it stops moving.
+    """
+    e = _canon(edges_sd).localCheckpoint(eager=False)
+
+    def certificate(cdf: DataFrame):
+        row = cdf.agg(
+            F.count(F.lit(1)), F.sum("u"), F.sum("v")
+        ).first()
+        return (row[0], row[1], row[2])
+
+    prev = certificate(e)
+    for _ in range(max_iters):
+        nbr = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+            e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+        mins = (
+            nbr.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least("mb", "a").alias("m"))
+        )
+        large = (
+            nbr.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("s"), F.col("m").alias("d"))
+        )
+        e_ls = _canon(large).localCheckpoint(eager=False)
+
+        nbr2 = e_ls.select(
+            F.col("u").alias("a"), F.col("v").alias("b")
+        ).unionByName(e_ls.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        small_side = nbr2.filter(F.col("b") < F.col("a"))
+        mins2 = small_side.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            small_side.join(mins2, "a")
+            .select(F.col("b").alias("s"), F.col("m").alias("d"))
+            .unionByName(
+                mins2.select(F.col("a").alias("s"), F.col("m").alias("d"))
+            )
+        )
+        new_e = _canon(small).localCheckpoint(eager=False)
+        cert = certificate(new_e)
+        if cert == prev and new_e.exceptAll(e).isEmpty():
+            # this pass changed nothing — it IS the fixpoint check, so
+            # it doesn't count toward rounds-to-convergence
+            e = new_e
+            break
+        if stats is not None:
+            stats["star_rounds"] += 1
+        prev = cert
+        e = new_e
+    # star fixpoint: every edge is (root=u, leaf=v); labels = leaves ->
+    # root, roots -> themselves
+    return (
+        e.select(F.col("v").alias("id"), F.col("u").alias("label"))
+        .unionByName(
+            e.select(F.col("u").alias("id"), F.col("u").alias("label"))
+        )
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
+    )

@@ -25,15 +25,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def covariance_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
-    """Sample-free covariance of a fixed-``dim`` vector column:
-    (i, j, cov) for all d² cells, cov = E[x_i·x_j] − E[x_i]·E[x_j]
-    (population normalization, divide by n). i/j are 0-based.
-
-    Vectors are cast float→double before multiplying (exact), products
-    quantized to micro-units, summed as integers, and the closed-form
-    combination is a fixed sequence of double ops — engine-portable.
-    """
+def _cov_joined(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Shared plan for covariance_matrix / pca_project: the d²-row
+    (i, j, cov, m_i, m_j) DataFrame. Exposing the per-coordinate means
+    on every cell lets pca_project read covariance AND mean from ONE
+    collect instead of running a second job over the source."""
     # Enforce the fixed-dim contract: a ragged or null vector would
     # silently drop cells, making each (i, j)'s n differ and the
     # combined covariance wrong. Excluding bad rows keeps every cell's
@@ -82,8 +78,86 @@ def covariance_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     return (
         sums.join(F.broadcast(mi), "i")
         .join(F.broadcast(mj), "j")
-        .select("i", "j", (exy - m_i * m_j).alias("cov"))
+        .select(
+            "i",
+            "j",
+            (exy - m_i * m_j).alias("cov"),
+            m_i.alias("m_i"),
+            m_j.alias("m_j"),
+        )
     )
+
+
+def covariance_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Sample-free covariance of a fixed-``dim`` vector column:
+    (i, j, cov) for all d² cells, cov = E[x_i·x_j] − E[x_i]·E[x_j]
+    (population normalization, divide by n). i/j are 0-based.
+
+    Vectors are cast float→double before multiplying (exact), products
+    quantized to micro-units, summed as integers, and the closed-form
+    combination is a fixed sequence of double ops — engine-portable.
+    """
+    return _cov_joined(df, vec_col, dim).select("i", "j", "cov")
+
+
+def _eigh_components(C, k: int):
+    """Top-k eigenvectors of the (near-)symmetric matrix C as columns,
+    sign-normalized (largest-|loading| coordinate made positive —
+    eigenvectors are sign-ambiguous and numpy's choice is not a
+    contract). Shared by the distributed pca_project and the serial
+    numpy oracle so both apply the IDENTICAL deterministic pipeline to
+    their (identical, micro-quantized) covariance inputs."""
+    import numpy as np
+
+    # symmetrize: quantization leaves |C - C.T| <= 1e-6 asymmetry
+    C = (C + C.T) / 2.0
+    vals, vecs = np.linalg.eigh(C)  # ascending eigenvalues
+    comps = vecs[:, ::-1][:, :k]  # columns = top-k components
+    for c in range(k):
+        j = int(np.abs(comps[:, c]).argmax())
+        if comps[j, c] < 0:
+            comps[:, c] = -comps[:, c]
+    return comps
+
+
+def pca_components_numpy(parquet_path: str, vec_col: str, dim: int, k: int):
+    """Serial ORACLE twin of pca_project's component derivation:
+    (comps d×k, mu length-d) computed with pyarrow + numpy straight off
+    the parquet file, replicating the distributed path's exact integer
+    micro-quantization — p_ij = floor(x_i·x_j·1e6 + 0.5) summed as
+    int64, E[x] from floor(x·1e6 + 0.5) sums, cov = E[xy] − E[x]E[y]
+    with the same division order — so the covariance matrices are
+    BIT-IDENTICAL (integer sums commute) and _eigh_components returns
+    bit-identical components. Lets a DuckDB oracle check the whole PCA
+    pipeline by hash: the generated SQL projects with these values as
+    literals (see driver_queries.emb_pca_project)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path, columns=[vec_col])
+    rows = [
+        v for v in tbl.column(vec_col).to_pylist()
+        if v is not None and len(v) == dim
+    ]
+    # float32 storage -> float64, the same widening cast as Spark's
+    X = np.asarray(rows, dtype=np.float32).astype(np.float64)
+    n = X.shape[0]
+    # per-cell integer micro-unit products, summed exactly; chunked so
+    # the n×d×d intermediate stays bounded (~32 MB per 1024-row block
+    # at d=64) whatever the corpus size
+    sp = np.zeros((dim, dim), dtype=np.int64)
+    for lo in range(0, n, 1024):
+        B = X[lo:lo + 1024]
+        sp += (
+            np.floor(B[:, :, None] * B[:, None, :] * 1e6 + 0.5)
+            .astype(np.int64)
+            .sum(axis=0)
+        )
+    sx = np.floor(X * 1e6 + 0.5).astype(np.int64).sum(axis=0)
+    exy = sp.astype(np.float64) / 1e6 / n
+    m = sx.astype(np.float64) / 1e6 / n
+    C = exy - np.outer(m, m)
+    return _eigh_components(C, k), m
 
 
 def pca_project(
@@ -112,38 +186,17 @@ def pca_project(
     """
     import numpy as np
 
-    cov_rows = covariance_matrix(df, vec_col, dim).collect()
+    # ONE job over the source: the covariance join already carries the
+    # per-coordinate mean on every cell (m_i = sx_i/1e6/n — the exact
+    # micro-quantized mean), so covariance AND mean come from a single
+    # d²-row collect instead of two independent scans of the input.
+    cov_rows = _cov_joined(df, vec_col, dim).collect()
     C = np.zeros((dim, dim))
+    mu = np.zeros(dim)
     for r in cov_rows:
         C[r.i, r.j] = r.cov
-    mean_rows = (
-        df.filter(F.size(F.col(vec_col)) == dim)
-        .select(F.posexplode(F.col(vec_col)).alias("i", "x"))
-        .groupBy("i")
-        .agg(
-            (
-                F.sum(
-                    F.floor(
-                        F.col("x").cast("double") * F.lit(1e6) + F.lit(0.5)
-                    ).cast("long")
-                ).cast("double")
-                / F.lit(1e6)
-                / F.count(F.lit(1))
-            ).alias("mu")
-        )
-        .collect()
-    )
-    mu = np.zeros(dim)
-    for r in mean_rows:
-        mu[r.i] = r.mu
-    # symmetrize: quantization leaves |C - C.T| <= 1e-6 asymmetry
-    C = (C + C.T) / 2.0
-    vals, vecs = np.linalg.eigh(C)  # ascending eigenvalues
-    comps = vecs[:, ::-1][:, :k]  # columns = top-k components
-    for c in range(k):
-        j = int(np.abs(comps[:, c]).argmax())
-        if comps[j, c] < 0:
-            comps[:, c] = -comps[:, c]
+        mu[r.i] = r.m_i
+    comps = _eigh_components(C, k)
     comp_lits = [
         F.array(*[F.lit(float(comps[i, c])) for i in range(dim)])
         for c in range(k)

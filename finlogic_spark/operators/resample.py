@@ -15,8 +15,18 @@ the table. No collect, no cross join, nothing global.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Fixed-duration units only: a month/year interval has no constant
+# width, so the sequence() grid and the tumbling bucket would disagree
+# on bucket edges. Validated EAGERLY (before any expression is built)
+# so a bad step raises ValueError here, not an AnalysisException later.
+_STEP_RE = re.compile(
+    r"^\s*(\d+)\s+(second|minute|hour|day|week)s?\s*$", re.IGNORECASE
+)
 
 
 def resample_ffill(
@@ -30,18 +40,24 @@ def resample_ffill(
     with the bucket's mean value where events exist and the previous
     bucket's value carried forward across gaps.
 
+    ``step`` is any fixed-width interval ('15 minutes', '1 hour',
+    '2 days', ...); buckets are epoch-aligned tumbling windows
+    (``F.window(ts, step).start`` — for '1 hour' identical to
+    ``date_trunc('hour')``). Variable-width units (month/year) raise.
+
     Returns (key, bucket_ts, val, is_gap): ``val`` is the
     deterministic bucket mean (exact integer cent-sum / count — stable
     under any partial-agg order) or the forward-filled previous value;
     rows before a key's first value keep val null. ``is_gap`` marks
     filled rows.
     """
-    bucket = F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts")
-    if step != "1 hour":
-        # sequence() below steps by the same interval; date_trunc only
-        # supports calendar units, so non-hour steps would need a
-        # window-start expression — out of scope until a caller needs it.
-        raise ValueError("resample_ffill currently supports step='1 hour'")
+    m = _STEP_RE.match(step)
+    if not m:
+        raise ValueError(
+            f"resample_ffill step must be '<n> <second|minute|hour|day"
+            f"|week>[s]' (fixed-width); got {step!r}"
+        )
+    bucket = F.window(F.col(ts_col), step)["start"].alias("bucket_ts")
 
     hourly = (
         events.select(F.col(key_col).alias("key"), bucket,

@@ -28,7 +28,10 @@ as corpus.unigram_logprob_score).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from finlogic_spark.functions.text import tokens
@@ -59,6 +62,128 @@ def build_postings(
     return tf.join(dl, "doc_id").select("token", "doc_id", "dl", "tf")
 
 
+def _token_bucket(col, n_buckets: int):
+    """Stable token -> partition bucket: pmod(xxhash64(token), n).
+    Computable from a query term alone (no corpus access), so a term
+    lookup's bucket list is a LITERAL partition filter — static
+    partition pruning, not a join the planner must see through."""
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+class PostingsIndex(NamedTuple):
+    """Handle to a persisted inverted index (see build_postings_table):
+    ``postings`` (token, doc_id, dl, tf, df, __tok_bkt partition col),
+    ``stats`` (1 row: n_docs, total_dl, n_buckets), ``norms`` per-doc
+    tf-idf L2 norms (doc_id, norm)."""
+
+    postings: DataFrame
+    stats: DataFrame
+    norms: DataFrame
+    n_buckets: int
+
+
+def build_postings_table(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> "PostingsIndex":
+    """Build the inverted index ONCE and persist it partitioned by
+    token-hash bucket — the serving path the module docstring promises.
+    At 100 TB the index build (full-corpus tokenize + shuffle) dwarfs
+    any single query; serving from this table makes a term lookup a
+    partition-PRUNED scan of |terms| buckets (plan-pinned in
+    tests/test_plan_shape.py) with zero corpus passes.
+
+    Layout under ``path``:
+    - bucketed postings, partitioned by ``__tok_bkt``, with the
+      token's document frequency df DENORMALIZED onto every row (one
+      int per posting buys scoring without the per-query df aggregate);
+    - ``_stats/``: 1 row (n_docs, total_dl, n_buckets) — underscore
+      prefix keeps it invisible to the main-path parquet listing;
+    - ``_norms/``: per-doc tf-idf L2 norm, precomputed with the same
+      integer micro-unit quantization as the live path so persisted
+      and from-scratch cosines are bit-identical.
+
+    Size n_buckets so one bucket ≈ one scan task's worth of postings
+    (4096+ for a web-scale corpus; 64 keeps small test tables from
+    fragmenting into thousands of files).
+    """
+    postings = build_postings(docs, id_col, text_col)
+    dfs = postings.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    enriched = postings.join(dfs, "token").withColumn(
+        "__tok_bkt", _token_bucket(F.col("token"), n_buckets)
+    )
+    enriched.write.partitionBy("__tok_bkt").mode("overwrite").parquet(path)
+    spark = docs.sparkSession
+    # re-read what was written: stats/norms must describe the persisted
+    # table, and downstream plans should scan parquet, not recompute
+    persisted = spark.read.parquet(path)
+    stats = (
+        persisted.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_dl"),
+            F.lit(n_buckets).alias("n_buckets"),
+        )
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "_stats")
+    )
+    norms = _tfidf_norms(
+        _tfidf_weight(
+            persisted.join(
+                F.broadcast(
+                    spark.read.parquet(os.path.join(path, "_stats")).select(
+                        F.col("n_docs").cast("double").alias("n_docs")
+                    )
+                )
+            )
+        )
+    )
+    norms.write.mode("overwrite").parquet(os.path.join(path, "_norms"))
+    return read_postings(spark, path)
+
+
+def read_postings(spark: SparkSession, path: str) -> "PostingsIndex":
+    """Open a persisted postings table for serving."""
+    stats = spark.read.parquet(os.path.join(path, "_stats"))
+    n_buckets = int(stats.select("n_buckets").first()[0])
+    return PostingsIndex(
+        postings=spark.read.parquet(path),
+        stats=stats,
+        norms=spark.read.parquet(os.path.join(path, "_norms")),
+        n_buckets=n_buckets,
+    )
+
+
+def _term_lookup(index: "PostingsIndex", terms: list[str]) -> DataFrame:
+    """Postings rows for ``terms`` via LITERAL partition pruning: the
+    bucket of each term is computed driver-side from the term string
+    alone, so the scan carries PartitionFilters on __tok_bkt plus a
+    pushed token IN-filter — it reads |distinct buckets| partitions,
+    never the corpus."""
+    uniq = list(dict.fromkeys(terms))
+    spark = index.postings.sparkSession
+    bkts = sorted(
+        {
+            int(r[0])
+            for r in spark.createDataFrame(
+                [(t,) for t in uniq], "token string"
+            )
+            .select(_token_bucket(F.col("token"), index.n_buckets))
+            .collect()
+        }
+    )
+    return index.postings.filter(
+        F.col("__tok_bkt").isin(bkts) & F.col("token").isin(uniq)
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -67,6 +192,7 @@ def bm25_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    postings: "PostingsIndex | None" = None,
 ) -> DataFrame:
     """Top-k docs by BM25 for a bag of query terms. Returns
     (doc_id, score, n_terms_hit) ordered by score desc, doc_id asc.
@@ -77,38 +203,53 @@ def bm25_topk(
     avg(dl)): the two integers aggregate deterministically, and the one
     double division is identical on every engine — a double avg() would
     drift with partial-agg order.
+
+    ``postings=``: a PostingsIndex from build_postings_table/
+    read_postings. When given, ``docs`` is ignored and the query runs
+    the 100 TB serving shape — a partition-pruned term lookup against
+    the persisted index (df/stats prebuilt, zero corpus passes).
+    Scores are identical to the from-scratch path: df is the same
+    corpus-wide count either way, just denormalized at build time.
     """
-    postings = build_postings(docs, id_col, text_col)
-
-    # Corpus stats: N docs + total token count, one tiny aggregate over
-    # the per-doc lengths (distinct (doc, dl) pairs collapse for free).
-    stats = (
-        postings.select("doc_id", "dl")
-        .groupBy("doc_id")
-        .agg(F.first("dl").alias("dl"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("total_dl"),
+    if postings is not None:
+        hits = _term_lookup(postings, query_terms)
+        stats = F.broadcast(
+            postings.stats.select("n_docs", "total_dl")
         )
-    )
+        scored = hits.join(stats)
+    else:
+        built = build_postings(docs, id_col, text_col)
 
-    # dict.fromkeys dedupes while keeping caller order — a duplicated
-    # query term must not double-count its postings.
-    terms = F.broadcast(
-        postings.sparkSession.createDataFrame(
-            [(t,) for t in dict.fromkeys(query_terms)], "token string"
+        # Corpus stats: N docs + total token count, one tiny aggregate
+        # over per-doc lengths (distinct (doc, dl) pairs collapse free).
+        stats = (
+            built.select("doc_id", "dl")
+            .groupBy("doc_id")
+            .agg(F.first("dl").alias("dl"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("total_dl"),
+            )
         )
-    )
-    # Postings for the query terms only — broadcast semi-reduction, the
-    # corpus-size-independent part of the plan.
-    hits = postings.join(terms, "token")
-    df_per_term = hits.groupBy("token").agg(
-        F.count_distinct("doc_id").alias("df")
-    )
 
+        # dict.fromkeys dedupes while keeping caller order — a
+        # duplicated query term must not double-count its postings.
+        terms = F.broadcast(
+            built.sparkSession.createDataFrame(
+                [(t,) for t in dict.fromkeys(query_terms)], "token string"
+            )
+        )
+        # Postings for the query terms only — broadcast semi-reduction,
+        # the corpus-size-independent part of the plan.
+        hits = built.join(terms, "token")
+        df_per_term = hits.groupBy("token").agg(
+            F.count_distinct("doc_id").alias("df")
+        )
+        scored = hits.join(F.broadcast(df_per_term), "token").join(
+            F.broadcast(stats)
+        )
     scored = (
-        hits.join(F.broadcast(df_per_term), "token")
-        .join(F.broadcast(stats))
+        scored
         .withColumn(
             "idf",
             F.log(
@@ -151,12 +292,43 @@ def bm25_topk(
     )
 
 
+def _tfidf_weight(df: DataFrame) -> DataFrame:
+    """tf-idf weight w = tf · ln(N/df) from a postings DataFrame that
+    already carries df and (double) n_docs — the one formula both the
+    live and persisted paths must share for bit-identical cosines."""
+    return df.withColumn(
+        "w",
+        F.col("tf") * F.log(F.col("n_docs") / F.col("df").cast("double")),
+    ).drop("n_docs")
+
+
+def _tfidf_norms(weighted: DataFrame) -> DataFrame:
+    """Per-doc tf-idf L2 norm from a weighted postings DataFrame (must
+    carry doc_id, w). Norm-square terms quantize to integer micro-units
+    before the sum — partition-order independent, so a norm computed at
+    index-build time equals one computed live."""
+    return (
+        weighted.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.floor(F.col("w") * F.col("w") * F.lit(1e6) + F.lit(0.5))
+                .cast("long")
+            ).alias("nsq_u")
+        )
+        .select(
+            "doc_id",
+            F.sqrt(F.col("nsq_u").cast("double") / F.lit(1e6)).alias("norm"),
+        )
+    )
+
+
 def tfidf_similar(
     docs: DataFrame,
     query_ids: list[int],
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    postings: "PostingsIndex | None" = None,
 ) -> DataFrame:
     """Top-k most similar docs per query doc by tf-idf cosine —
     lexical "more like this" retrieval (and a 4th near-dup signal next
@@ -171,50 +343,73 @@ def tfidf_similar(
     norm-square terms are quantized to integer micro-units before
     their sums (partition-order independent); the final cosine is a
     fixed sequence of double ops on those integers.
+
+    ``postings=``: a PostingsIndex from build_postings_table/
+    read_postings. When given, ``docs`` is ignored: df, corpus stats,
+    and per-doc norms are read prebuilt (zero corpus passes), the
+    query docs' term vectors come from one scan of the index, and the
+    candidate scan is partition-pruned to the buckets of the query
+    docs' tokens (a bounded ≤ n_buckets literal list). Cosines are
+    bit-identical to the from-scratch path.
     """
-    postings = build_postings(docs, id_col, text_col)
-    # n_docs stays IN the plan (1-row aggregate, broadcast onto the
-    # postings) — an eager .count() here would execute the whole
-    # postings build once extra, per call, before the real query runs.
-    nd = (
-        postings.groupBy("doc_id")
-        .agg(F.lit(1).alias("__one"))
-        .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    )
-    dfs = postings.groupBy("token").agg(
-        F.count_distinct("doc_id").alias("df")
-    )
-    # idf = ln(N/df); weight = tf * idf (both derived from exact ints)
-    weighted = (
-        postings.join(F.broadcast(dfs), "token")
-        .join(F.broadcast(nd))
-        .withColumn(
-            "w",
-            F.col("tf")
-            * F.log(F.col("n_docs") / F.col("df").cast("double")),
+    if postings is not None:
+        nd_b = F.broadcast(
+            postings.stats.select(
+                F.col("n_docs").cast("double").alias("n_docs")
+            )
         )
-        .drop("n_docs")
-    )
-    norms = (
-        weighted.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.floor(F.col("w") * F.col("w") * F.lit(1e6) + F.lit(0.5))
-                .cast("long")
-            ).alias("nsq_u")
+        qp = _tfidf_weight(
+            postings.postings.filter(F.col("doc_id").isin(query_ids)).join(
+                nd_b
+            )
+        ).select(
+            F.col("doc_id").alias("query_id"), "token", F.col("w").alias("wq")
         )
-        .select(
-            "doc_id",
-            F.sqrt(F.col("nsq_u").cast("double") / F.lit(1e6)).alias("norm"),
+        # Partition-prune the candidate side to the query tokens'
+        # buckets: the distinct __tok_bkt list is bounded by n_buckets
+        # (ints, not tokens), so the collect is O(n_buckets) whatever
+        # the corpus or query-vocabulary size.
+        q_bkts = sorted(
+            int(r[0])
+            for r in qp.select(
+                _token_bucket(F.col("token"), postings.n_buckets)
+            )
+            .distinct()
+            .collect()
         )
-    )
-    qp = weighted.filter(F.col("doc_id").isin(query_ids)).select(
-        F.col("doc_id").alias("query_id"),
-        "token",
-        F.col("w").alias("wq"),
-    )
+        cand = _tfidf_weight(
+            postings.postings.filter(F.col("__tok_bkt").isin(q_bkts)).join(
+                nd_b
+            )
+        )
+        norms = postings.norms
+    else:
+        built = build_postings(docs, id_col, text_col)
+        # n_docs stays IN the plan (1-row aggregate, broadcast onto the
+        # postings) — an eager .count() here would execute the whole
+        # postings build once extra, per call, before the real query
+        # runs.
+        nd = (
+            built.groupBy("doc_id")
+            .agg(F.lit(1).alias("__one"))
+            .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+        )
+        dfs = built.groupBy("token").agg(
+            F.count_distinct("doc_id").alias("df")
+        )
+        # idf = ln(N/df); weight = tf * idf (derived from exact ints)
+        weighted = _tfidf_weight(
+            built.join(F.broadcast(dfs), "token").join(F.broadcast(nd))
+        )
+        norms = _tfidf_norms(weighted)
+        qp = weighted.filter(F.col("doc_id").isin(query_ids)).select(
+            F.col("doc_id").alias("query_id"),
+            "token",
+            F.col("w").alias("wq"),
+        )
+        cand = weighted
     dots = (
-        weighted.join(F.broadcast(qp), "token")
+        cand.join(F.broadcast(qp), "token")
         .filter(F.col("doc_id") != F.col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(

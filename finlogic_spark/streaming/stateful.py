@@ -157,13 +157,15 @@ def user_profile_stream(
 # ---------------------------------------------------------------------------
 
 # Open-bucket state per key: (bucket start micros, exact cent sum,
-# event count). Gap rows need no carried value — they are emitted at
-# bucket-close time from the just-finalized average.
+# event count, cumulative dropped-late count). Gap rows need no
+# carried value — they are emitted at bucket-close time from the
+# just-finalized average.
 RESAMPLE_STATE_SCHEMA = T.StructType(
     [
         T.StructField("hour_us", T.LongType()),
         T.StructField("sum_cents", T.LongType()),
         T.StructField("n", T.LongType()),
+        T.StructField("late", T.LongType()),
     ]
 )
 
@@ -174,6 +176,7 @@ RESAMPLE_OUTPUT_SCHEMA = T.StructType(
         T.StructField("val", T.DoubleType()),
         T.StructField("is_gap", T.BooleanType()),
         T.StructField("n_obs", T.LongType()),
+        T.StructField("n_late", T.LongType()),
     ]
 )
 
@@ -197,15 +200,25 @@ def _resample_update(
     tentatively each invocation (update mode) — its event count n_obs
     is monotonic per (key, hour), so keep-last-by-n_obs collapses the
     emissions to the final value regardless of micro-batch boundaries.
-    Late events (hour < open bucket) are dropped, the watermark
-    discipline of every windowed op in this module."""
+    LATE DATA CONTRACT: an event whose hour is below the open bucket
+    is dropped (the watermark discipline of every windowed op in this
+    module) — the batch twin folds ALL events in, so drops mean the
+    two diverge. Within one invocation events are sorted by ts, so
+    lateness only arises when hours arrive out of order ACROSS
+    micro-batches for the same key (e.g. an unordered multi-file
+    source). Drops are NOT silent: every emitted row carries
+    ``n_late``, the key's cumulative dropped-event count, so a
+    batch-twin comparison can first assert max(n_late) == 0 (see
+    driver_queries.stream_resample_ffill)."""
     (user_id,) = key
-    hour_us, sum_cents, n = state.get if state.exists else (-1, 0, 0)
+    hour_us, sum_cents, n, late = (
+        state.get if state.exists else (-1, 0, 0, 0)
+    )
     out: list[dict] = []
 
     chunks = [p for p in pdfs if len(p)]
     if not chunks:
-        state.update((hour_us, sum_cents, n))
+        state.update((hour_us, sum_cents, n, late))
         return
     events = pd.concat(chunks, ignore_index=True)
     events = events.sort_values(["ts", "event_id"], kind="stable")
@@ -218,7 +231,8 @@ def _resample_update(
         if hour_us == -1:  # first event for this key
             hour_us, sum_cents, n = h, 0, 0
         if h < hour_us:
-            continue  # late data: below the open bucket, dropped
+            late += 1  # late data: below the open bucket, dropped
+            continue
         if h > hour_us:
             fill = _bucket_avg(sum_cents, n)
             out.append(
@@ -234,7 +248,7 @@ def _resample_update(
         sum_cents += int(c)
         n += 1
 
-    state.update((hour_us, sum_cents, n))
+    state.update((hour_us, sum_cents, n, late))
     if n > 0:  # tentative emission of the open bucket
         out.append(
             {"key": user_id, "hour_us": hour_us,
@@ -243,7 +257,11 @@ def _resample_update(
     if out:
         pdf = pd.DataFrame(out)
         pdf["bucket_ts"] = pd.to_datetime(pdf.pop("hour_us"), unit="us")
-        yield pdf[["key", "bucket_ts", "val", "is_gap", "n_obs"]]
+        # cumulative-as-of-emission: rows emitted this invocation all
+        # carry the key's current total so the LAST row per key is the
+        # authoritative count after keep-last dedup.
+        pdf["n_late"] = int(late)
+        yield pdf[["key", "bucket_ts", "val", "is_gap", "n_obs", "n_late"]]
 
 
 def resample_ffill_stream(events: DataFrame) -> DataFrame:

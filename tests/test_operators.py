@@ -174,7 +174,7 @@ def test_connected_components_one_job_per_round(spark):
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     sc.setJobGroup("cc-jobcount", "cc job accounting")
     try:
-        labels = connected_components(edges, vertices)
+        labels = connected_components(edges, vertices, algorithm="label")
         jobs_inside = len(sc.statusTracker().getJobIdsForGroup("cc-jobcount"))
     finally:
         sc.setJobGroup(None, None)
@@ -184,6 +184,61 @@ def test_connected_components_one_job_per_round(spark):
     # ~34 here; the fused one measures 17.
     assert jobs_inside <= 2 * n + 4, jobs_inside
     assert {r["label"] for r in labels.collect()} == {0}
+
+
+def test_connected_components_star_chain_sublinear_rounds(spark):
+    """The adversarial case min-label can't handle: a 10k-vertex chain
+    (diameter 10k) must converge in O(log² n) star alternations — under
+    15 rounds, where min-label propagation needs ~10k. This is the
+    100 TB guarantee: round count, i.e. number of full-graph shuffles,
+    cannot degrade to graph diameter."""
+    from finlogic_spark.operators.graph import connected_components
+
+    n = 10_000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    vertices = spark.range(n).select(F.col("id").cast("long").alias("id"))
+    stats: dict = {}
+    out = connected_components(
+        edges, vertices, algorithm="star", max_iters=40, stats=stats
+    )
+    assert out.filter(F.col("label") == 0).count() == n
+    assert stats["star_rounds"] < 15, stats
+
+
+def test_connected_components_auto_escalates_and_composes(spark):
+    """auto must hand off from partial min-label state to star and
+    compose the two label maps correctly: a chain longer than the
+    label-round budget still fully merges, and the clique fast path
+    never escalates."""
+    from finlogic_spark.operators.graph import connected_components
+
+    n = 60  # diameter 59 >> label_rounds=4 -> escalation required
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    vertices = spark.createDataFrame([(v,) for v in range(n)], "id long")
+    stats: dict = {}
+    out = connected_components(
+        edges, vertices, algorithm="auto", label_rounds=4, max_iters=40,
+        stats=stats,
+    )
+    assert {r["label"] for r in out.collect()} == {0}
+    assert stats["label_rounds"] == 4 and stats["star_rounds"] > 0, stats
+
+    # clique: label converges within budget, star never runs
+    clique = spark.createDataFrame(
+        [(i, j) for i in range(5) for j in range(i + 1, 5)],
+        "src long, dst long",
+    )
+    cv = spark.createDataFrame([(v,) for v in range(5)], "id long")
+    stats2: dict = {}
+    out2 = connected_components(
+        clique, cv, algorithm="auto", stats=stats2
+    )
+    assert {r["label"] for r in out2.collect()} == {0}
+    assert stats2["star_rounds"] == 0, stats2
 
 
 def test_interval_join_bounds_inclusive(spark):

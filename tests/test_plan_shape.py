@@ -156,6 +156,37 @@ def test_lsh_index_serves_with_partition_pruning(spark, tmp_path):
     assert probe.count() > 0
 
 
+def test_postings_index_serves_with_partition_pruning(spark, tmp_path):
+    # BM25/tf-idf serving twin of the LSH pin above: a term lookup
+    # against the persisted postings table must plan a partition-PRUNED
+    # scan (PartitionFilters on __tok_bkt, computed driver-side from
+    # the term strings alone) — never a full-postings read.
+    from finlogic_spark.operators.search import (
+        _term_lookup,
+        bm25_topk,
+        build_postings_table,
+        read_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * j) % 31}" for j in range(1, 20)))
+         for i in range(80)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "postings")
+    build_postings_table(docs, path, n_buckets=16)
+    idx = read_postings(spark, path)
+    plan = plans.formatted_plan(_term_lookup(idx, ["w1", "w5"]))
+    assert "PartitionFilters" in plan and "__tok_bkt" in plan
+    # and the full serving query returns the exact from-scratch result
+    live = [(r.doc_id, r.score, r.n_terms_hit)
+            for r in bm25_topk(docs, ["w1", "w5"], k=10).collect()]
+    served = [(r.doc_id, r.score, r.n_terms_hit)
+              for r in bm25_topk(None, ["w1", "w5"], k=10,
+                                 postings=idx).collect()]
+    assert live == served
+
+
 def test_pq_ivf_serving_plan(spark):
     # The fused PQ-IVF serve path must be (a) an equi-join on cell id —
     # never a nested-loop/cartesian candidate expansion — and (b) fed

@@ -74,12 +74,28 @@ def test_bloom_prunes_and_is_superset(spark):
     assert None not in pruned_keys  # inner-join semantics
 
 
+def test_bloom_prune_probe_with_bloom_column(spark):
+    """The filter's internal column must not collide with caller
+    columns: a probe that already has a column literally named 'bloom'
+    survives pruning with that column intact."""
+    _, build = _sides(spark)
+    probe = spark.createDataFrame(
+        [(k, f"user_bloom_{k}") for k in range(100)],
+        "pk long, bloom string",
+    )
+    pruned = bloom_prune(probe, "pk", build_bloom_filter(build, "bk"))
+    assert pruned.columns == ["pk", "bloom"]
+    kept = {r.pk: r.bloom for r in pruned.collect()}
+    assert set(range(0, 100, 7)) <= set(kept)
+    assert kept[7] == "user_bloom_7"  # caller's column untouched
+
+
 def test_bloom_filter_is_one_bounded_row(spark):
     _, build = _sides(spark)
     num_bits = 1 << 10
     rows = build_bloom_filter(build, "bk", num_bits=num_bits).collect()
     assert len(rows) == 1
-    words = rows[0].bloom  # dense array<long>, O(1) probe lookup
+    words = rows[0]["__bloom_words"]  # dense array<long>, O(1) probe lookup
     assert len(words) == num_bits // 64
     assert all(isinstance(w, int) for w in words)
     assert any(w != 0 for w in words)
@@ -131,6 +147,30 @@ def test_bm25_score_monotone_in_tf(spark):
     assert [r.doc_id for r in out] == [3, 2, 1]
 
 
+def test_tfidf_served_from_persisted_index_is_identical(spark, tmp_path):
+    """tfidf_similar(postings=) must reproduce the from-scratch cosines
+    bit for bit — prebuilt df/stats/norms and the bucket-pruned
+    candidate scan change the plan, never the values."""
+    from finlogic_spark.operators.search import (
+        build_postings_table,
+        tfidf_similar,
+    )
+
+    # (i+1) coprime with 29 for every doc -> no doc degenerates to the
+    # all-docs token (which has idf 0 and would zero a doc's norm)
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{((i + 1) * j) % 29}" for j in range(1, 25)))
+         for i in range(27)],
+        "doc_id long, text string",
+    )
+    idx = build_postings_table(docs, str(tmp_path / "pidx"), n_buckets=8)
+    live = sorted(map(tuple, tfidf_similar(docs, [0, 1, 2], k=5).collect()))
+    served = sorted(
+        map(tuple, tfidf_similar(None, [0, 1, 2], k=5, postings=idx).collect())
+    )
+    assert live == served
+
+
 # ---------------------------------------------------------------- resample
 
 def _ts(s: str) -> datetime:
@@ -156,6 +196,37 @@ def test_resample_grid_and_ffill(spark):
     assert rows[(1, 2)] == (15.0, True)
     assert rows[(1, 3)] == (40.0, False)
     assert rows[(2, 5)] == (7.0, False)
+
+
+def test_resample_custom_step_and_validation(spark):
+    """Non-hour fixed steps resample on epoch-aligned tumbling windows;
+    variable-width or malformed steps raise eagerly (ValueError, not a
+    deferred AnalysisException)."""
+    import pytest
+
+    events = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:05:00"), 10.0),
+            (1, _ts("2024-01-01 00:40:00"), 20.0),
+            # 01:00 bucket is a gap at 30-minute step
+            (1, _ts("2024-01-01 01:40:00"), 40.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = resample_ffill(events, "user_id", "ts", "value", step="30 minutes")
+    rows = {
+        (r.bucket_ts.hour, r.bucket_ts.minute): (r.val, r.is_gap)
+        for r in out.collect()
+    }
+    assert rows == {
+        (0, 0): (10.0, False),
+        (0, 30): (20.0, False),
+        (1, 0): (20.0, True),   # gap, carried forward
+        (1, 30): (40.0, False),
+    }
+    for bad in ("1 month", "2 years", "hourly", "1; DROP TABLE x"):
+        with pytest.raises(ValueError):
+            resample_ffill(events, "user_id", "ts", "value", step=bad)
 
 
 def test_resample_no_cross_key_leak(spark):

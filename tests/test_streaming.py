@@ -391,3 +391,9 @@ def test_stream_resample_ffill_across_batch_boundaries(spark, tmp_path):
     assert got[(1, 3)] == (30.0, True)
     assert got[(1, 4)] == (50.0, False)
     assert len(got) == 5
+    # the drop is observable, not silent: the key's cumulative late
+    # counter reaches 1 (so batch-twin comparisons can gate on it)
+    max_late = (
+        spark.table("q_test_resample").agg(F.max("n_late")).first()[0]
+    )
+    assert max_late == 1

@@ -66,7 +66,10 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     queries = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    from finlogic_spark import driver_queries as _dq
+
+    # resolve data-dependent oracles against the dir actually checked
+    oracles = _dq.resolve_oracles(sf_dir)
     failures = []
     results: dict[str, dict] = {}
     for name, fn in queries.items():
