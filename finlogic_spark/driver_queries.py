@@ -86,7 +86,20 @@ from finlogic_spark.operators.text_dedup import (
 _CPU_HEAVY = {"documents", "embeddings"}
 
 
+# Analyzed-relation cache: re-running spark.read.parquet per query
+# re-lists the directory and re-reads footers on the DRIVER — measured
+# 230-490 ms of pure plan-build time per small query at sf0.1, the
+# dominant term of the fixed job floor. A production engine resolves a
+# table through a catalog/metastore exactly once; this dict is that
+# catalog for the driver tables. DataFrames are immutable, so handing
+# the same analyzed relation to every query is safe.
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (sf_dir, name)
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     df = (
         _events(spark, sf_dir)
         if name == "events"
@@ -99,25 +112,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
         if os.path.isfile(path) and os.path.getsize(path) < max_split:
             df = df.repartition(spark.sparkContext.defaultParallelism)
+    _TABLE_CACHE[key] = df
     return df
 
 
-def _parse_bytes(size: str, default: int = 128 * 1024 * 1024) -> int:
-    """Tolerant Spark size-conf parser: '134217728b', '128m', '128MB',
-    '1g', or a bare number. Unparseable values fall back to the 128 MiB
-    Spark default rather than raising."""
-    s = str(size).strip().lower()
-    mult = 1
-    for suffix, m in (("kb", 2**10), ("mb", 2**20), ("gb", 2**30), ("tb", 2**40),
-                      ("k", 2**10), ("m", 2**20), ("g", 2**30), ("t", 2**40),
-                      ("b", 1)):
-        if s.endswith(suffix):
-            s, mult = s[: -len(suffix)], m
-            break
-    try:
-        return int(float(s) * mult)
-    except ValueError:
-        return default
+from finlogic_spark.sources import parse_size_bytes as _parse_bytes  # noqa: E402
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

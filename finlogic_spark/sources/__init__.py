@@ -119,6 +119,24 @@ def write_fact_layout(
     )
 
 
+def parse_size_bytes(size: str, default: int = 128 * 1024 * 1024) -> int:
+    """Tolerant Spark size-conf parser: '134217728b', '128m', '128MB',
+    '1g', or a bare number. Unparseable values fall back to the 128 MiB
+    Spark default rather than raising."""
+    s = str(size).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 2**10), ("mb", 2**20), ("gb", 2**30), ("tb", 2**40),
+                      ("k", 2**10), ("m", 2**20), ("g", 2**30), ("t", 2**40),
+                      ("b", 1)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return default
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Fan a narrow scan out to cluster parallelism when the source
     cannot be split (single-row-group Parquet, gzip text, tiny files).
@@ -129,11 +147,35 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     unlocks N-way parallelism for all downstream per-row compute
     (tokenization, hashing, vector math), which otherwise serializes on
     the scan stage's single task.
+
+    The split estimate comes from the scan's file metadata
+    (``df.inputFiles`` + maxPartitionBytes), NOT ``df.rdd`` — converting
+    the plan to an RDD on the driver forces a full physical-planning
+    pass (and pins the un-adaptive plan), pure waste for a size probe.
+    Non-file sources (no inputFiles) conservatively repartition.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        max_split = parse_size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        total = 0
+        for f in files:
+            p = f.removeprefix("file:")
+            if os.path.isfile(p):
+                total += os.path.getsize(p)
+            else:  # non-local store: can't stat -> assume unsplittable
+                total = 0
+                break
+        est_splits = max(len(files), int(total // max_split)) if total else len(files)
+        if est_splits >= target:
+            return df
+    return df.repartition(target)
 
 
 def write_parquet(

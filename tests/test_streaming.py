@@ -221,6 +221,112 @@ def test_upsert_sink_replay_is_idempotent(spark, tmp_path):
     assert {r[0] for r in after} == {1, 2, 3}
 
 
+def test_upsert_sink_crash_restart_exactly_once(spark, tmp_path):
+    """Failure injection across BOTH commit points of a real
+    checkpointed stream. The sink has two commit points per batch: the
+    snapshot parquet commit (v=N + _SUCCESS) and the streaming
+    checkpoint commit (batch N marked done). Two induced crashes:
+
+    - batch 1 dies MID-WRITE (torn v=1, no _SUCCESS marker);
+    - batch 2 dies BETWEEN the points (v=2 fully committed, checkpoint
+      not), so the restart REPLAYS batch 2 — the at-least-once window
+      exactly-once output must absorb.
+
+    After restarting from the same checkpoint, the final snapshot must
+    equal the batch twin (global keep-last + delete fold over all CDC
+    rows) — no duplicates, no lost changes, torn dir ignored."""
+    import os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from finlogic_spark.operators.dedup import keep_last
+    from finlogic_spark.operators.merge import merge_upsert
+
+    cdc_schema = "k long, v string, seq long, is_del boolean"
+    batches = [
+        [(1, "a0", 0, False), (2, "b0", 1, False)],
+        [(1, "a1", 2, False), (3, "c0", 3, False)],
+        [(2, None, 4, True), (3, "c1", 5, False), (4, "d0", 6, False)],
+        [(4, "d1", 7, False), (1, None, 8, True)],
+    ]
+    src = str(tmp_path / "cdc_src")
+    os.makedirs(src)
+    import glob as _glob
+
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, cdc_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src + "_tmp")
+        part = _glob.glob(src + "_tmp/part-*.parquet")[0]
+        os.rename(part, f"{src}/b{i}.parquet")
+
+    path, ck = str(tmp_path / "snap"), str(tmp_path / "ck")
+    inner = st.foreach_batch_upsert_writer(
+        path, keys=["k"], order_cols=["seq"], delete_col="is_del"
+    )
+    crash1 = str(tmp_path / "crashed_midwrite")
+    crash2 = str(tmp_path / "crashed_between")
+
+    def failing(df, bid):
+        if bid == 1 and not os.path.exists(crash1):
+            open(crash1, "w").close()
+            # torn write: snapshot dir exists, no _SUCCESS — then die
+            os.makedirs(f"{path}/v=1", exist_ok=True)
+            with open(f"{path}/v=1/part-garbage.parquet", "wb") as f:
+                f.write(b"\x00torn")
+            raise RuntimeError("induced crash mid-write of v=1")
+        inner(df, bid)
+        if bid == 2 and not os.path.exists(crash2):
+            open(crash2, "w").close()
+            raise RuntimeError("induced crash between commit points")
+
+    schema = spark.read.parquet(f"{src}/b0.parquet").schema
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(failing)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    for _ in range(2):  # two induced crashes -> two dead queries
+        q = start()
+        with pytest.raises(StreamingQueryException):
+            q.awaitTermination(120)
+    q = start()  # final restart drains to completion
+    assert q.awaitTermination(120)
+    q.stop()
+
+    snap = sorted(
+        map(tuple, st.read_upsert_snapshot(spark, path).collect())
+    )
+    # batch twin: identical merge semantics over ALL rows at once
+    all_rows = spark.createDataFrame(
+        [r for b in batches for r in b], cdc_schema
+    )
+    empty = all_rows.select("k", "v", "seq").limit(0)
+    twin = sorted(
+        map(
+            tuple,
+            merge_upsert(
+                empty,
+                keep_last(all_rows, ["k"], ["seq"]),
+                ["k"],
+                delete_col="is_del",
+                order_cols=["seq"],
+            ).collect(),
+        )
+    )
+    assert snap == twin
+    assert {r[0] for r in snap} == {3, 4}  # 1 and 2 deleted
+
+
 def test_upsert_sink_ignores_uncommitted_partial_writes(spark, tmp_path):
     # A crash mid-write leaves v=N without _SUCCESS: readers must not
     # serve it, and the replay must rebuild from the last committed base.
