@@ -73,6 +73,37 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
     assert a == b
 
 
+def test_bucketed_window_and_group_no_shuffle(spark, sf_dir):
+    """The rank_flagship / tpch_q3 bucket story at test scale: a
+    keep-last window partitioned by the bucket key plans with ZERO
+    exchanges (its Exchange hashpartitioning(o_custkey) rides the
+    bucketed scan), and a groupBy on a SUPERSET of the bucket key also
+    needs none — HashPartitioning(k) satisfies clustering on (k, ...).
+    This is what tools/bench_bucketed_tpch.py audits at sf10."""
+    from finlogic_spark.operators.dedup import keep_last
+
+    o = _t(spark, sf_dir, "orders")
+    write_bucketed(
+        o.repartition(8, F.col("o_custkey")),
+        "t_orders_bc",
+        ["o_custkey"],
+        8,
+        sort_cols=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
+    ob = spark.table("t_orders_bc")
+    latest = keep_last(ob, ["o_custkey"], ["o_orderdate", "o_orderkey"])
+    assert plans.count_shuffles(latest) == 0
+    grouped = ob.groupBy("o_custkey", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+    assert plans.count_shuffles(grouped) == 0
+    # values still correct vs the flat computation
+    flat = keep_last(o, ["o_custkey"], ["o_orderdate", "o_orderkey"])
+    assert sorted(r["o_orderkey"] for r in latest.collect()) == sorted(
+        r["o_orderkey"] for r in flat.collect()
+    )
+
+
 def test_fact_layout_partition_pruning(spark, fixture_dir, tmp_path):
     from finlogic_spark import plans
     from finlogic_spark.sources import write_fact_layout
