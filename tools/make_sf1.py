@@ -65,6 +65,9 @@ def main() -> None:
     dest = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata/sf1"
     if len(sys.argv) > 3:
         OFF = int(sys.argv[3])
+    # optional 4th arg: comma-separated table subset (e.g. the sf100
+    # probe only needs documents,embeddings,events — 10x smaller build)
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={os.cpu_count()}")
@@ -75,10 +78,17 @@ def main() -> None:
         n = con.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
         print(f"{table}: {n} rows")
 
+    def wanted(t: str) -> bool:
+        return only is None or t in only
+
     for t in COPY_ONCE:
+        if not wanted(t):
+            continue
         copy(f"SELECT * FROM '{src}/{t}.parquet'", t)
 
     for t, keys in SHIFT_KEYS.items():
+        if not wanted(t):
+            continue
         cols = [
             r[0]
             for r in con.sql(
@@ -97,8 +107,9 @@ def main() -> None:
     # documents: shift doc_id, salt text of replicas > 0 (see module
     # docstring). The salt token encodes (replica, doc_id%97) so any
     # two replicas of the same doc differ from each other too.
-    copy(
-        f"""
+    if wanted("documents"):
+        copy(
+            f"""
         SELECT doc_id + i * {OFF} AS doc_id,
                CASE WHEN i = 0 THEN text
                     ELSE regexp_replace(
@@ -115,14 +126,15 @@ def main() -> None:
                END AS n_chars
         FROM '{src}/documents.parquet' CROSS JOIN range({REPLICAS}) r(i)
         """,
-        "documents",
-    )
+            "documents",
+        )
 
     # embeddings: shift vec_id, per-dim deterministic noise for i > 0
     # (+-3% of the component, hash-seeded): breaks exact twins while
     # keeping the corpus's cosine geometry realistic.
-    copy(
-        f"""
+    if wanted("embeddings"):
+        copy(
+            f"""
         SELECT vec_id + i * {OFF} AS vec_id,
                CASE WHEN i = 0 THEN embedding
                     ELSE CAST(list_transform(embedding, (x, j) ->
@@ -133,8 +145,8 @@ def main() -> None:
                label
         FROM '{src}/embeddings.parquet' CROSS JOIN range({REPLICAS}) r(i)
         """,
-        "embeddings",
-    )
+            "embeddings",
+        )
 
 
 if __name__ == "__main__":
