@@ -1460,7 +1460,14 @@ def _planes_sql(dim: int = 64, num_planes: int = 6) -> str:
 # Measured at sf0.1 against exact cosine (tools/measure_recall.py):
 # recall@5 = 0.80 at ~28% expected corpus scan; the old single-table
 # single-probe 6-plane default measured 0.24.
-_LSH_PLANES, _LSH_TABLES, _LSH_RADIUS = 8, 8, 1
+# Shipped ANN-LSH defaults, chosen from the measured recall-vs-cost
+# frontier (tools/lsh_frontier.py, 36 configs at sf0.1 + sf1): 12
+# planes x 16 tables x Hamming-2 probes scans the SAME fraction of a
+# uniform corpus as the old 8x8x1 default (0.29 vs 0.27, stable across
+# a 10x corpus growth) while lifting recall@5 from 0.80 to 0.94. The
+# extra cost is index rows (16 tables vs 8 — build-once) and probe
+# fan-out (1264 vs 296 tiny probe rows/query), not candidates scored.
+_LSH_PLANES, _LSH_TABLES, _LSH_RADIUS = 12, 16, 2
 
 
 def _multi_planes_sql(
@@ -1522,8 +1529,9 @@ def emb_lsh_topk(spark, sf_dir):
     # (equi-join on (table, bucket) — the sub-linear 100 TB path). The
     # bucketed corpus is a build-once persisted index (_lsh_index);
     # per-query-batch work is the tiny query-side hash x probe fan-out
-    # + broadcast join. Defaults measured: recall@5 0.80 at sf0.1
-    # (see _LSH_PLANES comment / tools/measure_recall.py).
+    # + broadcast join. Defaults measured: recall@5 0.94 at sf0.1 at a
+    # ~29% uniform-corpus scan (see _LSH_PLANES comment /
+    # tools/lsh_frontier.py / tools/measure_recall.py).
     corpus = _lsh_index(spark, sf_dir)
     queries = _emb_corpus(spark, sf_dir).filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),

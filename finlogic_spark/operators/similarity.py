@@ -265,9 +265,9 @@ def lsh_cosine_topk(
     queries: DataFrame,
     k: int,
     dim: int,
-    num_planes: int = 8,
-    num_tables: int = 8,
-    probe_radius: int = 1,
+    num_planes: int = 12,
+    num_tables: int = 16,
+    probe_radius: int = 2,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
@@ -281,13 +281,15 @@ def lsh_cosine_topk(
     Equi-join on (table, bucket) — never a cross join.
 
     Recall/cost: expected scanned fraction ≈ num_tables * n_probes /
-    2^num_planes (n_probes = 1 + C(planes, 1) + ... at the radius).
-    The shipped defaults (8 planes × 8 tables × radius 1 ≈ 28% of a
-    uniform corpus) measure recall@5 = 0.80 against exact cosine on
-    the driver's embeddings at sf0.1 (tools/measure_recall.py) —
-    single-table single-probe at 6 planes measured only 0.24, which is
-    why these are the defaults. On clustered real-world corpora the
-    same settings scan less and recall more.
+    2^num_planes (n_probes = 1 + C(planes, 1) + ... at the radius);
+    the model tracks measurement within ~20% across a 10x corpus
+    growth (tools/lsh_frontier.py). The shipped defaults (12 planes ×
+    16 tables × radius 2 ≈ 29% of a uniform corpus — the same scan
+    budget as the previous 8×8×1 default) measure recall@5 = 0.94
+    against exact cosine on the driver's embeddings at sf0.1, vs 0.80
+    for 8×8×1 and 0.24 for single-table single-probe at 6 planes. On
+    clustered real-world corpora the same settings scan less and
+    recall more.
 
     ``corpus_bucketed=True`` skips corpus-side assignment: pass a
     corpus that already carries ``__tbl``/``__bucket`` (from
