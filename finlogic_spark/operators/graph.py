@@ -45,6 +45,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# Every per-round materialization (edge cache, label/edge checkpoints)
+# uses serialized MEMORY_AND_DISK: a 100M+-edge graph's working set
+# must SPILL when it outgrows the heap, not OOM the executor — found
+# by measurement at the sf100 probe (117.9M candidate pairs; the
+# deserialized default filled an 8 GiB heap during round 3).
+_SPILL = StorageLevel.MEMORY_AND_DISK
 
 
 def connected_components(
@@ -76,7 +84,7 @@ def connected_components(
     und = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .cache()
+        .persist(_SPILL)
     )
     # Only vertices that touch an edge can change label — iterate on
     # that (typically tiny) subgraph and union the untouched majority
@@ -87,7 +95,7 @@ def connected_components(
         und.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_SPILL)
     )
     if stats is None:
         stats = {}
@@ -157,7 +165,7 @@ def _min_label_rounds(
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=_SPILL)
         )
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:
@@ -199,7 +207,7 @@ def _star_labels(
     cheap certificate (count, sum u, sum v) on the canonical edge set,
     confirmed exact with subtract when it stops moving.
     """
-    e = _canon(edges_sd).localCheckpoint(eager=False)
+    e = _canon(edges_sd).localCheckpoint(eager=False, storageLevel=_SPILL)
 
     def certificate(cdf: DataFrame):
         row = cdf.agg(
@@ -222,7 +230,7 @@ def _star_labels(
             .join(mins, "a")
             .select(F.col("b").alias("s"), F.col("m").alias("d"))
         )
-        e_ls = _canon(large).localCheckpoint(eager=False)
+        e_ls = _canon(large).localCheckpoint(eager=False, storageLevel=_SPILL)
 
         nbr2 = e_ls.select(
             F.col("u").alias("a"), F.col("v").alias("b")
@@ -236,7 +244,7 @@ def _star_labels(
                 mins2.select(F.col("a").alias("s"), F.col("m").alias("d"))
             )
         )
-        new_e = _canon(small).localCheckpoint(eager=False)
+        new_e = _canon(small).localCheckpoint(eager=False, storageLevel=_SPILL)
         cert = certificate(new_e)
         if cert == prev and new_e.exceptAll(e).isEmpty():
             # this pass changed nothing — it IS the fixpoint check, so

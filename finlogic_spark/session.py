@@ -41,7 +41,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] puts driver AND all executor threads in ONE heap —
+        # size it for the biggest local workload, not a cluster driver.
+        # 8g OOM'd the sf100 dedup-clustering probe (118M-edge graph);
+        # the harness box has 128 GiB, so 24g is still conservative.
+        # On a real cluster this knob is the driver only and executors
+        # are sized by the submitter.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # Warehouse for saveAsTable (bucketed tables); keep out of the repo.
         .config(
             "spark.sql.warehouse.dir",
