@@ -1546,6 +1546,7 @@ def emb_lsh_topk(spark, sf_dir):
         num_tables=_LSH_TABLES,
         probe_radius=_LSH_RADIUS,
         corpus_bucketed=True,
+        local_query_probes=True,
     )
     return out.select(
         "query_id", "vec_id", rN(F.col("cos_sim"), 6).alias("cos_sim"), "rk"

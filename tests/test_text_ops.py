@@ -148,6 +148,30 @@ def test_lsh_topk_recall_against_bruteforce(spark):
     assert recall >= 1 / 3
 
 
+def test_lsh_local_query_probes_bit_identical(spark):
+    """The driver-side query-bucket fast path must return EXACTLY the
+    expression path's rows — same buckets (the left-to-right python
+    fold is the same IEEE op sequence as the SQL chain), same
+    candidates, same scores."""
+    corpus = _vectors(spark)
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    kw = dict(k=3, dim=8, num_planes=4, num_tables=3, probe_radius=1)
+    expr_path = sorted(
+        map(tuple, lsh_cosine_topk(corpus, queries, **kw).collect())
+    )
+    local_path = sorted(
+        map(
+            tuple,
+            lsh_cosine_topk(
+                corpus, queries, local_query_probes=True, **kw
+            ).collect(),
+        )
+    )
+    assert expr_path == local_path
+
+
 def test_null_and_degenerate_text_handling(spark):
     """Nulls and empty docs must degrade gracefully, never crash or
     silently disappear from exact_dedup."""
