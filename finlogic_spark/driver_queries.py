@@ -98,8 +98,13 @@ _TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (sf_dir, name)
-    if key in _TABLE_CACHE:
-        return _TABLE_CACHE[key]
+    cached = _TABLE_CACHE.get(key)
+    # A cached relation is only valid for the session that analyzed it:
+    # after spark.stop()+getOrCreate() the old DataFrame is bound to a
+    # dead JVM context, so a hit from a different live session must
+    # re-resolve (multi-session pytest runs, sequential bench scripts).
+    if cached is not None and cached.sparkSession is spark:
+        return cached
     df = (
         _events(spark, sf_dir)
         if name == "events"
@@ -191,8 +196,18 @@ def resolve_oracles(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     for name, gen in LAZY_ORACLES.items():
         try:
             out[name] = gen(sf_dir)
-        except Exception:
-            pass
+        except FileNotFoundError:
+            pass  # data not materialized at this sf -> rows-only check
+        except Exception as exc:  # noqa: BLE001 — observable, not fatal
+            # A generator BUG must not silently downgrade a hash gate
+            # to rows-only; surface it while keeping the run alive.
+            import sys
+
+            print(
+                f"warning: lazy oracle {name!r} dropped "
+                f"({type(exc).__name__}: {exc})",
+                file=sys.stderr,
+            )
     return out
 
 
@@ -4983,7 +4998,7 @@ def _pca_oracle_sql(sf_dir: str) -> str:
         # identical fold order to pca_project's F.aggregate: terms
         # i=0..63 summed left-to-right, each (x_i - mu_i) * comp_ic
         terms = " + ".join(
-            f"(CAST(embedding[{i + 1}] AS DOUBLE) - {mu[i]!r})"
+            f"(CAST(embedding[{i + 1}] AS DOUBLE) - {float(mu[i])!r})"
             f" * {float(comps[i, c])!r}"
             for i in range(64)
         )

@@ -101,8 +101,14 @@ def connected_components(
         stats = {}
     stats["label_rounds"] = 0
     stats["star_rounds"] = 0
+    # max_iters is a TOTAL round budget across both phases: in 'auto'
+    # the label fast path draws from it first and star gets the
+    # remainder, so a caller capping shuffle-round count gets at most
+    # max_iters full-graph rounds regardless of algorithm choice.
     if algorithm != "star":
-        rounds = max_iters if algorithm == "label" else label_rounds
+        rounds = max_iters if algorithm == "label" else min(
+            label_rounds, max_iters
+        )
         labels, converged = _min_label_rounds(und, labels, rounds, stats)
     else:
         converged = False
@@ -125,7 +131,11 @@ def connected_components(
             .select(F.col("cs").alias("s"), F.col("cd").alias("d"))
             .filter(F.col("s") != F.col("d"))
         )
-        roots = _star_labels(collapsed, max_iters, stats)
+        star_budget = (
+            max_iters if algorithm == "star"
+            else max(0, max_iters - stats["label_rounds"])
+        )
+        roots = _star_labels(collapsed, star_budget, stats)
         labels = (
             labels.withColumnRenamed("label", "mid")
             .join(

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 # on bucket edges. Validated EAGERLY (before any expression is built)
 # so a bad step raises ValueError here, not an AnalysisException later.
 _STEP_RE = re.compile(
-    r"^\s*(\d+)\s+(second|minute|hour|day|week)s?\s*$", re.IGNORECASE
+    r"^\s*([1-9]\d*)\s+(second|minute|hour|day|week)s?\s*$", re.IGNORECASE
 )
 
 

@@ -284,26 +284,68 @@ def lsh_query_probes_local(
 
     Bit-identical to the expression path: the dot folds left-to-right
     over python doubles, the same IEEE op sequence as the SQL chain,
-    so the >= 0 sign — and hence the bucket — can't disagree.
+    so the >= 0 sign — and hence the bucket — can't disagree. That
+    includes degenerate vectors: a NULL / too-short / NULL-element
+    vector null-propagates every SQL dot, so CASE sets no bit and the
+    row lands in bucket 0 — mirrored here instead of crashing.
     """
-    rows = queries.select(query_id, query_vec).collect()
+    q_sel = queries.select(query_id, query_vec)
+    rows = q_sel.collect()
+    return _probe_df_from_rows(
+        queries.sparkSession, q_sel.schema, rows, dim, num_planes,
+        num_tables, probe_radius,
+    )
+
+
+def _probe_rows_from_collected(
+    rows, dim: int, num_planes: int, num_tables: int, probe_radius: int
+) -> list[tuple]:
+    """(id, tbl, bucket) probe tuples from collected (id, vec) rows —
+    the shared core of the driver-side serve path."""
     masks = probe_masks(num_planes, probe_radius)
     out = []
     for r in rows:
         v = r[1]
+        # Mirror SQL null propagation: any missing element -> no plane
+        # comparison succeeds -> bucket 0 in every table.
+        degenerate = (
+            v is None
+            or len(v) < dim
+            or any(v[i] is None for i in range(dim))
+        )
         for t in range(num_tables):
             b = 0
-            for p, pl in enumerate(_deterministic_planes(dim, num_planes, t)):
-                d = 0.0
-                for i in range(dim):
-                    d += v[i] * pl[i]
-                if d >= 0.0:
-                    b |= 1 << p
+            if not degenerate:
+                for p, pl in enumerate(
+                    _deterministic_planes(dim, num_planes, t)
+                ):
+                    d = 0.0
+                    for i in range(dim):
+                        d += v[i] * pl[i]
+                    if d >= 0.0:
+                        b |= 1 << p
             for m in masks:
                 out.append((r[0], t, b ^ m))
-    return queries.sparkSession.createDataFrame(
-        out, f"{query_id} long, __tbl int, __bucket long"
+    return out
+
+
+def _probe_df_from_rows(
+    spark, q_schema, rows, dim, num_planes, num_tables, probe_radius
+) -> DataFrame:
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
     )
+
+    out = _probe_rows_from_collected(
+        rows, dim, num_planes, num_tables, probe_radius
+    )
+    id_field = q_schema.fields[0]
+    schema = StructType([
+        StructField(id_field.name, id_field.dataType),
+        StructField("__tbl", IntegerType(), False),
+        StructField("__bucket", LongType(), False),
+    ])
+    return spark.createDataFrame(out, schema)
 
 
 def lsh_cosine_topk(
@@ -356,13 +398,21 @@ def lsh_cosine_topk(
         )
     ).select(corpus_id, corpus_vec, "__tbl", "__bucket")
     if local_query_probes:
-        probes = lsh_query_probes_local(
-            queries, dim, num_planes, num_tables, probe_radius,
-            query_id=query_id, query_vec=query_vec,
+        # ONE collect serves both sides: the probe fan-out AND the
+        # broadcast vector join are rebuilt from the same driver rows,
+        # so the queries plan (often a scan+filter) runs once per serve
+        # batch, not twice.
+        q_sel = queries.select(query_id, query_vec)
+        q_rows = q_sel.collect()
+        spark = queries.sparkSession
+        probes = _probe_df_from_rows(
+            spark, q_sel.schema, q_rows, dim, num_planes, num_tables,
+            probe_radius,
         )
+        q_local = spark.createDataFrame(q_rows, q_sel.schema)
         scored = (
             c.join(F.broadcast(probes), ["__tbl", "__bucket"])
-            .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+            .join(F.broadcast(q_local), query_id)
             .select(
                 F.col(query_id),
                 F.col(corpus_id),

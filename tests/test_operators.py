@@ -241,6 +241,27 @@ def test_connected_components_auto_escalates_and_composes(spark):
     assert stats2["star_rounds"] == 0, stats2
 
 
+def test_connected_components_max_iters_total_budget(spark):
+    """max_iters caps TOTAL full-graph shuffle rounds across both
+    phases in 'auto' (regression: the label phase ran its full
+    label_rounds and star then got a fresh max_iters budget, so a
+    caller asking for <=5 rounds could get 8 + 25)."""
+    from finlogic_spark.operators.graph import connected_components
+
+    n = 40
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    vertices = spark.createDataFrame([(v,) for v in range(n)], "id long")
+    stats: dict = {}
+    connected_components(
+        edges, vertices, algorithm="auto", label_rounds=8, max_iters=5,
+        stats=stats,
+    ).collect()
+    assert stats["label_rounds"] <= 5, stats
+    assert stats["label_rounds"] + stats["star_rounds"] <= 5, stats
+
+
 def test_interval_join_bounds_inclusive(spark):
     from finlogic_spark.operators.rangejoin import interval_join
 

@@ -224,7 +224,8 @@ def test_resample_custom_step_and_validation(spark):
         (1, 0): (20.0, True),   # gap, carried forward
         (1, 30): (40.0, False),
     }
-    for bad in ("1 month", "2 years", "hourly", "1; DROP TABLE x"):
+    for bad in ("1 month", "2 years", "hourly", "1; DROP TABLE x",
+                "0 hours", "0 minutes"):
         with pytest.raises(ValueError):
             resample_ffill(events, "user_id", "ts", "value", step=bad)
 

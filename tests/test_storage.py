@@ -14,6 +14,31 @@ from finlogic_spark.driver_queries import _t
 from finlogic_spark.sources import write_bucketed, write_parquet
 
 
+def test_table_cache_rebinds_on_new_session(spark, sf_dir):
+    """A cached relation bound to a stopped/replaced session must not
+    be served to a different live session (regression: sequential
+    bench scripts and multi-session pytest runs got DataFrames bound
+    to a dead SparkContext)."""
+    import finlogic_spark.driver_queries as dq
+
+    class _Stale:
+        sparkSession = object()  # anything that is not `spark`
+
+    key = (sf_dir, "region")
+    old = dq._TABLE_CACHE.get(key)
+    try:
+        dq._TABLE_CACHE[key] = _Stale()
+        df = dq._t(spark, sf_dir, "region")
+        assert df.sparkSession is spark
+        assert dq._TABLE_CACHE[key] is df  # cache refreshed, not bypassed
+        assert df.count() > 0
+    finally:
+        if old is not None:
+            dq._TABLE_CACHE[key] = old
+        else:
+            dq._TABLE_CACHE.pop(key, None)
+
+
 def test_partitioned_write_prunes(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").withColumn("order_year", F.year("o_orderdate"))
     out = tempfile.mkdtemp(prefix="fl_part_") + "/orders_by_year"

@@ -172,6 +172,34 @@ def test_lsh_local_query_probes_bit_identical(spark):
     assert expr_path == local_path
 
 
+def test_lsh_local_probes_degenerate_and_string_ids(spark):
+    """The driver-side probe path must mirror SQL null propagation
+    (NULL / too-short query vectors -> bucket 0, never a crash) and
+    must not assume long query ids (regression: crashed on both)."""
+    corpus = _vectors(spark)
+    queries = spark.createDataFrame(
+        [
+            ("q_null", None),
+            ("q_short", [1.0, 2.0]),
+            ("q_ok", [float(i % 3) - 1.0 for i in range(8)]),
+        ],
+        "query_id string, query_vec array<double>",
+    )
+    kw = dict(k=3, dim=8, num_planes=4, num_tables=2, probe_radius=1)
+    expr_path = sorted(
+        map(tuple, lsh_cosine_topk(corpus, queries, **kw).collect())
+    )
+    local_path = sorted(
+        map(
+            tuple,
+            lsh_cosine_topk(
+                corpus, queries, local_query_probes=True, **kw
+            ).collect(),
+        )
+    )
+    assert expr_path == local_path
+
+
 def test_null_and_degenerate_text_handling(spark):
     """Nulls and empty docs must degrade gracefully, never crash or
     silently disappear from exact_dedup."""
