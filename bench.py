@@ -100,6 +100,14 @@ BENCH_QUERIES = [
     "events_retention_cohorts",
     "events_markov_transitions",
     "stream_resample_ffill",
+    # round 7: sliding distinct reach, SNM dedup pass, positional
+    # phrase search, bigram LM gate, streaks, grouping sets
+    "events_sliding_distinct",
+    "doc_sorted_neighborhood",
+    "doc_phrase_search",
+    "doc_bigram_logprob",
+    "events_streaks",
+    "agg_grouping_sets",
 ]
 
 

@@ -5215,3 +5215,213 @@ def stream_resample_ffill(spark, sf_dir):
     return final.select(
         "key", "bucket_ts", rN(F.col("val"), 6).alias("val"), "is_gap"
     ).orderBy("key", "bucket_ts")
+
+
+# ---------------------------------------------------------------------------
+# Round 7b: sliding distinct, SNM dedup, phrase search, bigram LM,
+# streaks, grouping sets
+# ---------------------------------------------------------------------------
+
+@q(
+    "events_sliding_distinct",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS b, user_id FROM events),
+    contrib AS (
+      SELECT unnest(generate_series(b, b + INTERVAL 2 HOUR, INTERVAL 1 HOUR))
+               AS bucket_ts,
+             user_id
+      FROM pairs),
+    actual AS (SELECT DISTINCT date_trunc('hour', ts) AS bucket_ts FROM events)
+    SELECT bucket_ts, count(DISTINCT user_id) AS u_trailing
+    FROM contrib JOIN actual USING (bucket_ts)
+    GROUP BY bucket_ts ORDER BY bucket_ts
+    """,
+)
+def events_sliding_distinct(spark, sf_dir):
+    # Rolling reach: distinct users over the trailing 3 hours, per
+    # hour. Exact tier (forward fan-out + distinct agg — no range
+    # join); the fixed-state HLL tier is sliding_distinct_sketch,
+    # pinned within its error bound by pytest.
+    from finlogic_spark.operators.sliding import sliding_distinct_exact
+
+    e = _t(spark, sf_dir, "events")
+    return sliding_distinct_exact(e, "ts", "user_id", width=3, step="1 hour")
+
+
+@q(
+    "doc_sorted_neighborhood",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, substr(text, 1, 40) AS k, substr(text, 1, 80) AS p
+      FROM documents),
+    ord_d AS (
+      SELECT doc_id, lang, k, p,
+             row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn
+      FROM base)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.p, b.p) AS dist
+    FROM ord_d a JOIN ord_d b
+      ON a.lang = b.lang AND b.rn BETWEEN a.rn + 1 AND a.rn + 2
+    WHERE levenshtein(a.p, b.p) <= 20
+    ORDER BY id_a, id_b
+    """,
+)
+def doc_sorted_neighborhood(spark, sf_dir):
+    # Sorted-neighborhood dedup pass (ER tier 5): block by lang, sort
+    # by a 40-char text prefix, pair each doc with its next 2
+    # neighbours, verify with edit distance on an 80-char prefix. One
+    # shuffle + in-partition sort + lead() — linear; the oracle's
+    # rn-difference self-join is the quadratic formulation it avoids.
+    from finlogic_spark.operators.text_dedup import sorted_neighborhood_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = sorted_neighborhood_pairs(
+        d,
+        "doc_id",
+        sort_key=F.substring("text", 1, 40),
+        block_key=F.col("lang"),
+        window=2,
+        payload=F.substring("text", 1, 80),
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.levenshtein("payload_a", "payload_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 20)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@q(
+    "doc_phrase_search",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS l FROM documents),
+    toks AS (SELECT doc_id, unnest(l) AS token, generate_subscripts(l, 1) AS pos
+             FROM d),
+    p0 AS (SELECT doc_id, pos AS start FROM toks WHERE token = 'table'),
+    p1 AS (SELECT doc_id, pos - 1 AS start FROM toks WHERE token = 'table')
+    SELECT doc_id, count(*) AS n_matches
+    FROM p0 JOIN p1 USING (doc_id, start)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_phrase_search(spark, sf_dir):
+    # Exact phrase match via positional postings: literal term filters
+    # (scan-pruned on a persisted token-partitioned index) + (doc,
+    # start) equi-joins for adjacency — never a regex scan of the full
+    # corpus.
+    from finlogic_spark.operators.search import phrase_search
+
+    d = _t(spark, sf_dir, "documents")
+    return phrase_search(d, ["table", "table"])
+
+
+@q(
+    "doc_bigram_logprob",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS l FROM documents),
+    toks AS (SELECT doc_id, unnest(l) AS w1, generate_subscripts(l, 1) AS pos
+             FROM d),
+    big AS (SELECT doc_id, w1,
+                   lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM toks),
+    bg AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS n1 FROM toks GROUP BY 1),
+    cu AS (SELECT w1 AS w2, count(*) AS nu FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+    lp AS (SELECT w1, w2,
+             CAST(floor(ln(CAST(0.75 AS DOUBLE) * n2 / n1
+                           + CAST(0.25 AS DOUBLE) * nu / n) * 1000000.0)
+                  AS BIGINT) AS lpq
+           FROM c2 JOIN c1 USING (w1) JOIN cu USING (w2), tot),
+    s AS (SELECT doc_id, count(*) AS n_bigrams, SUM(lpq) AS slpq
+          FROM bg JOIN lp USING (w1, w2) GROUP BY doc_id)
+    SELECT doc_id, n_bigrams,
+           floor(slpq / 1000000.0 / n_bigrams * 1000000.0 + 0.5) / 1000000.0
+             AS logprob_per_bigram
+    FROM s ORDER BY doc_id
+    """,
+)
+def doc_bigram_logprob(spark, sf_dir):
+    # Interpolated bigram LM gate (lam=0.75), self-trained on the
+    # corpus; micro-nat quantization per bigram TYPE makes the doc
+    # mean exact-integer and engine/partition-order independent.
+    from finlogic_spark.operators.corpus import bigram_logprob_score
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_logprob_score(d, "text", "doc_id").orderBy("doc_id")
+
+
+@q(
+    "events_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS anchor
+      FROM days),
+    s AS (SELECT user_id, anchor, count(*) AS len FROM isl GROUP BY 1, 2)
+    SELECT user_id, max(len) AS max_streak, count(*) AS n_streaks
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_streaks(spark, sf_dir):
+    # Gaps-and-islands: longest run of consecutive active DAYS per
+    # user (date minus row_number is constant within a run). All
+    # integer/date arithmetic — exactly hashable; windows partition by
+    # user so state is one user's days.
+    e = _t(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    s = isl.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.max("len").alias("max_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "agg_grouping_sets",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           count(*) AS n_orders,
+           {_dsum_sql("o_totalprice", "total_price")}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    # Explicit GROUPING SETS (vs cube/rollup already covered): three
+    # user-chosen granularities in ONE pass with grouping_id
+    # disambiguating data-NULL from subtotal-NULL. Spark expands to a
+    # single Expand+partial-agg — no re-scan per set.
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )

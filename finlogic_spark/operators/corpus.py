@@ -350,3 +350,89 @@ def cap_per_group(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated bigram LM score per document — the next tier above
+    ``unigram_logprob_score`` in CCNet-style quality gating: word-salad
+    documents have plausible unigrams but implausible transitions, so
+    p(w2|w1) = lam * c(w1 w2)/c(w1) + (1-lam) * c(w2)/N separates them
+    where the unigram gate cannot. Counts come from the corpus itself
+    (self-trained, like the unigram default).
+
+    Determinism contract (same as the unigram scorer): log p is
+    computed once per BIGRAM TYPE and floored to integer micro-nats;
+    the per-document mean is then exact integer arithmetic over the
+    doc's bigram stream — independent of partial-agg order and
+    engine. Docs with < 2 tokens have no bigrams and are omitted
+    (compose with a left join to flag them).
+
+    Scale: bigram types are corpus-bounded (Heaps-law sub-linear); the
+    stream→logp join shuffles on (w1, w2) with partial-agg map-side;
+    the per-doc adjacent pairing is a window over (doc, pos) — state
+    is one document's tokens, skew = the longest single document.
+    """
+    from pyspark.sql import Window
+
+    from finlogic_spark.functions.text import tokens as _tokens
+
+    tok = df.select(
+        F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "w1")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = (
+        tok.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(id_col, "w1", "w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = tok.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    cu = tok.groupBy("w1").agg(F.count(F.lit(1)).alias("nu")).withColumnRenamed(
+        "w1", "w2"
+    )
+    total = tok.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    # Expression shape mirrored EXACTLY in the SQL oracle (left-assoc
+    # mul/div) so both engines run the same IEEE op sequence before
+    # the micro-nat floor.
+    logp = (
+        c2.join(c1, "w1")
+        .join(cu, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log(
+                    F.lit(lam) * F.col("n2") / F.col("n1")
+                    + F.lit(1.0 - lam) * F.col("nu") / F.col("__n")
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("__lpq"),
+        )
+    )
+    scored = (
+        big.join(logp, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__lpq").alias("__sum_lpq"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        (
+            F.floor(
+                F.col("__sum_lpq") / F.lit(1e6) / F.col("n_bigrams") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("logprob_per_bigram"),
+    )

@@ -453,3 +453,68 @@ def tfidf_similar(
         .filter(F.col("rk") <= k)
         .select("query_id", "doc_id", "cos_sim", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search
+# ---------------------------------------------------------------------------
+
+def build_positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted index: one row per token OCCURRENCE —
+    (token, doc_id, pos), pos 1-based in the whitespace token stream.
+    ~dl rows per doc (vs one per distinct token in build_postings);
+    persist partitioned by ``_token_bucket`` for serve-time pruning
+    exactly like the frequency postings."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("pos0", "token"),
+    ).select("token", "doc_id", (F.col("pos0") + F.lit(1)).alias("pos"))
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Exact token-sequence match: (doc_id, n_matches) for documents
+    containing ``phrase`` as consecutive tokens.
+
+    Plan shape: each phrase term filters the positional postings with
+    a LITERAL equality (pushed to the scan — on a token-partitioned
+    persisted index this is static partition pruning, same as BM25
+    term lookup), normalizes its positions to the would-be phrase
+    START (pos - i), and the terms equi-join on (doc_id, start): an
+    occurrence survives all k-1 joins iff the full sequence is
+    adjacent. Join inputs are |occurrences of term|, never |corpus| —
+    selectivity does the work, no regex scan of every document.
+
+    A repeated term in the phrase self-joins the same postings slice
+    at different offsets; positions are unique per doc so counts never
+    double.
+    """
+    if not phrase:
+        raise ValueError("phrase must contain at least one token")
+    norm = [t.lower() for t in phrase]
+    p = (
+        postings
+        if postings is not None
+        else build_positional_postings(docs, id_col, text_col)
+    )
+    parts = [
+        p.filter(F.col("token") == F.lit(t)).select(
+            "doc_id", (F.col("pos") - F.lit(i)).alias("start")
+        )
+        for i, t in enumerate(norm)
+    ]
+    cur = parts[0]
+    for nxt in parts[1:]:
+        cur = cur.join(nxt, ["doc_id", "start"])
+    return (
+        cur.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,137 @@
+"""Sliding-window distinct counts over event time (engine-scope
+addition): "distinct users in the trailing W buckets, per bucket" —
+the rolling-reach / rolling-MAU query that plain SQL windows cannot
+express (COUNT(DISTINCT) is not a supported window aggregate) and
+naive engines answer with a per-bucket re-scan.
+
+Two tiers behind one semantic:
+
+- ``sliding_distinct_exact`` — the ground-truth tier. Dedup to
+  (bucket, key) pairs, then each pair CONTRIBUTES ITSELF FORWARD to
+  the ``width`` buckets whose trailing window covers it
+  (sequence+explode — a map-side fan-out of exactly ``width`` rows per
+  pair, no range join, no re-scan), and one distinct-agg per target
+  bucket finishes. Cost: 2 shuffles over |pairs| × width rows —
+  linear, but the distinct-agg state per bucket is the true distinct
+  set, so memory scales with cardinality.
+- ``sliding_distinct_sketch`` — the 100 TB tier. One HLL sketch per
+  bucket (``hll_sketch_agg`` — partial-aggregated map-side, fixed
+  2^lgk bytes of state per bucket regardless of cardinality), then a
+  RANGE-framed window union (``hll_union_agg`` over event-time
+  seconds, so missing buckets can't widen the frame the way a row
+  frame would). The window is deliberately partition-less: its input
+  is one ROW PER BUCKET (hours-in-a-decade ≈ 10^5 rows carrying
+  ~KB sketches), not one per event — driver-scale by construction.
+  Estimate error is the standard HLL ±1.04/sqrt(2^lgk).
+
+Both emit rows only for buckets that actually contain events (the
+trailing window of a silent bucket is still well-defined, but
+reporting silent buckets is ``resample_ffill``'s job, composable
+upstream).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_STEP_RE = re.compile(
+    r"^\s*([1-9]\d*)\s+(second|minute|hour|day|week)s?\s*$", re.IGNORECASE
+)
+
+_UNIT_SECONDS = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+}
+
+
+def _step_seconds(step: str) -> int:
+    m = _STEP_RE.match(step)
+    if not m:
+        raise ValueError(
+            f"step must be '<n> <second|minute|hour|day|week>[s]' "
+            f"(fixed-width); got {step!r}"
+        )
+    return int(m.group(1)) * _UNIT_SECONDS[m.group(2).lower()]
+
+
+def _buckets(events: DataFrame, ts_col: str, key_col: str, step: str):
+    bucket = F.window(F.col(ts_col), step)["start"].alias("bucket_ts")
+    pairs = events.select(bucket, F.col(key_col).alias("key")).distinct()
+    actual = events.select(
+        F.window(F.col(ts_col), step)["start"].alias("bucket_ts")
+    ).distinct()
+    return pairs, actual
+
+
+def sliding_distinct_exact(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    width: int = 3,
+    step: str = "1 hour",
+) -> DataFrame:
+    """(bucket_ts, u_trailing): exact distinct ``key_col`` count over
+    the trailing ``width`` buckets ending at each event-bearing bucket.
+    """
+    if width < 1:
+        raise ValueError(f"width must be >= 1; got {width}")
+    sec = _step_seconds(step)
+    pairs, actual = _buckets(events, ts_col, key_col, step)
+    # Forward fan-out: a (bucket, key) pair is visible from buckets
+    # bucket .. bucket+(width-1): emit those target rows directly.
+    contrib = pairs.select(
+        F.explode(
+            F.sequence(
+                F.col("bucket_ts"),
+                F.col("bucket_ts")
+                + F.make_interval(secs=F.lit((width - 1) * sec)),
+                F.make_interval(secs=F.lit(sec)),
+            )
+        ).alias("bucket_ts"),
+        "key",
+    )
+    return (
+        contrib.join(actual, "bucket_ts", "left_semi")
+        .groupBy("bucket_ts")
+        .agg(F.countDistinct("key").alias("u_trailing"))
+        .orderBy("bucket_ts")
+    )
+
+
+def sliding_distinct_sketch(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    width: int = 3,
+    step: str = "1 hour",
+    lgk: int = 12,
+) -> DataFrame:
+    """Approximate twin of ``sliding_distinct_exact``: per-bucket HLL
+    sketches merged over an event-time RANGE frame. State per bucket is
+    fixed (2^lgk registers), so the plan's width is independent of key
+    cardinality — the tier that survives 100 TB of events."""
+    if width < 1:
+        raise ValueError(f"width must be >= 1; got {width}")
+    sec = _step_seconds(step)
+    per_bucket = (
+        events.select(
+            F.window(F.col(ts_col), step)["start"].alias("bucket_ts"),
+            F.col(key_col).alias("key"),
+        )
+        .groupBy("bucket_ts")
+        .agg(F.hll_sketch_agg("key", F.lit(lgk)).alias("sk"))
+    )
+    # One row per bucket: the partition-less range window is bounded by
+    # bucket count, not event count (see module docstring).
+    w = (
+        Window.orderBy(F.unix_timestamp("bucket_ts"))
+        .rangeBetween(-(width - 1) * sec, 0)
+    )
+    return per_bucket.select(
+        "bucket_ts",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
+            "u_trailing"
+        ),
+    ).orderBy("bucket_ts")

@@ -473,3 +473,81 @@ def repeated_segment_dedup(
             )
         ).alias("clean_digest"),
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_key: Column,
+    block_key: Column,
+    window: int = 2,
+    payload: Column | None = None,
+) -> DataFrame:
+    """Tier-5 candidate generation: the sorted-neighborhood method
+    (SNM) of classic entity resolution. Rows are ordered by
+    ``sort_key`` within each ``block_key`` partition, and every row is
+    paired with its next ``window`` neighbours in that order — the
+    cheap way to surface near-dups that HASH-based blocking splits
+    (typo in the blocking token) but that sort ADJACENT (shared
+    prefix).
+
+    Emits (id_a, id_b, payload_a, payload_b) with id_a's row sorting
+    strictly before id_b's; the caller applies the verify predicate
+    (edit distance, token Jaccard, ...) — candidates only, like
+    ``minhash_lsh_candidates``.
+
+    Scale shape: ONE shuffle (hash on block) + in-partition sort, then
+    ``window`` lead() columns exploded — linear in rows, never a self
+    join. Block boundaries truncate neighbourhoods (standard SNM:
+    recall across blocks comes from running extra passes with a
+    different block/sort key, each pass independently linear). Skew =
+    the largest single block; pick block keys accordingly.
+
+    Deterministic: ties in ``sort_key`` break on ``id_col``.
+    """
+    from pyspark.sql import Window as W
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1; got {window}")
+    pay = payload if payload is not None else F.lit(None)
+    base = df.select(
+        F.col(id_col).alias("id_a"),
+        sort_key.alias("__key"),
+        block_key.alias("__blk"),
+        pay.alias("payload_a"),
+    )
+    w = W.partitionBy("__blk").orderBy("__key", "id_a")
+    # Materialize the leads as plain columns FIRST (one Window operator,
+    # one sort — all leads share the spec); a generator may not contain
+    # window expressions, so the array/explode is built over these
+    # columns in a later projection.
+    led = base.select(
+        "id_a",
+        "payload_a",
+        *[
+            c
+            for j in range(1, window + 1)
+            for c in (
+                F.lead("id_a", j).over(w).alias(f"__id_{j}"),
+                F.lead("payload_a", j).over(w).alias(f"__pay_{j}"),
+            )
+        ],
+    )
+    neigh = F.array(
+        *[
+            F.struct(
+                F.col(f"__id_{j}").alias("id_b"),
+                F.col(f"__pay_{j}").alias("payload_b"),
+            )
+            for j in range(1, window + 1)
+        ]
+    )
+    # End-of-block rows have null leads: drop them INSIDE the array
+    # (HOF filter) rather than a post-explode WHERE.
+    neigh_nn = F.filter(neigh, lambda s: s["id_b"].isNotNull())
+    return led.withColumn("__n", F.explode(neigh_nn)).select(
+        "id_a",
+        F.col("__n.id_b").alias("id_b"),
+        "payload_a",
+        F.col("__n.payload_b").alias("payload_b"),
+    )

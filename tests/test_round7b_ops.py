@@ -1,0 +1,214 @@
+"""Tests for round-7b operators: sliding distinct (exact + HLL
+sketch), sorted-neighborhood candidate pairs, positional phrase
+search, bigram LM scoring."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from finlogic_spark.operators.corpus import bigram_logprob_score
+from finlogic_spark.operators.search import (
+    build_positional_postings,
+    phrase_search,
+)
+from finlogic_spark.operators.sliding import (
+    sliding_distinct_exact,
+    sliding_distinct_sketch,
+)
+from finlogic_spark.operators.text_dedup import sorted_neighborhood_pairs
+
+
+def _ts(s):
+    return datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+
+# ------------------------------------------------------- sliding distinct
+
+def _events(spark):
+    rows = []
+    # hour 0: users 1,2; hour 1: users 2,3; hour 3: user 9 (hour 2 silent)
+    for u in (1, 2):
+        rows.append((u, _ts("2024-01-01 00:15:00")))
+    for u in (2, 3):
+        rows.append((u, _ts("2024-01-01 01:45:00")))
+    rows.append((9, _ts("2024-01-01 03:05:00")))
+    return spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+
+def test_sliding_distinct_exact_semantics(spark):
+    out = {
+        r.bucket_ts.hour: r.u_trailing
+        for r in sliding_distinct_exact(
+            _events(spark), "ts", "user_id", width=3, step="1 hour"
+        ).collect()
+    }
+    # hour 0: {1,2}; hour 1: {1,2,3}; hour 2 silent -> no row;
+    # hour 3 trailing window = hours 1..3 -> {2,3,9}
+    assert out == {0: 2, 1: 3, 3: 3}
+
+
+def test_sliding_distinct_width_one_is_per_bucket(spark):
+    out = {
+        r.bucket_ts.hour: r.u_trailing
+        for r in sliding_distinct_exact(
+            _events(spark), "ts", "user_id", width=1, step="1 hour"
+        ).collect()
+    }
+    assert out == {0: 2, 1: 2, 3: 1}
+
+
+def test_sliding_distinct_sketch_matches_exact_within_error(spark):
+    # Larger synthetic load: 48 hourly buckets, overlapping user sets.
+    rows = [
+        (u + 37 * (h % 5), _ts(f"2024-01-{1 + h // 24:02d} {h % 24:02d}:30:00"))
+        for h in range(48)
+        for u in range(120)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    exact = {
+        r.bucket_ts: r.u_trailing
+        for r in sliding_distinct_exact(ev, "ts", "user_id", width=3).collect()
+    }
+    est = {
+        r.bucket_ts: r.u_trailing
+        for r in sliding_distinct_sketch(
+            ev, "ts", "user_id", width=3, lgk=12
+        ).collect()
+    }
+    assert est.keys() == exact.keys()
+    for b, true_n in exact.items():
+        # HLL lgk=12 standard error ~1.6%; allow 5%.
+        assert abs(est[b] - true_n) <= max(2, 0.05 * true_n), (
+            b, true_n, est[b],
+        )
+
+
+def test_sliding_distinct_validates_inputs(spark):
+    ev = _events(spark)
+    with pytest.raises(ValueError):
+        sliding_distinct_exact(ev, "ts", "user_id", width=0)
+    with pytest.raises(ValueError):
+        sliding_distinct_exact(ev, "ts", "user_id", step="1 month")
+
+
+# --------------------------------------------------- sorted neighborhood
+
+def test_sorted_neighborhood_window_and_blocks(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "A", "aaa"),
+            (2, "A", "aab"),
+            (3, "A", "aac"),
+            (4, "A", "zzz"),
+            (5, "B", "aaa"),
+        ],
+        "id long, blk string, key string",
+    )
+    pairs = sorted_neighborhood_pairs(
+        df, "id", sort_key=F.col("key"), block_key=F.col("blk"), window=2,
+        payload=F.col("key"),
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # Block A sort order: 1,2,3,4 -> (1,2),(1,3),(2,3),(2,4),(3,4);
+    # block B has a single row -> no pairs; never cross-block.
+    assert got == {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)}
+    assert all(a != 5 and b != 5 for a, b in got)
+
+
+def test_sorted_neighborhood_tiebreak_deterministic(spark):
+    # Identical sort keys: order falls back to id, so pairs are stable
+    # across reshuffles.
+    df = spark.createDataFrame(
+        [(i, "A", "same") for i in (3, 1, 2)], "id long, blk string, key string"
+    )
+    pairs = sorted_neighborhood_pairs(
+        df.repartition(8), "id", F.col("key"), F.col("blk"), window=1
+    )
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(1, 2), (2, 3)}
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "id", F.col("key"), F.col("blk"), window=0)
+
+
+# -------------------------------------------------------- phrase search
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "cat cat cat"),
+            (3, "the dog"),
+            (4, "THE Cat sat"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_phrase_search_adjacency_and_case(spark):
+    out = {
+        r.doc_id: r.n_matches
+        for r in phrase_search(_docs(spark), ["the", "cat"]).collect()
+    }
+    # doc 1 once, doc 4 once (case-folded); doc 3 has 'the' but not
+    # 'the cat'; null text never crashes.
+    assert out == {1: 1, 4: 1}
+
+
+def test_phrase_search_repeated_token_counts_overlaps(spark):
+    out = {
+        r.doc_id: r.n_matches
+        for r in phrase_search(_docs(spark), ["cat", "cat"]).collect()
+    }
+    # 'cat cat cat' contains TWO overlapping occurrences.
+    assert out == {2: 2}
+
+
+def test_phrase_search_single_token_and_prebuilt_postings(spark):
+    docs = _docs(spark)
+    p = build_positional_postings(docs)
+    out = {
+        r.doc_id: r.n_matches
+        for r in phrase_search(docs, ["Cat"], postings=p).collect()
+    }
+    assert out == {1: 1, 2: 3, 4: 1}
+    with pytest.raises(ValueError):
+        phrase_search(docs, [])
+
+
+# ----------------------------------------------------------- bigram LM
+
+def test_bigram_logprob_hand_check(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "x")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_bigrams, r.logprob_per_bigram)
+        for r in bigram_logprob_score(docs, "text", "doc_id").collect()
+    }
+    # Corpus tokens: a,b,a,b,a,c,x (N=7). c1(a)=3. c2(a,b)=2, c2(a,c)=1.
+    # p(b|a) = .75*2/3 + .25*2/7 ; p(c|a) = .75*1/3 + .25*1/7
+    lp_ab = math.floor(math.log(0.75 * 2 / 3 + 0.25 * 2 / 7) * 1e6) / 1e6
+    lp_ac = math.floor(math.log(0.75 * 1 / 3 + 0.25 * 1 / 7) * 1e6) / 1e6
+    assert out[1] == (1, math.floor(lp_ab * 1e6 + 0.5) / 1e6)
+    assert out[2] == out[1]
+    assert out[3] == (1, math.floor(lp_ac * 1e6 + 0.5) / 1e6)
+    assert 4 not in out  # single-token doc: no bigrams
+
+
+def test_bigram_flags_word_salad_below_fluent(spark):
+    # Fluent docs repeat common transitions; salad doc uses the same
+    # unigrams in never-seen orders -> lower bigram score.
+    fluent = [(i, "the cat sat on the mat") for i in range(10)]
+    salad = [(100, "mat the on sat cat the")]
+    docs = spark.createDataFrame(fluent + salad, "doc_id long, text string")
+    out = {
+        r.doc_id: r.logprob_per_bigram
+        for r in bigram_logprob_score(docs, "text", "doc_id").collect()
+    }
+    assert out[100] < out[0]
