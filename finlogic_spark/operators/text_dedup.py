@@ -482,6 +482,7 @@ def sorted_neighborhood_pairs(
     block_key: Column,
     window: int = 2,
     payload: Column | None = None,
+    score=None,
 ) -> DataFrame:
     """Tier-5 candidate generation: the sorted-neighborhood method
     (SNM) of classic entity resolution. Rows are ordered by
@@ -491,10 +492,19 @@ def sorted_neighborhood_pairs(
     (typo in the blocking token) but that sort ADJACENT (shared
     prefix).
 
-    Emits (id_a, id_b, payload_a, payload_b) with id_a's row sorting
-    strictly before id_b's; the caller applies the verify predicate
-    (edit distance, token Jaccard, ...) — candidates only, like
-    ``minhash_lsh_candidates``.
+    Emits (id_a, id_b, payload_a, payload_b[, score]) with id_a's row
+    sorting strictly before id_b's; the caller applies the verify
+    predicate (edit distance, token Jaccard, ...) — candidates only,
+    like ``minhash_lsh_candidates``.
+
+    ``score``: optional ``fn(payload_a, payload_b) -> Column``. When
+    the verify is expensive (levenshtein), pass it here instead of
+    filtering the output: the expression is evaluated ONCE per
+    neighbour in the pre-explode projection, whereas a post-explode
+    ``filter(expensive <= t)`` collapses onto the Project and Catalyst
+    evaluates the expression twice (once in the pushed Filter, once in
+    the projection — measured 2x the verify cost). The caller then
+    filters on the cheap scalar ``score`` column.
 
     Scale shape: ONE shuffle (hash on block) + in-partition sort, then
     ``window`` lead() columns exploded — linear in rows, never a self
@@ -538,6 +548,15 @@ def sorted_neighborhood_pairs(
             F.struct(
                 F.col(f"__id_{j}").alias("id_b"),
                 F.col(f"__pay_{j}").alias("payload_b"),
+                *(
+                    [
+                        score(
+                            F.col("payload_a"), F.col(f"__pay_{j}")
+                        ).alias("score")
+                    ]
+                    if score is not None
+                    else []
+                ),
             )
             for j in range(1, window + 1)
         ]
@@ -545,9 +564,12 @@ def sorted_neighborhood_pairs(
     # End-of-block rows have null leads: drop them INSIDE the array
     # (HOF filter) rather than a post-explode WHERE.
     neigh_nn = F.filter(neigh, lambda s: s["id_b"].isNotNull())
-    return led.withColumn("__n", F.explode(neigh_nn)).select(
+    out_cols = [
         "id_a",
         F.col("__n.id_b").alias("id_b"),
         "payload_a",
         F.col("__n.payload_b").alias("payload_b"),
-    )
+    ]
+    if score is not None:
+        out_cols.append(F.col("__n.score").alias("score"))
+    return led.withColumn("__n", F.explode(neigh_nn)).select(*out_cols)

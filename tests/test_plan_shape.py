@@ -292,3 +292,46 @@ def test_tpch_q2_cost_agg_is_single_fact_shuffle(spark, sf_dir):
     assert plans.uses_broadcast_join(df)
     assert plans.uses_take_ordered(df)
     assert plans.count_shuffles(df) <= 2
+
+
+def test_phrase_search_serves_with_pushed_term_filters(spark, tmp_path):
+    # Positional-postings twin of the BM25 serving pin: phrase terms
+    # are LITERAL equality filters, so against a persisted positional
+    # index they reach the scan (PushedFilters on token) — never a
+    # full-postings or full-corpus read per query.
+    from finlogic_spark.operators.search import (
+        build_positional_postings,
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i + j) % 7}" for j in range(12)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "pos_postings")
+    build_positional_postings(docs).write.parquet(path)
+    idx = spark.read.parquet(path)
+    served = phrase_search(None, ["w1", "w2"], postings=idx)
+    assert plans.has_pushed_filter(served, "token")
+    live = sorted(
+        (r.doc_id, r.n_matches)
+        for r in phrase_search(docs, ["w1", "w2"]).collect()
+    )
+    assert sorted((r.doc_id, r.n_matches) for r in served.collect()) == live
+    assert live  # non-trivial corpus: the phrase does occur
+
+
+def test_sorted_neighborhood_one_window_one_scan(spark, sf_dir):
+    # SNM must stay linear: ONE Window pass (all leads share the spec)
+    # over ONE scan of documents, and no join anywhere in the plan —
+    # the quadratic rn-difference self-join formulation is exactly
+    # what the operator exists to avoid.
+    import re
+
+    df = QUERIES["doc_sorted_neighborhood"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    # one PHYSICAL Window node (header lines look like "(6) Window")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert plans.count_scans(df) == 1
+    assert "Join" not in plan, plan

@@ -118,6 +118,23 @@ def test_sorted_neighborhood_window_and_blocks(spark):
     assert all(a != 5 and b != 5 for a, b in got)
 
 
+def test_sorted_neighborhood_score_column(spark):
+    # score= computes the verify expression pre-explode (single eval);
+    # its values must equal computing the same expression on the
+    # emitted payloads.
+    df = spark.createDataFrame(
+        [(1, "A", "abcd"), (2, "A", "abce"), (3, "A", "zzzz")],
+        "id long, blk string, key string",
+    )
+    pairs = sorted_neighborhood_pairs(
+        df, "id", F.col("key"), F.col("blk"), window=2,
+        payload=F.col("key"),
+        score=lambda a, b: F.levenshtein(a, b),
+    )
+    got = {(r.id_a, r.id_b): r.score for r in pairs.collect()}
+    assert got == {(1, 2): 1, (1, 3): 4, (2, 3): 4}
+
+
 def test_sorted_neighborhood_tiebreak_deterministic(spark):
     # Identical sort keys: order falls back to id, so pairs are stable
     # across reshuffles.
