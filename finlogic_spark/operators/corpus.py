@@ -405,11 +405,15 @@ def bigram_logprob_score(
         F.col("__bg.w2").alias("w2"),
     )
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = tok.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
-    cu = tok.groupBy("w1").agg(F.count(F.lit(1)).alias("nu")).withColumnRenamed(
-        "w1", "w2"
-    )
-    total = tok.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    # One vocab aggregate serves all three unigram statistics: c1 and
+    # cu are the same plan (ReusedExchange dedups them) and the corpus
+    # total sums the ~|V| counts instead of re-exploding the token
+    # stream — 5 tokenize passes -> 3 (measured at 1000x bench scale,
+    # where the extra explode passes were the super-linear term).
+    vc = tok.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    c1 = vc
+    cu = vc.select(F.col("w1").alias("w2"), F.col("n1").alias("nu"))
+    total = vc.agg(F.sum("n1").cast("double").alias("__n"))
     # Expression shape mirrored EXACTLY in the SQL oracle (left-assoc
     # mul/div) so both engines run the same IEEE op sequence before
     # the micro-nat floor.

@@ -697,3 +697,95 @@ def pq_ivf_topk(
         .filter(F.col("rk") <= k)
         .select(query_id, corpus_id, "adist", "rk")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    rel_col: str = "cos_sim",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank of per-query candidates:
+    greedily select k items maximizing
+    ``lam * relevance - (1 - lam) * max_sim(to already selected)`` —
+    the standard diversification pass over an ANN top-N (Carbonell &
+    Goldstein '98). Returns (query_id, corpus_id, mmr_score, rk).
+
+    Input is the CANDIDATE set (one row per (query, candidate) with
+    the relevance score and the candidate's vector) — typically the
+    top-N of ``lsh_cosine_topk``/``ivf_topk`` with N a small multiple
+    of k, joined back to vectors.
+
+    Execution: ``applyInPandas`` over query groups — the greedy loop
+    is inherently sequential WITHIN a query but embarrassingly
+    parallel ACROSS queries, so one Arrow batch per query does k·N
+    numpy dot products on state bounded by N×dim (the justified
+    Python-boundary class, like the k-means update). Deterministic:
+    candidates are pre-sorted by (-relevance, corpus_id) and argmax
+    ties resolve to the first (lowest id).
+
+    Candidate-candidate similarity is cosine over ``vec_col``;
+    zero-norm or null vectors contribute similarity 0 (never NaN), so
+    degenerate candidates rank purely by relevance.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1]; got {lam}")
+    import pandas as pd  # noqa: F401 (applyInPandas contract)
+
+    out_schema = (
+        f"{query_id} {dict(candidates.dtypes)[query_id]}, "
+        f"{corpus_id} {dict(candidates.dtypes)[corpus_id]}, "
+        "mmr_score double, rk int"
+    )
+
+    def _mmr(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            [rel_col, corpus_id], ascending=[False, True]
+        ).reset_index(drop=True)
+        n = len(pdf)
+        vecs = np.array(
+            [
+                np.asarray(v, dtype=np.float64)
+                if v is not None
+                else np.zeros(0)
+                for v in pdf[vec_col]
+            ],
+            dtype=object,
+        )
+        dim = max((len(v) for v in vecs), default=0)
+        mat = np.zeros((n, dim))
+        for i, v in enumerate(vecs):
+            mat[i, : len(v)] = v
+        norms = np.linalg.norm(mat, axis=1)
+        safe = np.where(norms == 0.0, 1.0, norms)
+        unit = mat / safe[:, None]  # zero-norm rows stay all-zero
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        selected: list[int] = []
+        max_sim = np.zeros(n)
+        scores = []
+        kk = min(k, n)
+        for _ in range(kk):
+            mmr = lam * rel - (1.0 - lam) * max_sim
+            mmr[selected] = -np.inf
+            i = int(np.argmax(mmr))  # first max wins -> deterministic
+            selected.append(i)
+            scores.append(mmr[i])
+            max_sim = np.maximum(max_sim, unit @ unit[i])
+        return pd.DataFrame(
+            {
+                query_id: pdf[query_id].iloc[selected].to_numpy(),
+                corpus_id: pdf[corpus_id].iloc[selected].to_numpy(),
+                "mmr_score": scores,
+                "rk": np.arange(1, kk + 1, dtype=np.int32),
+            }
+        )
+
+    return candidates.groupBy(query_id).applyInPandas(_mmr, out_schema)

@@ -59,9 +59,11 @@ def _step_seconds(step: str) -> int:
 def _buckets(events: DataFrame, ts_col: str, key_col: str, step: str):
     bucket = F.window(F.col(ts_col), step)["start"].alias("bucket_ts")
     pairs = events.select(bucket, F.col(key_col).alias("key")).distinct()
-    actual = events.select(
-        F.window(F.col(ts_col), step)["start"].alias("bucket_ts")
-    ).distinct()
+    # Event-bearing buckets derived from the deduped pairs, NOT a
+    # second scan of events: any event row yields a (bucket, key) pair
+    # (nulls included by distinct), so the bucket sets are identical
+    # and the plan reads the table once.
+    actual = pairs.select("bucket_ts").distinct()
     return pairs, actual
 
 

@@ -229,3 +229,71 @@ def test_bigram_flags_word_salad_below_fluent(spark):
         for r in bigram_logprob_score(docs, "text", "doc_id").collect()
     }
     assert out[100] < out[0]
+
+
+# ----------------------------------------------------------- MMR rerank
+
+def _mmr_input(spark):
+    # q1: doc 1 and 2 are near-identical (relevance 0.99/0.98), doc 3
+    # is orthogonal with lower relevance (0.60).
+    rows = [
+        (1, 1, 0.99, [1.0, 0.0, 0.0]),
+        (1, 2, 0.98, [0.999, 0.01, 0.0]),
+        (1, 3, 0.60, [0.0, 1.0, 0.0]),
+        (2, 7, 0.50, [0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "query_id long, vec_id long, cos_sim double, embedding array<double>",
+    )
+
+
+def test_mmr_diversifies_over_pure_relevance(spark):
+    from finlogic_spark.operators.similarity import mmr_rerank
+
+    out = sorted(
+        (r.query_id, r.rk, r.vec_id)
+        for r in mmr_rerank(_mmr_input(spark), k=2, lam=0.5).collect()
+    )
+    # Pure relevance picks (1, 2); MMR at lam=0.5 picks the orthogonal
+    # doc 3 second: 0.5*0.98 - 0.5*~1.0 < 0.5*0.60 - 0.5*~0.0.
+    assert out == [(1, 1, 1), (1, 2, 3), (2, 1, 7)]
+
+
+def test_mmr_lam_one_is_pure_relevance(spark):
+    from finlogic_spark.operators.similarity import mmr_rerank
+
+    out = sorted(
+        (r.query_id, r.rk, r.vec_id)
+        for r in mmr_rerank(_mmr_input(spark), k=3, lam=1.0).collect()
+    )
+    assert out == [(1, 1, 1), (1, 2, 2), (1, 3, 3), (2, 1, 7)]
+
+
+def test_mmr_deterministic_and_degenerate_vectors(spark):
+    import pytest
+
+    from finlogic_spark.operators.similarity import mmr_rerank
+
+    # Ties + a null and a zero vector: no NaN, stable under reshuffle.
+    rows = [
+        (1, 10, 0.9, None),
+        (1, 11, 0.9, [0.0, 0.0]),
+        (1, 12, 0.9, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id long, vec_id long, cos_sim double, embedding array<double>",
+    )
+    a = [tuple(r) for r in mmr_rerank(df, k=3).orderBy("rk").collect()]
+    b = [
+        tuple(r)
+        for r in mmr_rerank(df.repartition(8), k=3).orderBy("rk").collect()
+    ]
+    assert a == b
+    assert a[0][1] == 10  # tie at rel 0.9 -> lowest id first
+    assert all(s == s for (_, _, s, _) in a)  # no NaN scores
+    with pytest.raises(ValueError):
+        mmr_rerank(df, k=0)
+    with pytest.raises(ValueError):
+        mmr_rerank(df, k=2, lam=1.5)
