@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "doc_bigram_logprob",
     "events_streaks",
     "agg_grouping_sets",
+    "doc_canonical_select",
 ]
 
 

@@ -5439,3 +5439,78 @@ def agg_grouping_sets(spark, sf_dir):
         )
         .orderBy("gid", "o_orderstatus", "o_orderpriority")
     )
+
+
+@q(
+    "doc_canonical_select",
+    f"""
+    WITH RECURSIVE s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    sig AS (
+      SELECT doc_id,
+             list_min(list_transform(sh, x -> md5('0|' || x))) AS m0,
+             list_min(list_transform(sh, x -> md5('1|' || x))) AS m1,
+             list_min(list_transform(sh, x -> md5('2|' || x))) AS m2,
+             list_min(list_transform(sh, x -> md5('3|' || x))) AS m3,
+             list_min(list_transform(sh, x -> md5('4|' || x))) AS m4,
+             list_min(list_transform(sh, x -> md5('5|' || x))) AS m5
+      FROM s),
+    buckets AS (
+      SELECT doc_id, 0 AS band, md5(m0 || '|' || m1 || '|' || m2) AS bh FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(m3 || '|' || m4 || '|' || m5) AS bh FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id),
+    e2 AS (SELECT id_a AS es, id_b AS ed FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e2.ed, reach.r FROM reach JOIN e2 ON e2.es = reach.id),
+    clus AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+    scored AS (
+      SELECT c.cluster, c.doc_id, {_QUALITY_SQL} AS quality
+      FROM clus c JOIN documents USING (doc_id)),
+    ranked AS (
+      SELECT cluster, doc_id, quality,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY quality DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY cluster) AS n_members
+      FROM scored)
+    SELECT cluster, doc_id, quality, n_members
+    FROM ranked WHERE rk = 1 ORDER BY cluster
+    """,
+)
+def doc_canonical_select(spark, sf_dir):
+    # The step AFTER dedup clustering: pick each near-dup cluster's
+    # BEST representative (highest quality score, doc_id tiebreak) —
+    # not the arbitrary min-id the cluster label happens to be. This
+    # is the full LSH -> transitive closure -> canonical-keep pipeline
+    # as one query; quality is the 6 dp-quantized score (engine-stable
+    # ordering). One extra window over (cluster) after the closure —
+    # per-cluster state only.
+    from finlogic_spark.functions.text import quality_score
+    from finlogic_spark.operators.graph import connected_components
+    from finlogic_spark.operators.text_dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", k=3, num_hashes=6, bands=2)
+    cc = connected_components(
+        pairs, d.select("doc_id"), src="id_a", dst="id_b", id_col="doc_id"
+    ).select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
+    scored = cc.join(
+        d.select("doc_id", rN(quality_score("text"), 6).alias("quality")),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("cluster")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rk") == 1)
+        .select("cluster", "doc_id", "quality", "n_members")
+        .orderBy("cluster")
+    )

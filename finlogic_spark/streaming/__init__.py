@@ -439,3 +439,34 @@ def run_to_parquet_sink(
     )
     _await_drain(q, timeout)
     return q
+
+
+def sliding_distinct_users(
+    events: DataFrame,
+    window: str = "3 hours",
+    slide: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Streaming rolling reach: approximate distinct users per sliding
+    event-time window — the streaming twin of
+    ``operators.sliding.sliding_distinct_*`` (a window ending at
+    bucket b + slide covers the trailing window/slide buckets).
+
+    Exact COUNT(DISTINCT) is not a supported streaming aggregate (its
+    state is the full key set); ``approx_count_distinct`` keeps HLL
+    state per open window — fixed size, watermark-bounded, and its
+    merge is order-independent, so the result is micro-batch-boundary
+    independent and equals the identical batch expression.
+    """
+    return (
+        with_event_time(events)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.approx_count_distinct("user_id", rsd).alias("u_approx"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "u_approx",
+        )
+    )

@@ -503,3 +503,34 @@ def test_stream_resample_ffill_across_batch_boundaries(spark, tmp_path):
         spark.table("q_test_resample").agg(F.max("n_late")).first()[0]
     )
     assert max_late == 1
+
+
+def test_sliding_distinct_stream_matches_batch_and_exact(spark, sf_dir, events_batch):
+    # Streaming HLL sliding reach == the identical batch expression
+    # (order-independent sketch merge), and within the documented
+    # error of the exact per-window distinct count.
+    stream = st.read_events_stream(spark, sf_dir)
+    got = _drain(
+        spark, st.sliding_distinct_users(stream), "t_sliding_distinct"
+    )
+    batch = (
+        events_batch.groupBy(F.window("ts", "3 hours", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("u_approx"))
+        .select(F.col("w.start").alias("window_start"), "u_approx")
+    )
+    g = {r["window_start"]: r["u_approx"] for r in got.collect()}
+    b = {r["window_start"]: r["u_approx"] for r in batch.collect()}
+    assert g == b
+    exact = {
+        r["ws"]: r["n"]
+        for r in events_batch.groupBy(
+            F.window("ts", "3 hours", "1 hour")["start"].alias("ws")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert g.keys() == exact.keys()
+    for ws, est in g.items():
+        assert abs(est - exact[ws]) <= max(2, 0.06 * exact[ws]), (
+            ws, est, exact[ws],
+        )
