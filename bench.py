@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "events_streaks",
     "agg_grouping_sets",
     "doc_canonical_select",
+    "emb_hard_negatives",
 ]
 
 

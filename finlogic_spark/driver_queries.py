@@ -5514,3 +5514,46 @@ def doc_canonical_select(spark, sf_dir):
         .select("cluster", "doc_id", "quality", "n_members")
         .orderBy("cluster")
     )
+
+
+@q(
+    "emb_hard_negatives",
+    f"""
+    WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, label AS qlabel,
+                  embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT query_id, vec_id,
+             {_DOT_SQL} / ({_NORM_V} * {_NORM_Q}) AS cs
+      FROM c CROSS JOIN qs
+      WHERE c.label <> qs.qlabel)
+    SELECT query_id, vec_id,
+           floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, rk
+    FROM (SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS INTEGER)
+            AS rk
+          FROM scored)
+    WHERE rk <= 3
+    ORDER BY query_id, rk
+    """,
+)
+def emb_hard_negatives(spark, sf_dir):
+    # Contrastive-training negative mining: per anchor, the 3 most
+    # similar vectors with a DIFFERENT label (the near-misses). The
+    # label predicate runs before the cosine, so same-label pairs
+    # never pay the dot product.
+    from finlogic_spark.operators.similarity import hard_negatives
+
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    corpus = e.select("vec_id", as_double.alias("embedding"), "label")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        as_double.alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = hard_negatives(corpus, queries, k=3)
+    return out.select(
+        "query_id", "vec_id", rN(F.col("cos_sim"), 6).alias("cos_sim"), "rk"
+    ).orderBy("query_id", "rk")

@@ -789,3 +789,39 @@ def mmr_rerank(
         )
 
     return candidates.groupBy(query_id).applyInPandas(_mmr, out_schema)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    corpus_label: str = "label",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    query_label: str = "query_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor
+    (query), the k most-similar corpus rows with a DIFFERENT label —
+    the near-misses that make the best negatives. Exact tier: the
+    cheap label comparison is applied directly on the broadcast join
+    output, ahead of the cosine, so same-label pairs never pay the
+    dot product. Self-pairs drop out via the label filter. Deterministic
+    tiebreak on corpus id. For corpus-scale anchor sets, generate
+    candidates with ``lsh_cosine_topk``/``ivf_topk`` over an
+    oversampled k and apply the same label filter before the final
+    rank.
+    """
+    q = F.broadcast(queries.select(query_id, query_vec, query_label))
+    scored = (
+        corpus.select(corpus_id, corpus_vec, corpus_label)
+        .crossJoin(q)
+        .filter(F.col(corpus_label) != F.col(query_label))
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
+        )
+    )
+    return _per_query_topk(scored, query_id, corpus_id, k)

@@ -297,3 +297,30 @@ def test_mmr_deterministic_and_degenerate_vectors(spark):
         mmr_rerank(df, k=0)
     with pytest.raises(ValueError):
         mmr_rerank(df, k=2, lam=1.5)
+
+
+# ------------------------------------------------------- hard negatives
+
+def test_hard_negatives_excludes_same_label_and_self(spark):
+    from finlogic_spark.operators.similarity import hard_negatives
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.99, 0.1], 0),   # same label as anchor: excluded
+            (3, [0.9, 0.3], 1),    # hard negative (closest other-label)
+            (4, [0.0, 1.0], 1),    # easy negative
+            (5, [0.5, 0.5], 2),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    queries = corpus.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = [(r.vec_id, r.rk) for r in hard_negatives(
+        corpus, queries, k=3
+    ).orderBy("rk").collect()]
+    # ranked by cosine among labels != 0: 3 (0.95) > 5 (0.71) > 4 (0.0)
+    assert out == [(3, 1), (5, 2), (4, 3)]
