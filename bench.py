@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "agg_grouping_sets",
     "doc_canonical_select",
     "emb_hard_negatives",
+    "events_psi_drift",
 ]
 
 

@@ -5557,3 +5557,66 @@ def emb_hard_negatives(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", rN(F.col("cos_sim"), 6).alias("cos_sim"), "rk"
     ).orderBy("query_id", "rk")
+
+
+@q(
+    "events_psi_drift",
+    """
+    WITH ref AS (SELECT event_type, value FROM events
+                 WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+    cur AS (SELECT event_type, value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+    hr AS (
+      SELECT event_type,
+             CAST(greatest(0, least(floor((value - 0.0) / 25.0), 9)) AS INT)
+               AS bin,
+             count(*) AS nr
+      FROM ref WHERE value IS NOT NULL AND NOT isnan(value)
+      GROUP BY 1, 2),
+    hc AS (
+      SELECT event_type,
+             CAST(greatest(0, least(floor((value - 0.0) / 25.0), 9)) AS INT)
+               AS bin,
+             count(*) AS nc
+      FROM cur WHERE value IS NOT NULL AND NOT isnan(value)
+      GROUP BY 1, 2),
+    tr AS (SELECT event_type, SUM(nr) AS tr FROM hr GROUP BY 1),
+    tc AS (SELECT event_type, SUM(nc) AS tc FROM hc GROUP BY 1),
+    grid AS (
+      SELECT event_type, tr, tc, unnest(range(0, 10)) AS bin
+      FROM tr JOIN tc USING (event_type)),
+    j AS (
+      SELECT g.event_type, g.tr, g.tc, g.bin,
+             COALESCE(hr.nr, 0) AS nr, COALESCE(hc.nc, 0) AS nc
+      FROM grid g
+      LEFT JOIN hr ON hr.event_type = g.event_type AND hr.bin = g.bin
+      LEFT JOIN hc ON hc.event_type = g.event_type AND hc.bin = g.bin),
+    terms AS (
+      SELECT event_type, tr, tc,
+             CAST(floor((((nc + 1) / (tc + 10)) - ((nr + 1) / (tr + 10)))
+                        * ln(((nc + 1) / (tc + 10)) / ((nr + 1) / (tr + 10)))
+                        * 1000000.0) AS BIGINT) AS t
+      FROM j)
+    SELECT event_type, CAST(SUM(t) AS DOUBLE) / 1000000.0 AS psi,
+           CAST(MIN(tr) AS BIGINT) AS n_ref, CAST(MIN(tc) AS BIGINT) AS n_cur
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_psi_drift(spark, sf_dir):
+    # Distribution-drift gate: PSI of the value distribution per
+    # event_type, first half of January vs second half, fixed
+    # [0, 250)x10 bins, Laplace-smoothed, micro-unit-quantized terms
+    # (aggregation-order/engine independent).
+    from finlogic_spark.operators.profile import psi_drift
+
+    e = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ref = e.filter(F.col("ts") < split).select("event_type", "value")
+    cur = e.filter(F.col("ts") >= split).select("event_type", "value")
+    out = psi_drift(ref, cur, "event_type", "value", lo=0.0, hi=250.0,
+                    n_bins=10)
+    return out.select(
+        "event_type", "psi",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+    ).orderBy("event_type")

@@ -192,3 +192,76 @@ def histogram_fixed(
         .withColumn("bin_lo", F.lit(lo) + F.col("bin") * F.lit(w))
         .withColumn("bin_hi", F.lit(lo) + (F.col("bin") + 1) * F.lit(w))
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index per group between a reference and a
+    current sample: PSI = Σ_bins (q_b − p_b)·ln(q_b / p_b) over fixed
+    equi-width bins — the standard drift gate for feature/score
+    distributions (rule of thumb: <0.1 stable, >0.25 shifted).
+
+    Bins are the ``histogram_fixed`` bins (same clamp/NULL/NaN
+    contract); proportions are Laplace-smoothed ((n_b+1)/(N+B)) so an
+    empty bin on either side contributes a finite term instead of
+    ±inf. Each bin's term is quantized to integer micro-units before
+    the per-group sum, so the result is independent of aggregation
+    order and engine.
+
+    Returns (group, psi, n_ref, n_cur). Scale: two histogram passes
+    (each one map-side-combining aggregate) + a join on (group, bin) ×
+    a B-row grid — nothing proportional to row count crosses a second
+    shuffle. Groups absent from either sample are omitted (PSI against
+    an empty sample is undefined).
+    """
+    h_ref = histogram_fixed(ref, group_col, value_col, lo, hi, n_bins).select(
+        group_col, "bin", F.col("n").alias("nr")
+    )
+    h_cur = histogram_fixed(cur, group_col, value_col, lo, hi, n_bins).select(
+        group_col, "bin", F.col("n").alias("nc")
+    )
+    tr = h_ref.groupBy(group_col).agg(F.sum("nr").alias("tr"))
+    tc = h_cur.groupBy(group_col).agg(F.sum("nc").alias("tc"))
+    # Full (group, bin) grid over groups present in BOTH samples, so
+    # empty bins still contribute their smoothed term.
+    grid = (
+        tr.join(tc, group_col)
+        .select(
+            group_col,
+            "tr",
+            "tc",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+        )
+    )
+    joined = (
+        grid.join(h_ref, [group_col, "bin"], "left")
+        .join(h_cur, [group_col, "bin"], "left")
+        .select(
+            group_col,
+            "tr",
+            "tc",
+            F.coalesce("nr", F.lit(0)).alias("nr"),
+            F.coalesce("nc", F.lit(0)).alias("nc"),
+        )
+    )
+    p = (joined["nr"] + F.lit(1)) / (joined["tr"] + F.lit(n_bins))
+    qq = (joined["nc"] + F.lit(1)) / (joined["tc"] + F.lit(n_bins))
+    term = (qq - p) * F.log(qq / p)
+    return (
+        joined.withColumn(
+            "__t", F.floor(term * F.lit(1e6)).cast("long")
+        )
+        .groupBy(group_col)
+        .agg(
+            (F.sum("__t") / F.lit(1e6)).alias("psi"),
+            F.first("tr").alias("n_ref"),
+            F.first("tc").alias("n_cur"),
+        )
+    )

@@ -324,3 +324,44 @@ def test_hard_negatives_excludes_same_label_and_self(spark):
     ).orderBy("rk").collect()]
     # ranked by cosine among labels != 0: 3 (0.95) > 5 (0.71) > 4 (0.0)
     assert out == [(3, 1), (5, 2), (4, 3)]
+
+
+# ------------------------------------------------------------ PSI drift
+
+def test_psi_drift_zero_for_identical_and_large_for_shifted(spark):
+    from finlogic_spark.operators.profile import psi_drift
+
+    same = spark.createDataFrame(
+        [("a", float(v % 50)) for v in range(500)],
+        "g string, value double",
+    )
+    shifted = spark.createDataFrame(
+        [("a", 40.0 + float(v % 10)) for v in range(500)],
+        "g string, value double",
+    )
+    stable = {r.g: r.psi for r in psi_drift(
+        same, same, "g", "value", lo=0.0, hi=50.0, n_bins=10
+    ).collect()}
+    drifted = {r.g: r.psi for r in psi_drift(
+        same, shifted, "g", "value", lo=0.0, hi=50.0, n_bins=10
+    ).collect()}
+    assert abs(stable["a"]) < 1e-5          # identical -> PSI ~ 0
+    assert drifted["a"] > 0.25              # mass moved to two bins
+
+
+def test_psi_drift_skips_null_nan_and_one_sided_groups(spark):
+    from finlogic_spark.operators.profile import psi_drift
+
+    ref = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", float("nan")), ("b", 2.0)],
+        "g string, value double",
+    )
+    cur = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, value double"
+    )
+    out = {r.g: (r.psi, r.n_ref, r.n_cur) for r in psi_drift(
+        ref, cur, "g", "value", lo=0.0, hi=10.0, n_bins=5
+    ).collect()}
+    # group b exists only in ref -> omitted; null/NaN excluded from n_ref
+    assert set(out) == {"a"}
+    assert out["a"][1] == 1 and out["a"][2] == 2
