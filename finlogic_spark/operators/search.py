@@ -460,17 +460,31 @@ def tfidf_similar(
 # ---------------------------------------------------------------------------
 
 def build_positional_postings(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Positional inverted index: one row per token OCCURRENCE —
     (token, doc_id, pos), pos 1-based in the whitespace token stream.
-    ~dl rows per doc (vs one per distinct token in build_postings);
-    persist partitioned by ``_token_bucket`` for serve-time pruning
-    exactly like the frequency postings."""
-    return docs.select(
+    ~dl rows per doc (vs one per distinct token in build_postings).
+
+    Serving recipe (mirrors the frequency postings): pass
+    ``n_buckets`` to also emit ``__tok_bkt``, write the result
+    ``.partitionBy('__tok_bkt')``, and serve via
+    ``phrase_search(postings=..., n_buckets=same)`` — the phrase
+    terms' buckets are computed driver-side from the literals alone,
+    so the scan is partition-PRUNED to |distinct term buckets|
+    directories plus a pushed token filter."""
+    out = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(text_col)).alias("pos0", "token"),
     ).select("token", "doc_id", (F.col("pos0") + F.lit(1)).alias("pos"))
+    if n_buckets is not None:
+        out = out.withColumn(
+            "__tok_bkt", _token_bucket(F.col("token"), n_buckets)
+        )
+    return out
 
 
 def phrase_search(
@@ -479,18 +493,26 @@ def phrase_search(
     id_col: str = "doc_id",
     text_col: str = "text",
     postings: DataFrame | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Exact token-sequence match: (doc_id, n_matches) for documents
     containing ``phrase`` as consecutive tokens.
 
     Plan shape: each phrase term filters the positional postings with
-    a LITERAL equality (pushed to the scan — on a token-partitioned
-    persisted index this is static partition pruning, same as BM25
-    term lookup), normalizes its positions to the would-be phrase
-    START (pos - i), and the terms equi-join on (doc_id, start): an
-    occurrence survives all k-1 joins iff the full sequence is
-    adjacent. Join inputs are |occurrences of term|, never |corpus| —
-    selectivity does the work, no regex scan of every document.
+    a LITERAL equality (pushed to the scan), normalizes its positions
+    to the would-be phrase START (pos - i), and the terms equi-join on
+    (doc_id, start): an occurrence survives all k-1 joins iff the full
+    sequence is adjacent. Join inputs are |occurrences of term|, never
+    |corpus| — selectivity does the work, no regex scan of every
+    document.
+
+    Against a PERSISTED index built with
+    ``build_positional_postings(n_buckets=B)`` and written
+    ``.partitionBy('__tok_bkt')``, pass ``n_buckets=B``: the terms'
+    buckets are computed driver-side from the literals alone and added
+    as a partition predicate — static partition pruning, same as the
+    BM25 term lookup (without it a bucket-partitioned index would be
+    scanned in full, token filter notwithstanding).
 
     A repeated term in the phrase self-joins the same postings slice
     at different offsets; positions are unique per doc so counts never
@@ -504,6 +526,27 @@ def phrase_search(
         if postings is not None
         else build_positional_postings(docs, id_col, text_col)
     )
+    if n_buckets is not None:
+        if "__tok_bkt" not in p.columns:
+            raise ValueError(
+                "n_buckets given but postings carry no __tok_bkt column "
+                "— build with build_positional_postings(n_buckets=...)"
+            )
+        uniq = list(dict.fromkeys(norm))
+        spark = p.sparkSession
+        bkts = sorted(
+            {
+                int(r[0])
+                for r in spark.createDataFrame(
+                    [(t,) for t in uniq], "token string"
+                )
+                .select(_token_bucket(F.col("token"), n_buckets))
+                .collect()
+            }
+        )
+        p = p.filter(
+            F.col("__tok_bkt").isin(bkts) & F.col("token").isin(uniq)
+        )
     parts = [
         p.filter(F.col("token") == F.lit(t)).select(
             "doc_id", (F.col("pos") - F.lit(i)).alias("start")

@@ -727,9 +727,15 @@ def mmr_rerank(
     candidates are pre-sorted by (-relevance, corpus_id) and argmax
     ties resolve to the first (lowest id).
 
-    Candidate-candidate similarity is cosine over ``vec_col``;
-    zero-norm or null vectors contribute similarity 0 (never NaN), so
-    degenerate candidates rank purely by relevance.
+    Semantics match the cited formula exactly: the first pick is pure
+    relevance (empty selected set ⇒ similarity term 0), and max_sim is
+    the TRUE max over selected — including NEGATIVE cosines, which
+    raise an anti-correlated candidate's MMR score rather than being
+    clamped to 0. Candidate-candidate similarity is cosine over
+    ``vec_col``; zero-norm or null vectors contribute similarity 0
+    (never NaN). Rows with null relevance cannot be ranked and are
+    dropped (the repo's ``cosine`` yields null for zero-norm QUERY
+    vectors — filter upstream to keep them).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1; got {k}")
@@ -747,10 +753,22 @@ def mmr_rerank(
         import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values(
-            [rel_col, corpus_id], ascending=[False, True]
-        ).reset_index(drop=True)
+        pdf = (
+            pdf[pdf[rel_col].notna()]  # unrankable: see docstring
+            .sort_values([rel_col, corpus_id], ascending=[False, True])
+            .reset_index(drop=True)
+        )
         n = len(pdf)
+        kk = min(k, n)
+        if kk == 0:
+            return pd.DataFrame(
+                {
+                    query_id: pdf[query_id].iloc[[]],
+                    corpus_id: pdf[corpus_id].iloc[[]],
+                    "mmr_score": pd.Series([], dtype="float64"),
+                    "rk": pd.Series([], dtype="int32"),
+                }
+            )
         vecs = np.array(
             [
                 np.asarray(v, dtype=np.float64)
@@ -761,18 +779,19 @@ def mmr_rerank(
             dtype=object,
         )
         dim = max((len(v) for v in vecs), default=0)
-        mat = np.zeros((n, dim))
+        mat = np.zeros((n, max(dim, 1)))
         for i, v in enumerate(vecs):
             mat[i, : len(v)] = v
         norms = np.linalg.norm(mat, axis=1)
         safe = np.where(norms == 0.0, 1.0, norms)
         unit = mat / safe[:, None]  # zero-norm rows stay all-zero
         rel = pdf[rel_col].to_numpy(dtype=np.float64)
-        selected: list[int] = []
-        max_sim = np.zeros(n)
-        scores = []
-        kk = min(k, n)
-        for _ in range(kk):
+        # First pick: pure relevance (rows are rel-desc/id-asc sorted,
+        # so index 0 IS the deterministic argmax).
+        selected = [0]
+        scores = [lam * rel[0]]
+        max_sim = unit @ unit[0]  # true similarities — may be negative
+        for _ in range(kk - 1):
             mmr = lam * rel - (1.0 - lam) * max_sim
             mmr[selected] = -np.inf
             i = int(np.argmax(mmr))  # first max wins -> deterministic

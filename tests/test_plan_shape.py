@@ -321,6 +321,19 @@ def test_phrase_search_serves_with_pushed_term_filters(spark, tmp_path):
     assert sorted((r.doc_id, r.n_matches) for r in served.collect()) == live
     assert live  # non-trivial corpus: the phrase does occur
 
+    # Bucket-partitioned index: the driver-side term buckets must show
+    # up as PartitionFilters (a token filter alone cannot prune a
+    # __tok_bkt-partitioned layout).
+    bpath = str(tmp_path / "pos_postings_bkt")
+    build_positional_postings(docs, n_buckets=16).write.partitionBy(
+        "__tok_bkt"
+    ).parquet(bpath)
+    bidx = spark.read.parquet(bpath)
+    bserved = phrase_search(None, ["w1", "w2"], postings=bidx, n_buckets=16)
+    bplan = plans.formatted_plan(bserved)
+    assert "PartitionFilters" in bplan and "__tok_bkt" in bplan
+    assert sorted((r.doc_id, r.n_matches) for r in bserved.collect()) == live
+
 
 def test_sorted_neighborhood_one_window_one_scan(spark, sf_dir):
     # SNM must stay linear: ONE Window pass (all leads share the spec)

@@ -365,3 +365,47 @@ def test_psi_drift_skips_null_nan_and_one_sided_groups(spark):
     # group b exists only in ref -> omitted; null/NaN excluded from n_ref
     assert set(out) == {"a"}
     assert out["a"][1] == 1 and out["a"][2] == 2
+
+
+def test_mmr_negative_similarity_raises_score_not_clamped(spark):
+    # An anti-correlated candidate's max_sim is NEGATIVE, which must
+    # RAISE its MMR score (regression: max_sim started at 0 and
+    # clamped negatives, flipping the selection).
+    from finlogic_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (1, 1, 0.90, [1.0, 0.0]),
+        (1, 2, 0.80, [-1.0, 0.0]),   # cos to doc1 = -1 -> mmr 0.85
+        (1, 3, 0.85, [0.0, 1.0]),    # cos to doc1 = 0  -> mmr 0.425
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id long, vec_id long, cos_sim double, embedding array<double>",
+    )
+    out = [
+        (r.rk, r.vec_id, r.mmr_score)
+        for r in mmr_rerank(df, k=2, lam=0.5).orderBy("rk").collect()
+    ]
+    assert [(rk, v) for rk, v, _ in out] == [(1, 1), (2, 2)]
+    assert abs(out[1][2] - (0.5 * 0.8 + 0.5 * 1.0)) < 1e-9
+
+
+def test_mmr_null_relevance_rows_are_dropped(spark):
+    # cosine() yields NULL for zero-norm query vectors; such rows are
+    # unrankable and must be dropped, never ranked first with NaN
+    # (regression: NaN propagated through argmax).
+    from finlogic_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (1, 1, None, [1.0, 0.0]),
+        (1, 2, 0.5, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id long, vec_id long, cos_sim double, embedding array<double>",
+    )
+    out = [(r.rk, r.vec_id, r.mmr_score) for r in mmr_rerank(df, k=3).collect()]
+    assert out == [(1, 2, 0.7 * 0.5)]
+    # all-null group -> no rows, no crash
+    allnull = df.filter(F.col("vec_id") == 1)
+    assert mmr_rerank(allnull, k=2).count() == 0
