@@ -81,23 +81,36 @@ def sliding_distinct_exact(
         raise ValueError(f"width must be >= 1; got {width}")
     sec = _step_seconds(step)
     pairs, actual = _buckets(events, ts_col, key_col, step)
-    # Forward fan-out: a (bucket, key) pair is visible from buckets
-    # bucket .. bucket+(width-1): emit those target rows directly.
-    contrib = pairs.select(
-        F.explode(
-            F.sequence(
-                F.col("bucket_ts"),
-                F.col("bucket_ts")
-                + F.make_interval(secs=F.lit((width - 1) * sec)),
-                F.make_interval(secs=F.lit(sec)),
-            )
-        ).alias("bucket_ts"),
-        "key",
+    # First-appearance trick: a key active in bucket b is the window's
+    # representative for targets b .. b+(width-1), EXCEPT where the
+    # key's next active bucket takes over first — cap the fan-out at
+    # next_b - 1. Each (target, key) combination is then emitted by
+    # exactly ONE pair, so a plain map-side-combining COUNT replaces
+    # the expand-based COUNT(DISTINCT) over width× rows (measured ~2×
+    # at 100× bench scale). One extra per-key lag window (shuffle on
+    # key) buys the cheaper aggregate.
+    w = Window.partitionBy("key").orderBy("bucket_ts")
+    span_end = F.col("bucket_ts") + F.make_interval(
+        secs=F.lit((width - 1) * sec)
+    )
+    nxt_cap = F.lead("bucket_ts").over(w) - F.make_interval(secs=F.lit(sec))
+    contrib = (
+        pairs.withColumn("__hi", F.least(span_end, F.coalesce(nxt_cap,
+                                                              span_end)))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("bucket_ts"), F.col("__hi"),
+                    F.make_interval(secs=F.lit(sec)),
+                )
+            ).alias("bucket_ts"),
+            "key",
+        )
     )
     return (
         contrib.join(actual, "bucket_ts", "left_semi")
         .groupBy("bucket_ts")
-        .agg(F.countDistinct("key").alias("u_trailing"))
+        .agg(F.count(F.lit(1)).alias("u_trailing"))
         .orderBy("bucket_ts")
     )
 
