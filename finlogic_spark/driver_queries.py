@@ -5240,7 +5240,7 @@ def stream_resample_ffill(spark, sf_dir):
 )
 def events_sliding_distinct(spark, sf_dir):
     # Rolling reach: distinct users over the trailing 3 hours, per
-    # hour. Exact tier (forward fan-out + distinct agg — no range
+    # hour. Exact tier (first-appearance fan-out + plain count — no range
     # join); the fixed-state HLL tier is sliding_distinct_sketch,
     # pinned within its error bound by pytest.
     from finlogic_spark.operators.sliding import sliding_distinct_exact
@@ -5488,8 +5488,10 @@ def doc_canonical_select(spark, sf_dir):
     # not the arbitrary min-id the cluster label happens to be. This
     # is the full LSH -> transitive closure -> canonical-keep pipeline
     # as one query; quality is the 6 dp-quantized score (engine-stable
-    # ordering). One extra window over (cluster) after the closure —
-    # per-cluster state only.
+    # ordering). The argmax is a partial-aggregatable max(struct) —
+    # lexicographic (quality, -doc_id) — NOT a per-cluster window:
+    # map-side combine makes a degenerate giant cluster (an all-dups
+    # corpus) a non-event, where a window would sort it on one task.
     from finlogic_spark.functions.text import quality_score
     from finlogic_spark.operators.graph import connected_components
     from finlogic_spark.operators.text_dedup import minhash_lsh_pairs
@@ -5503,15 +5505,23 @@ def doc_canonical_select(spark, sf_dir):
         d.select("doc_id", rN(quality_score("text"), 6).alias("quality")),
         "doc_id",
     )
-    w = Window.partitionBy("cluster").orderBy(
-        F.col("quality").desc(), F.col("doc_id")
-    )
-    wc = Window.partitionBy("cluster")
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .withColumn("n_members", F.count(F.lit(1)).over(wc))
-        .filter(F.col("rk") == 1)
-        .select("cluster", "doc_id", "quality", "n_members")
+        scored.groupBy("cluster")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality"),
+                    (-F.col("doc_id")).alias("nid"),
+                )
+            ).alias("__best"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cluster",
+            (-F.col("__best.nid")).alias("doc_id"),
+            F.col("__best.quality").alias("quality"),
+            "n_members",
+        )
         .orderBy("cluster")
     )
 

@@ -161,27 +161,35 @@ def read_postings(spark: SparkSession, path: str) -> "PostingsIndex":
     )
 
 
-def _term_lookup(index: "PostingsIndex", terms: list[str]) -> DataFrame:
-    """Postings rows for ``terms`` via LITERAL partition pruning: the
-    bucket of each term is computed driver-side from the term string
-    alone, so the scan carries PartitionFilters on __tok_bkt plus a
-    pushed token IN-filter — it reads |distinct buckets| partitions,
-    never the corpus."""
+def _bucket_pruned_terms(
+    postings: DataFrame, terms: list[str], n_buckets: int
+) -> DataFrame:
+    """Filter a ``__tok_bkt``-carrying postings table to ``terms`` via
+    LITERAL partition pruning: the bucket of each term is computed
+    driver-side from the term string alone, so the scan carries
+    PartitionFilters on __tok_bkt plus a pushed token IN-filter — it
+    reads |distinct buckets| partitions, never the corpus. Shared by
+    the frequency (_term_lookup) and positional (phrase_search) serve
+    paths."""
     uniq = list(dict.fromkeys(terms))
-    spark = index.postings.sparkSession
+    spark = postings.sparkSession
     bkts = sorted(
         {
             int(r[0])
             for r in spark.createDataFrame(
                 [(t,) for t in uniq], "token string"
             )
-            .select(_token_bucket(F.col("token"), index.n_buckets))
+            .select(_token_bucket(F.col("token"), n_buckets))
             .collect()
         }
     )
-    return index.postings.filter(
+    return postings.filter(
         F.col("__tok_bkt").isin(bkts) & F.col("token").isin(uniq)
     )
+
+
+def _term_lookup(index: "PostingsIndex", terms: list[str]) -> DataFrame:
+    return _bucket_pruned_terms(index.postings, terms, index.n_buckets)
 
 
 def bm25_topk(
@@ -512,7 +520,12 @@ def phrase_search(
     buckets are computed driver-side from the literals alone and added
     as a partition predicate — static partition pruning, same as the
     BM25 term lookup (without it a bucket-partitioned index would be
-    scanned in full, token filter notwithstanding).
+    scanned in full, token filter notwithstanding). ``n_buckets`` MUST
+    equal the build-time value: a mismatch prunes to the WRONG
+    partitions and silently drops matches, and it is not detectable
+    from the pruned read itself — persist B alongside the table (the
+    frequency path's ``build_postings_table`` stores it in ``_stats``;
+    do the same, e.g. in the table path or a sidecar).
 
     A repeated term in the phrase self-joins the same postings slice
     at different offsets; positions are unique per doc so counts never
@@ -524,7 +537,8 @@ def phrase_search(
     p = (
         postings
         if postings is not None
-        else build_positional_postings(docs, id_col, text_col)
+        else build_positional_postings(docs, id_col, text_col,
+                                       n_buckets=n_buckets)
     )
     if n_buckets is not None:
         if "__tok_bkt" not in p.columns:
@@ -532,21 +546,7 @@ def phrase_search(
                 "n_buckets given but postings carry no __tok_bkt column "
                 "— build with build_positional_postings(n_buckets=...)"
             )
-        uniq = list(dict.fromkeys(norm))
-        spark = p.sparkSession
-        bkts = sorted(
-            {
-                int(r[0])
-                for r in spark.createDataFrame(
-                    [(t,) for t in uniq], "token string"
-                )
-                .select(_token_bucket(F.col("token"), n_buckets))
-                .collect()
-            }
-        )
-        p = p.filter(
-            F.col("__tok_bkt").isin(bkts) & F.col("token").isin(uniq)
-        )
+        p = _bucket_pruned_terms(p, norm, n_buckets)
     parts = [
         p.filter(F.col("token") == F.lit(t)).select(
             "doc_id", (F.col("pos") - F.lit(i)).alias("start")

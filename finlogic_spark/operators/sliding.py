@@ -8,12 +8,16 @@ Two tiers behind one semantic:
 
 - ``sliding_distinct_exact`` — the ground-truth tier. Dedup to
   (bucket, key) pairs, then each pair CONTRIBUTES ITSELF FORWARD to
-  the ``width`` buckets whose trailing window covers it
-  (sequence+explode — a map-side fan-out of exactly ``width`` rows per
-  pair, no range join, no re-scan), and one distinct-agg per target
-  bucket finishes. Cost: 2 shuffles over |pairs| × width rows —
-  linear, but the distinct-agg state per bucket is the true distinct
-  set, so memory scales with cardinality.
+  the covered target buckets via the FIRST-APPEARANCE rule: a key's
+  pair at bucket b represents the key for targets b .. b+(width-1),
+  capped where the key's next active bucket takes over — so every
+  (target, key) combination is emitted exactly once and a plain
+  map-side-combining COUNT finishes (no distinct-agg state at all).
+  Cost: one per-key lag window (shuffle on key; skew bound = one
+  key's bucket count, itself bounded by the time span) + a ≤width×
+  fan-out + a count whose key space is BUCKETS. Null keys are
+  excluded from the count (COUNT(DISTINCT) semantics, same as the
+  sketch tier) but still mark their buckets as event-bearing.
 - ``sliding_distinct_sketch`` — the 100 TB tier. One HLL sketch per
   bucket (``hll_sketch_agg`` — partial-aggregated map-side, fixed
   2^lgk bytes of state per bucket regardless of cardinality), then a
@@ -94,9 +98,14 @@ def sliding_distinct_exact(
         secs=F.lit((width - 1) * sec)
     )
     nxt_cap = F.lead("bucket_ts").over(w) - F.make_interval(secs=F.lit(sec))
+    # Null keys are not countable (COUNT(DISTINCT) ignores them, as do
+    # the HLL tier and the streaming twin) — but their buckets stay in
+    # `actual`, so a bucket whose events all carry null keys still
+    # reports u_trailing (possibly 0) via the left join below.
     contrib = (
-        pairs.withColumn("__hi", F.least(span_end, F.coalesce(nxt_cap,
-                                                              span_end)))
+        pairs.filter(F.col("key").isNotNull())
+        .withColumn("__hi", F.least(span_end, F.coalesce(nxt_cap,
+                                                         span_end)))
         .select(
             F.explode(
                 F.sequence(
@@ -107,10 +116,15 @@ def sliding_distinct_exact(
             "key",
         )
     )
+    counts = contrib.groupBy("bucket_ts").agg(
+        F.count(F.lit(1)).alias("u_trailing")
+    )
     return (
-        contrib.join(actual, "bucket_ts", "left_semi")
-        .groupBy("bucket_ts")
-        .agg(F.count(F.lit(1)).alias("u_trailing"))
+        actual.join(counts, "bucket_ts", "left")
+        .select(
+            "bucket_ts",
+            F.coalesce("u_trailing", F.lit(0)).alias("u_trailing"),
+        )
         .orderBy("bucket_ts")
     )
 

@@ -409,3 +409,22 @@ def test_mmr_null_relevance_rows_are_dropped(spark):
     # all-null group -> no rows, no crash
     allnull = df.filter(F.col("vec_id") == 1)
     assert mmr_rerank(allnull, k=2).count() == 0
+
+
+def test_sliding_distinct_ignores_null_keys_but_keeps_their_buckets(spark):
+    # COUNT(DISTINCT) semantics: null keys never count (matching the
+    # HLL tier, the streaming twin, and the SQL oracle) but a bucket
+    # whose only events carry null keys is still event-bearing and
+    # reports its trailing count (regression: count(lit(1)) counted
+    # the null pair).
+    rows = [
+        (1, _ts("2024-01-01 00:10:00")),
+        (None, _ts("2024-01-01 00:20:00")),
+        (None, _ts("2024-01-01 05:30:00")),  # null-only bucket
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        r.bucket_ts.hour: r.u_trailing
+        for r in sliding_distinct_exact(ev, "ts", "user_id", width=3).collect()
+    }
+    assert out == {0: 1, 5: 0}
