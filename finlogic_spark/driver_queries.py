@@ -1410,9 +1410,33 @@ def _emb_corpus(spark, sf_dir):
 _ANN_INDEX: dict[tuple[str, str], object] = {}
 
 
+def _ann_cached(key, spark):
+    """Cache hit only when the entry's DataFrames belong to the LIVE
+    session — same contract as _t's table cache: after a
+    stop()+getOrCreate() the old plans are bound to a dead JVM context
+    and must be rebuilt, not served (multi-session pytest runs,
+    sequential bench/probe scripts)."""
+    entry = _ANN_INDEX.get(key)
+    if entry is None:
+        return None
+    dfs = (
+        entry
+        if isinstance(entry, DataFrame)
+        else next(
+            (x for x in entry if isinstance(x, DataFrame)), None
+        )
+        if isinstance(entry, tuple)
+        else None
+    )
+    if dfs is not None and dfs.sparkSession is not spark:
+        del _ANN_INDEX[key]
+        return None
+    return entry
+
+
 def _lsh_index(spark, sf_dir):
     key = ("lsh", sf_dir)
-    if key not in _ANN_INDEX:
+    if _ann_cached(key, spark) is None:
         from finlogic_spark.operators.similarity import lsh_index_multi
 
         bucketed = lsh_index_multi(
@@ -1436,7 +1460,7 @@ def _postings_index(spark, sf_dir):
     the candidate join, with ZERO corpus passes, mirroring a production
     deployment where the index build is amortized over every query."""
     key = ("postings", sf_dir)
-    if key not in _ANN_INDEX:
+    if _ann_cached(key, spark) is None:
         import tempfile
 
         from finlogic_spark.operators.search import build_postings_table
@@ -1450,7 +1474,7 @@ def _postings_index(spark, sf_dir):
 
 def _ivf_index(spark, sf_dir):
     key = ("ivf", sf_dir)
-    if key not in _ANN_INDEX:
+    if _ann_cached(key, spark) is None:
         corpus = _emb_corpus(spark, sf_dir)
         rows = corpus.filter(F.col("vec_id") < 8).collect()
         cents = [

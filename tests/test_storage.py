@@ -181,3 +181,31 @@ def test_csv_json_roundtrip_with_explicit_schema(spark, tmp_path):
     (bad / "x.csv").write_text("id,name,score,flag\nnot_a_long,a,1.5,true\n")
     with _pytest.raises(Exception, match="(?i)malformed|failfast|cannot"):
         read_csv(spark, str(bad), ddl, mode="FAILFAST").collect()
+
+
+def test_ann_index_cache_rebinds_on_new_session(spark, sf_dir):
+    """Same contract as the table cache: an ANN index whose DataFrames
+    belong to a different (stopped/replaced) session must be evicted
+    and rebuilt, not served — for both plain-DataFrame entries (LSH)
+    and tuple entries carrying DataFrames (postings, IVF)."""
+    import finlogic_spark.driver_queries as dq
+
+    live = dq._lsh_index(spark, sf_dir)
+    assert dq._lsh_index(spark, sf_dir) is live  # cache hit while live
+    assert dq._ann_cached(("lsh", sf_dir), spark) is live
+
+    key = ("lsh", sf_dir)
+    try:
+        # A lookup from a DIFFERENT session must evict, not serve.
+        assert dq._ann_cached(key, object()) is None
+        assert key not in dq._ANN_INDEX
+    finally:
+        dq._ANN_INDEX[key] = live
+
+    pidx = dq._postings_index(spark, sf_dir)
+    pkey = ("postings", sf_dir)
+    try:
+        assert dq._ann_cached(pkey, spark) is pidx
+        assert dq._ann_cached(pkey, object()) is None  # tuple entry too
+    finally:
+        dq._ANN_INDEX[pkey] = pidx
