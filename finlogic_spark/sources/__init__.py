@@ -277,6 +277,30 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC scan — the columnar interchange format for Hive-era lakes.
+    ORC files carry their own schema + stripe-level min/max stats, so
+    (unlike CSV/JSON) no explicit DDL is needed and predicate pushdown
+    works like parquet's (Spark's vectorized ORC reader honors
+    PushedFilters)."""
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink, optionally hive-partitioned — for pipelines whose
+    downstream is an ORC-native warehouse. Parquet remains this
+    engine's analytic default; both carry types, stats, and pruning."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def read_evolved(
     spark: SparkSession,
     paths: list[str],

@@ -120,3 +120,52 @@ def test_phrase_prefix_monotonicity(spark, texts):
     assert set(two) <= set(one)
     for d, n in two.items():
         assert n <= one[d]
+
+
+vec_strategy = st.lists(
+    st.tuples(
+        st.floats(0, 1, allow_nan=False, width=32),
+        st.lists(st.floats(-1, 1, allow_nan=False, width=32),
+                 min_size=3, max_size=3),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(cands=vec_strategy, lam=st.sampled_from([0.0, 0.3, 0.7, 1.0]))
+@settings(**_SETTINGS)
+def test_mmr_scores_non_increasing_and_permutation_stable(spark, cands, lam):
+    """Greedy MMR contracts for ANY candidate set: scores from rank 2
+    on are non-increasing (each step maximizes over a shrinking set
+    against a growing max_sim; rank 1 is exempt — its score uses the
+    empty-set similarity convention of 0, which a NEGATIVE max_sim at
+    rank 2 can legitimately beat), the first pick is the relevance
+    argmax (id tiebreak), and the result is identical under
+    repartitioning."""
+    from finlogic_spark.operators.similarity import mmr_rerank
+
+    rows = [(1, i, rel, vec) for i, (rel, vec) in enumerate(cands)]
+    df = spark.createDataFrame(
+        rows,
+        "query_id long, vec_id long, cos_sim double, embedding array<double>",
+    )
+    out = [
+        (r.rk, r.vec_id, r.mmr_score)
+        for r in mmr_rerank(df, k=5, lam=lam).orderBy("rk").collect()
+    ]
+    loop_scores = [s for _, _, s in out[1:]]
+    assert all(
+        a >= b - 1e-12 for a, b in zip(loop_scores, loop_scores[1:])
+    )
+    best = min(
+        range(len(cands)), key=lambda i: (-cands[i][0], i)
+    )
+    assert out[0][1] == best
+    out2 = [
+        (r.rk, r.vec_id, r.mmr_score)
+        for r in mmr_rerank(df.repartition(7), k=5, lam=lam)
+        .orderBy("rk")
+        .collect()
+    ]
+    assert out == out2

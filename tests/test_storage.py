@@ -209,3 +209,30 @@ def test_ann_index_cache_rebinds_on_new_session(spark, sf_dir):
         assert dq._ann_cached(pkey, object()) is None  # tuple entry too
     finally:
         dq._ANN_INDEX[pkey] = pidx
+
+
+def test_orc_roundtrip_pushdown_and_partitioning(spark, tmp_path):
+    """ORC scan/sink: typed round-trip, pushed predicate on the
+    vectorized reader, and hive-partitioned writes pruning like
+    parquet's."""
+    from finlogic_spark.sources import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i) / 2, i % 3) for i in range(300)],
+        "id long, name string, score double, part int",
+    )
+    path = str(tmp_path / "orc_flat")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    filtered = back.filter(F.col("id") > 250)
+    plan = plans.formatted_plan(filtered)
+    assert "PushedFilters" in plan and "id" in plan.split("PushedFilters", 1)[1][:120]
+
+    ppath = str(tmp_path / "orc_part")
+    write_orc(df, ppath, partition_by=["part"])
+    one = read_orc(spark, ppath).filter(F.col("part") == 1)
+    pplan = plans.formatted_plan(one)
+    assert "PartitionFilters" in pplan and "part" in pplan
+    assert one.count() == 100
