@@ -1409,6 +1409,24 @@ def _emb_corpus(spark, sf_dir):
 # the exact baseline.
 _ANN_INDEX: dict[tuple[str, str], object] = {}
 
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch_root() -> str:
+    """One lazily-created, atexit-removed temp root for every persisted
+    index this module builds (postings, positional postings). Children
+    use deterministic names so a rebuild after a session restart
+    overwrites in place instead of leaking a new mkdtemp each time."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="fls_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return _SCRATCH_ROOT
+
 
 def _ann_cached(key, spark):
     """Cache hit only when the entry's DataFrames belong to the LIVE
@@ -1461,12 +1479,35 @@ def _postings_index(spark, sf_dir):
     deployment where the index build is amortized over every query."""
     key = ("postings", sf_dir)
     if _ann_cached(key, spark) is None:
-        import tempfile
-
         from finlogic_spark.operators.search import build_postings_table
 
-        path = os.path.join(tempfile.mkdtemp(prefix="fls_postings_"), "idx")
+        # Deterministic per-sf_dir path under ONE atexit-cleaned temp
+        # root: a session restart (which evicts the _ANN_INDEX entry)
+        # rebuilds with mode=overwrite into the SAME directory instead
+        # of leaking a fresh mkdtemp per session (multi-session
+        # bench/pytest runs used to accumulate orphan index dirs).
+        safe = "".join(c if c.isalnum() else "_" for c in sf_dir)
+        path = os.path.join(_scratch_root(), f"postings{safe}", "idx")
         _ANN_INDEX[key] = build_postings_table(
+            _t(spark, sf_dir, "documents"), path
+        )
+    return _ANN_INDEX[key]
+
+
+def _positional_index(spark, sf_dir):
+    """Build-once persisted positional (phrase) index over documents —
+    same lifecycle as _postings_index; n_buckets persists in the
+    table's _stats sidecar, so serving can never prune with a stale
+    bucket count."""
+    key = ("pos_postings", sf_dir)
+    if _ann_cached(key, spark) is None:
+        from finlogic_spark.operators.search import (
+            build_positional_postings_table,
+        )
+
+        safe = "".join(c if c.isalnum() else "_" for c in sf_dir)
+        path = os.path.join(_scratch_root(), f"pospost{safe}", "idx")
+        _ANN_INDEX[key] = build_positional_postings_table(
             _t(spark, sf_dir, "documents"), path
         )
     return _ANN_INDEX[key]
@@ -5227,14 +5268,11 @@ def stream_resample_ffill(spark, sf_dir):
     # below a key's open bucket, while the SQL twin folds ALL events in.
     # Every emitted row carries the key's cumulative dropped count, so
     # equality-with-the-oracle is only meaningful when it is zero —
-    # assert it loudly instead of letting a hash mismatch point nowhere.
-    n_late = rows.agg(F.max("n_late")).first()[0] or 0
-    if n_late > 0:
-        raise AssertionError(
-            f"stream_resample_ffill dropped {n_late} late event(s) — the "
-            "source delivered hours out of order across micro-batches, so "
-            "the batch-twin oracle no longer applies"
-        )
+    # gate loudly instead of letting a hash mismatch point nowhere
+    # (the gate itself is pinned by the unordered-input streaming test).
+    from finlogic_spark.streaming.stateful import assert_no_late_drops
+
+    assert_no_late_drops(rows)
     final = keep_last(rows, ["key", "bucket_ts"], ["n_obs"])
     return final.select(
         "key", "bucket_ts", rN(F.col("val"), 6).alias("val"), "is_gap"
@@ -5279,7 +5317,8 @@ def events_sliding_distinct(spark, sf_dir):
     WITH base AS (
       SELECT doc_id, lang || '|' || substr(text, 1, 2) AS blk,
              substr(text, 1, 40) AS k, substr(text, 1, 80) AS p
-      FROM documents),
+      FROM documents
+      WHERE lang IS NOT NULL AND text IS NOT NULL),
     ord_d AS (
       SELECT doc_id, blk, k, p,
              row_number() OVER (PARTITION BY blk ORDER BY k, doc_id) AS rn
@@ -5308,7 +5347,15 @@ def doc_sorted_neighborhood(spark, sf_dir):
     # distances for every emitted row.
     from finlogic_spark.operators.text_dedup import sorted_neighborhood_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    # NULL-key agreement with the oracle: Spark's Window.partitionBy
+    # groups NULL block keys into one partition (emitting pairs) and
+    # sorts NULL sort keys FIRST, while the oracle's a.blk = b.blk
+    # equi-join never matches NULLs and ORDER BY puts NULLs last —
+    # filter NULL lang/text on BOTH sides so the engines agree (the
+    # block/sort keys below null-propagate from exactly these columns).
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("text").isNotNull()
+    )
     pairs = sorted_neighborhood_pairs(
         d,
         "doc_id",
@@ -5347,14 +5394,17 @@ def doc_sorted_neighborhood(spark, sf_dir):
     """,
 )
 def doc_phrase_search(spark, sf_dir):
-    # Exact phrase match via positional postings: literal term filters
-    # (scan-pruned on a persisted token-partitioned index) + (doc,
-    # start) equi-joins for adjacency — never a regex scan of the full
-    # corpus.
+    # Exact phrase match SERVED from a persisted positional index
+    # (build-once, cached like the BM25 postings): literal term
+    # filters + static partition pruning to the terms' token-hash
+    # buckets + (doc, start) equi-joins for adjacency — never a regex
+    # scan of the full corpus. The bucket count is read from the
+    # index's _stats sidecar, so a stale caller value can't mis-prune.
     from finlogic_spark.operators.search import phrase_search
 
     d = _t(spark, sf_dir, "documents")
-    return phrase_search(d, ["table", "table"])
+    return phrase_search(d, ["table", "table"],
+                         postings=_positional_index(spark, sf_dir))
 
 
 @q(
@@ -5654,3 +5704,36 @@ def events_psi_drift(spark, sf_dir):
         F.col("n_ref").cast("long").alias("n_ref"),
         F.col("n_cur").cast("long").alias("n_cur"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Registry ordering for the driver's correctness gate
+# ---------------------------------------------------------------------------
+
+def _interleave_registry() -> None:
+    """The driver's hard correctness gate checks only the FIRST 50
+    registry entries. Registration order is chronological (oldest
+    first), so without this every operator added after entry #50 would
+    be invisible to that gate. Interleave newest-first with oldest
+    (new[0], old[0], new[1], old[1], ...): the gate's 50-query window
+    then always covers the ~25 newest operators (the code most likely
+    to have fresh bugs) AND the ~25 oldest core ones (the regressions
+    that matter most), while the full 129+-query set keeps running in
+    tools/check_oracle.py at both sf0.01 and sf0.1.
+
+    Must stay the LAST statement of this module — any @q registration
+    below it would be appended after the interleave ordering.
+    """
+    global QUERIES
+    names = list(QUERIES)
+    order: list[str] = []
+    seen: set[str] = set()
+    for pair in zip(reversed(names), names):
+        for n in pair:
+            if n not in seen:
+                seen.add(n)
+                order.append(n)
+    QUERIES = {n: QUERIES[n] for n in order}
+
+
+_interleave_registry()

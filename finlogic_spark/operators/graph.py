@@ -74,8 +74,13 @@ def connected_components(
     ``algorithm``: 'label' (diameter-bounded min propagation), 'star'
     (O(log² n) large/small-star), or 'auto' (label fast path, star
     escalation after ``label_rounds`` — see module docstring).
-    ``stats``: pass a dict to receive {'label_rounds', 'star_rounds'}
-    actually executed (round-complexity pins in tests).
+    ``stats``: pass a dict to receive {'label_rounds', 'star_rounds',
+    'converged'} — rounds actually executed (round-complexity pins in
+    tests) and whether a fixpoint was REACHED within ``max_iters``.
+    ``converged`` False means the budget was exhausted first and the
+    returned labels are PARTIAL (over-segmented: some components carry
+    more than one label); a warning is emitted in that case so budget
+    exhaustion is never silent.
     """
     if algorithm not in ("auto", "label", "star"):
         raise ValueError(
@@ -135,7 +140,7 @@ def connected_components(
             max_iters if algorithm == "star"
             else max(0, max_iters - stats["label_rounds"])
         )
-        roots = _star_labels(collapsed, star_budget, stats)
+        roots, converged = _star_labels(collapsed, star_budget, stats)
         labels = (
             labels.withColumnRenamed("label", "mid")
             .join(
@@ -148,6 +153,17 @@ def connected_components(
             )
         )
     und.unpersist()
+    stats["converged"] = converged
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: round budget max_iters={max_iters} "
+            "exhausted before a fixpoint — returned labels are PARTIAL "
+            "(over-segmented). Raise max_iters or check stats['converged'].",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     isolated = (
         vertices.select(F.col(id_col).alias("id"))
         .join(labels.select("id"), "id", "left_anti")
@@ -198,11 +214,15 @@ def _canon(e: DataFrame) -> DataFrame:
 
 def _star_labels(
     edges_sd: DataFrame, max_iters: int, stats: dict | None = None
-) -> DataFrame:
+) -> tuple[DataFrame, bool]:
     """Large-star/small-star alternation to fixpoint; input (s, d)
-    directed-or-not edges, output (id, label) for every NON-ROOT edge
-    endpoint plus (root, root) rows — i.e. every endpoint labelled with
-    its component min.
+    directed-or-not edges, output ((id, label), converged) — every
+    NON-ROOT edge endpoint plus (root, root) rows, i.e. every endpoint
+    labelled with its component min. ``converged`` False means
+    ``max_iters`` ran out before the fixpoint: the edge set is NOT a
+    disjoint star union and the derived labels are partial — callers
+    must surface that (connected_components records it in
+    stats['converged'] and warns).
 
     Each alternation:
     - large-star: per neighbourhood Γ⁺(u) = Γ(u) ∪ {u} with
@@ -226,6 +246,7 @@ def _star_labels(
         return (row[0], row[1], row[2])
 
     prev = certificate(e)
+    converged = e.isEmpty()  # an empty edge set is trivially a fixpoint
     for _ in range(max_iters):
         nbr = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
             e.select(F.col("v").alias("a"), F.col("u").alias("b"))
@@ -260,6 +281,7 @@ def _star_labels(
             # this pass changed nothing — it IS the fixpoint check, so
             # it doesn't count toward rounds-to-convergence
             e = new_e
+            converged = True
             break
         if stats is not None:
             stats["star_rounds"] += 1
@@ -267,7 +289,7 @@ def _star_labels(
         e = new_e
     # star fixpoint: every edge is (root=u, leaf=v); labels = leaves ->
     # root, roots -> themselves
-    return (
+    labels = (
         e.select(F.col("v").alias("id"), F.col("u").alias("label"))
         .unionByName(
             e.select(F.col("u").alias("id"), F.col("u").alias("label"))
@@ -275,3 +297,4 @@ def _star_labels(
         .groupBy("id")
         .agg(F.min("label").alias("label"))
     )
+    return labels, converged

@@ -495,12 +495,60 @@ def build_positional_postings(
     return out
 
 
+class PositionalIndex(NamedTuple):
+    """Handle to a PERSISTED positional index
+    (build_positional_postings_table): ``postings`` (token, doc_id,
+    pos, __tok_bkt partition col) and the ``n_buckets`` the table was
+    BUILT with, read back from its ``_stats`` sidecar — serving through
+    this handle makes a stale/mismatched bucket count impossible."""
+
+    postings: DataFrame
+    n_buckets: int
+
+
+def build_positional_postings_table(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> "PositionalIndex":
+    """Build the positional index ONCE and persist it partitioned by
+    token-hash bucket, with ``n_buckets`` recorded in a ``_stats``
+    sidecar (mirroring build_postings_table). Serving MUST go through
+    the returned handle / read_positional_postings: the bucket count is
+    read from the sidecar, never re-supplied by the caller, closing the
+    footgun where a caller-passed value differing from build time
+    prunes to the WRONG partitions and silently drops matches."""
+    out = build_positional_postings(docs, id_col, text_col,
+                                    n_buckets=n_buckets)
+    out.write.partitionBy("__tok_bkt").mode("overwrite").parquet(path)
+    spark = docs.sparkSession
+    stats = spark.range(1).select(F.lit(n_buckets).alias("n_buckets"))
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "_stats")
+    )
+    return read_positional_postings(spark, path)
+
+
+def read_positional_postings(
+    spark: SparkSession, path: str
+) -> "PositionalIndex":
+    """Open a persisted positional index for serving; ``n_buckets``
+    comes from the ``_stats`` sidecar written at build time."""
+    stats = spark.read.parquet(os.path.join(path, "_stats"))
+    n_buckets = int(stats.select("n_buckets").first()[0])
+    return PositionalIndex(
+        postings=spark.read.parquet(path), n_buckets=n_buckets
+    )
+
+
 def phrase_search(
     docs: DataFrame,
     phrase: list[str],
     id_col: str = "doc_id",
     text_col: str = "text",
-    postings: DataFrame | None = None,
+    postings: "DataFrame | PositionalIndex | None" = None,
     n_buckets: int | None = None,
 ) -> DataFrame:
     """Exact token-sequence match: (doc_id, n_matches) for documents
@@ -514,18 +562,20 @@ def phrase_search(
     |corpus| — selectivity does the work, no regex scan of every
     document.
 
-    Against a PERSISTED index built with
-    ``build_positional_postings(n_buckets=B)`` and written
-    ``.partitionBy('__tok_bkt')``, pass ``n_buckets=B``: the terms'
-    buckets are computed driver-side from the literals alone and added
-    as a partition predicate — static partition pruning, same as the
-    BM25 term lookup (without it a bucket-partitioned index would be
-    scanned in full, token filter notwithstanding). ``n_buckets`` MUST
-    equal the build-time value: a mismatch prunes to the WRONG
-    partitions and silently drops matches, and it is not detectable
-    from the pruned read itself — persist B alongside the table (the
-    frequency path's ``build_postings_table`` stores it in ``_stats``;
-    do the same, e.g. in the table path or a sidecar).
+    Against a PERSISTED index, pass the ``PositionalIndex`` handle from
+    ``build_positional_postings_table`` / ``read_positional_postings``:
+    the terms' buckets are computed driver-side from the literals alone
+    and added as a partition predicate — static partition pruning, same
+    as the BM25 term lookup (without it a bucket-partitioned index
+    would be scanned in full, token filter notwithstanding). The bucket
+    count comes from the index's ``_stats`` sidecar (the build-time
+    value), because a mismatched count prunes to the WRONG partitions
+    and silently drops matches — undetectable from the pruned read
+    itself. An explicit ``n_buckets`` that CONTRADICTS the handle's
+    stored value raises ValueError instead of silently mis-pruning.
+    (Passing a raw bucketed DataFrame + manual ``n_buckets`` still
+    works for ad-hoc use, but the persisted path should always go
+    through the handle.)
 
     A repeated term in the phrase self-joins the same postings slice
     at different offsets; positions are unique per doc so counts never
@@ -534,12 +584,23 @@ def phrase_search(
     if not phrase:
         raise ValueError("phrase must contain at least one token")
     norm = [t.lower() for t in phrase]
-    p = (
-        postings
-        if postings is not None
-        else build_positional_postings(docs, id_col, text_col,
-                                       n_buckets=n_buckets)
-    )
+    if isinstance(postings, PositionalIndex):
+        if n_buckets is not None and n_buckets != postings.n_buckets:
+            raise ValueError(
+                f"n_buckets={n_buckets} contradicts the persisted "
+                f"index's build-time value {postings.n_buckets} (from "
+                "its _stats sidecar) — pruning with it would silently "
+                "drop matches. Omit n_buckets to use the stored value."
+            )
+        n_buckets = postings.n_buckets
+        p = postings.postings
+    else:
+        p = (
+            postings
+            if postings is not None
+            else build_positional_postings(docs, id_col, text_col,
+                                           n_buckets=n_buckets)
+        )
     if n_buckets is not None:
         if "__tok_bkt" not in p.columns:
             raise ValueError(

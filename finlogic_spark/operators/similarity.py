@@ -306,11 +306,14 @@ def _probe_rows_from_collected(
     out = []
     for r in rows:
         v = r[1]
-        # Mirror SQL null propagation: any missing element -> no plane
-        # comparison succeeds -> bucket 0 in every table.
+        # Mirror SQL null propagation: any length mismatch or missing
+        # element -> no plane comparison succeeds -> bucket 0 in every
+        # table. len(v) != dim (not just <): zip_with pads the SHORTER
+        # side with nulls, so an over-length vector also null-propagates
+        # the dot product to bucket 0 in the expression path.
         degenerate = (
             v is None
-            or len(v) < dim
+            or len(v) != dim
             or any(v[i] is None for i in range(dim))
         )
         for t in range(num_tables):

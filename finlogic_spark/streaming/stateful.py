@@ -160,6 +160,14 @@ def user_profile_stream(
 # event count, cumulative dropped-late count). Gap rows need no
 # carried value — they are emitted at bucket-close time from the
 # just-finalized average.
+#
+# CHECKPOINT COMPATIBILITY: applyInPandasWithState does NOT support
+# state-schema evolution. The 'late' field was ADDED in round 7 —
+# resuming a checkpoint written by the pre-'late' 3-field schema with
+# this 4-field schema fails (or misreads state). Deployments with
+# durable checkpoints must start a NEW checkpoint location when this
+# schema changes; treat any edit to RESAMPLE_STATE_SCHEMA as a
+# state-format version bump requiring a fresh checkpoint dir.
 RESAMPLE_STATE_SCHEMA = T.StructType(
     [
         T.StructField("hour_us", T.LongType()),
@@ -262,6 +270,26 @@ def _resample_update(
         # authoritative count after keep-last dedup.
         pdf["n_late"] = int(late)
         yield pdf[["key", "bucket_ts", "val", "is_gap", "n_obs", "n_late"]]
+
+
+def assert_no_late_drops(rows: DataFrame) -> None:
+    """Batch-twin precondition for resample_ffill_stream output: the
+    stateful op DROPS events that arrive below a key's open bucket
+    (counting them in ``n_late``), while the batch/SQL twin folds ALL
+    events in. Comparing the two is only meaningful when nothing was
+    dropped — raise loudly (with the count) instead of letting a
+    downstream hash mismatch point nowhere. Used by the registry's
+    ``stream_resample_ffill`` gate and pinned by the unordered-input
+    streaming test."""
+    from pyspark.sql import functions as F
+
+    n_late = rows.agg(F.max("n_late")).first()[0] or 0
+    if n_late > 0:
+        raise AssertionError(
+            f"resample_ffill_stream dropped {n_late} late event(s) — the "
+            "source delivered hours out of order across micro-batches, so "
+            "the batch-twin oracle no longer applies"
+        )
 
 
 def resample_ffill_stream(events: DataFrame) -> DataFrame:

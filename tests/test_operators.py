@@ -241,6 +241,44 @@ def test_connected_components_auto_escalates_and_composes(spark):
     assert stats2["star_rounds"] == 0, stats2
 
 
+def test_connected_components_converged_flag_and_warning(spark):
+    """Budget exhaustion must never be silent: stats['converged'] is
+    True when a fixpoint was reached, and a too-small max_iters yields
+    converged=False plus a RuntimeWarning (the returned labels are
+    partial/over-segmented in that case)."""
+    import warnings
+
+    from finlogic_spark.operators.graph import connected_components
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    vertices = spark.createDataFrame([(v,) for v in range(n)], "id long")
+
+    stats_ok: dict = {}
+    out = connected_components(
+        edges, vertices, algorithm="star", max_iters=40, stats=stats_ok
+    )
+    assert {r["label"] for r in out.collect()} == {0}
+    assert stats_ok["converged"] is True
+
+    stats_exhausted: dict = {}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        partial = connected_components(
+            edges, vertices, algorithm="star", max_iters=1,
+            stats=stats_exhausted,
+        )
+        partial.count()  # labels still materialize, just partially merged
+    assert stats_exhausted["converged"] is False
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "PARTIAL" in str(w.message)
+        for w in caught
+    ), [str(w.message) for w in caught]
+
+
 def test_connected_components_max_iters_total_budget(spark):
     """max_iters caps TOTAL full-graph shuffle rounds across both
     phases in 'auto' (regression: the label phase ran its full

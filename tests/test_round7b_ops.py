@@ -195,6 +195,52 @@ def test_phrase_search_single_token_and_prebuilt_postings(spark):
         phrase_search(docs, [])
 
 
+def test_phrase_persisted_index_serves_and_pins_n_buckets(spark, tmp_path):
+    from finlogic_spark.operators.search import (
+        build_positional_postings_table,
+        read_positional_postings,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "posidx")
+    idx = build_positional_postings_table(docs, path, n_buckets=8)
+    assert idx.n_buckets == 8
+
+    # Served results identical to from-scratch.
+    fresh = {
+        r.doc_id: r.n_matches
+        for r in phrase_search(docs, ["the", "cat"]).collect()
+    }
+    served = {
+        r.doc_id: r.n_matches
+        for r in phrase_search(docs, ["the", "cat"], postings=idx).collect()
+    }
+    assert served == fresh == {1: 1, 4: 1}
+
+    # Reopening reads n_buckets from the _stats sidecar.
+    reopened = read_positional_postings(spark, path)
+    assert reopened.n_buckets == 8
+    served2 = {
+        r.doc_id: r.n_matches
+        for r in phrase_search(docs, ["the", "cat"],
+                               postings=reopened).collect()
+    }
+    assert served2 == fresh
+
+    # The footgun is CLOSED: an explicit n_buckets contradicting the
+    # build-time value raises instead of silently pruning to the wrong
+    # partitions and dropping matches.
+    with pytest.raises(ValueError, match="contradicts"):
+        phrase_search(docs, ["the", "cat"], postings=idx, n_buckets=16)
+    # A matching explicit value is allowed (harmless redundancy).
+    ok = {
+        r.doc_id: r.n_matches
+        for r in phrase_search(docs, ["the", "cat"], postings=idx,
+                               n_buckets=8).collect()
+    }
+    assert ok == fresh
+
+
 # ----------------------------------------------------------- bigram LM
 
 def test_bigram_logprob_hand_check(spark):
@@ -258,6 +304,87 @@ def test_mmr_diversifies_over_pure_relevance(spark):
     # Pure relevance picks (1, 2); MMR at lam=0.5 picks the orthogonal
     # doc 3 second: 0.5*0.98 - 0.5*~1.0 < 0.5*0.60 - 0.5*~0.0.
     assert out == [(1, 1, 1), (1, 2, 3), (2, 1, 7)]
+
+
+def test_mmr_golden_trace_vs_independent_reference(spark):
+    """Data oracle for MMR: the operator's full (id, score, rank)
+    trace must equal an INDEPENDENT in-test greedy implementation
+    (pure-python cosine + argmax over the same floats) on a case with
+    mixed geometry — correlated clusters, an anti-correlated vector
+    (negative-cosine penalty RAISES its score), a zero vector, and
+    relevance ties. This is the hash-style oracle the registry can't
+    express in SQL (the greedy loop is inherently iterative)."""
+    import math
+
+    import pytest
+
+    from finlogic_spark.operators.similarity import mmr_rerank
+
+    def ref_mmr(cands, k, lam):
+        def cos(a, b):
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            if na == 0.0 or nb == 0.0:
+                return 0.0
+            return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+        remaining = sorted(cands, key=lambda t: (-t[1], t[0]))
+        selected, out = [], []
+        while remaining and len(out) < k:
+            best_i = 0
+            best_score = None
+            for i, (cid, rel, vec) in enumerate(remaining):
+                pen = max(
+                    (cos(vec, s[2]) for s in selected), default=0.0
+                )
+                score = lam * rel - (1.0 - lam) * pen
+                if best_score is None or score > best_score:
+                    best_i, best_score = i, score
+            chosen = remaining.pop(best_i)
+            selected.append(chosen)
+            out.append((chosen[0], best_score, len(out)))
+        return out
+
+    cands = {
+        1: [
+            (10, 0.95, [1.0, 0.1, 0.0]),
+            (11, 0.90, [0.9, 0.2, 0.1]),   # near-dup of 10
+            (12, 0.70, [0.0, 1.0, 0.0]),   # orthogonal
+            (13, 0.40, [-1.0, -0.1, 0.0]),  # anti-correlated with 10
+            (14, 0.40, [0.0, 0.0, 0.0]),   # zero vector -> sim 0
+            (15, 0.90, [0.5, 0.5, 0.5]),   # relevance tie with 11
+        ],
+        2: [
+            (20, 0.80, [0.2, 0.3, 0.9]),
+            (21, 0.60, [0.2, 0.3, 0.9]),   # exact dup of 20
+            (22, 0.55, [0.9, 0.0, 0.1]),
+        ],
+    }
+    rows = [
+        (q, cid, rel, vec)
+        for q, lst in cands.items()
+        for (cid, rel, vec) in lst
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id long, vec_id long, cos_sim double, embedding array<double>",
+    )
+    lam, k = 0.6, 4
+    got = {
+        (r.query_id, r.rk): (r.vec_id, r.mmr_score)
+        for r in mmr_rerank(df, k=k, lam=lam).collect()
+    }
+    want = {
+        (q, rk + 1): (cid, score)
+        for q, lst in cands.items()
+        for (cid, score, rk) in ref_mmr(lst, k, lam)
+    }
+    assert set(got) == set(want)
+    for key, (cid, score) in want.items():
+        assert got[key][0] == cid, (key, got[key], (cid, score))
+        assert got[key][1] == pytest.approx(score, abs=1e-9), key
+    # sanity: the trace is non-trivial (near-dup 11 NOT picked second)
+    assert want[(1, 2)][0] != 11
 
 
 def test_mmr_lam_one_is_pure_relevance(spark):

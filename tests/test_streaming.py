@@ -505,6 +505,73 @@ def test_stream_resample_ffill_across_batch_boundaries(spark, tmp_path):
     assert max_late == 1
 
 
+def test_stream_resample_ffill_unordered_input_surfaces_late_and_gates(
+    spark, tmp_path
+):
+    """Deliberately OUT-OF-ORDER delivery across micro-batches (a later
+    hour's file lands before earlier hours): the stateful gap-fill must
+    (a) drop the below-open-bucket events but surface the drop via
+    n_late > 0 on the key's emissions — never silently — and (b) the
+    registry's batch-twin gate (assert_no_late_drops, the exact code
+    stream_resample_ffill runs before comparing against its SQL oracle)
+    must refuse the comparison with a pointed error instead of letting
+    a value-hash mismatch surface with no cause attached."""
+    import glob as _glob
+    import os as _os
+
+    import pandas as pd
+    import pytest
+
+    from finlogic_spark.streaming import run_to_memory_sink
+    from finlogic_spark.streaming.stateful import (
+        assert_no_late_drops,
+        resample_ffill_stream,
+    )
+    from pyspark.sql import functions as F
+
+    def ev(uid, ts, val, eid):
+        return (eid, pd.Timestamp(ts).value, uid, "click", val, "{}")
+
+    # File "a" (first micro-batch) carries hour 4; file "b" (second)
+    # carries hours 0 and 1 — both BELOW the by-then-open bucket 4.
+    early = [ev(1, "2024-01-01 00:10:00", 10.0, 1),
+             ev(1, "2024-01-01 01:30:00", 30.0, 2)]
+    late_file_first = [ev(1, "2024-01-01 04:05:00", 50.0, 3)]
+    cols = ("event_id long, ts long, user_id long, event_type string, "
+            "value double, props string")
+    d = str(tmp_path / "unordered_src")
+    _os.makedirs(d)
+    for name, batch in (("a", late_file_first), ("b", early)):
+        spark.createDataFrame(batch, cols).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d + "_tmp")
+        part = _glob.glob(d + "_tmp/part-*.parquet")[0]
+        _os.rename(part, f"{d}/{name}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{d}/a.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    handle = run_to_memory_sink(
+        resample_ffill_stream(stream), "q_test_unordered",
+        output_mode="update",
+    )
+    handle.stop()
+    rows = spark.table("q_test_unordered")
+    # (a) both early events were dropped, and the drop is OBSERVABLE:
+    max_late = rows.agg(F.max("n_late")).first()[0]
+    assert max_late == 2, rows.collect()
+    # only hour 4 ever materialized — the dropped hours produced
+    # neither data rows nor gap rows
+    assert {r.bucket_ts.hour for r in rows.collect()} == {4}
+    # (b) the oracle comparison is gated OFF with a cause, not left to
+    # hash-mismatch:
+    with pytest.raises(AssertionError, match="2 late event"):
+        assert_no_late_drops(rows)
+
+
 def test_sliding_distinct_stream_matches_batch_and_exact(spark, sf_dir, events_batch):
     # Streaming HLL sliding reach == the identical batch expression
     # (order-independent sketch merge), and within the documented

@@ -174,13 +174,17 @@ def test_lsh_local_query_probes_bit_identical(spark):
 
 def test_lsh_local_probes_degenerate_and_string_ids(spark):
     """The driver-side probe path must mirror SQL null propagation
-    (NULL / too-short query vectors -> bucket 0, never a crash) and
-    must not assume long query ids (regression: crashed on both)."""
+    (NULL / too-short / too-LONG query vectors -> bucket 0, never a
+    crash) and must not assume long query ids (regression: crashed on
+    the first two; the over-length case used to dot the first dim
+    elements while zip_with null-pads the shorter PLANE and
+    null-propagates to bucket 0 — len(v) != dim is degenerate)."""
     corpus = _vectors(spark)
     queries = spark.createDataFrame(
         [
             ("q_null", None),
             ("q_short", [1.0, 2.0]),
+            ("q_long", [float(i % 5) - 2.0 for i in range(12)]),
             ("q_ok", [float(i % 3) - 1.0 for i in range(8)]),
         ],
         "query_id string, query_vec array<double>",
