@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "doc_canonical_select",
     "emb_hard_negatives",
     "events_psi_drift",
+    # round 8: cluster-fenced semantic dedup (SemDeDup)
+    "emb_semantic_dedup",
 ]
 
 

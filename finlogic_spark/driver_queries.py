@@ -5707,6 +5707,54 @@ def events_psi_drift(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round 8: semantic dedup (SemDeDup) over the embedding corpus
+# ---------------------------------------------------------------------------
+
+@q(
+    "emb_semantic_dedup",
+    f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+    cells AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT vec_id, v, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY
+                 {_CENT_DOT} / ({_NORM_V} * {_CENT_NORM}) DESC, cid ASC) AS rk
+        FROM c CROSS JOIN cent) WHERE rk = 1),
+    dups AS (
+      SELECT DISTINCT a.vec_id
+      FROM (SELECT vec_id, v AS va, cid FROM cells) a
+      JOIN (SELECT vec_id, v AS vb, cid FROM cells) b
+        ON a.cid = b.cid AND b.vec_id < a.vec_id
+      WHERE {_PAIR_DOT} / ({_PAIR_NA} * {_PAIR_NB}) > 0.35)
+    SELECT vec_id, cid AS cell FROM cells
+    WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+    ORDER BY vec_id
+    """,
+)
+def emb_semantic_dedup(spark, sf_dir):
+    # SemDeDup (Abbas et al. 2023): cluster-scoped cosine dedup — the
+    # pairwise compare is fenced inside an IVF cell (ONE equi-join on
+    # the cell id, |cell|^2 per cell, never corpus-all-pairs), each dup
+    # group survives through its min-id member. Serves from the same
+    # persisted cell-assigned corpus as emb_ivf_topk (_ivf_index);
+    # threshold 0.35 sits at ~p99 of this synthetic corpus's
+    # within-cell cosine distribution so the drop set is non-trivial
+    # (real deployments run 0.9+ on genuinely duplicated corpora).
+    from finlogic_spark.operators.similarity import semantic_dedup
+
+    cents, cells = _ivf_index(spark, sf_dir)
+    kept = semantic_dedup(
+        cells, cents, threshold=0.35, cell_col="__cell",
+        corpus_assigned=True,
+    )
+    return kept.select(
+        "vec_id", F.col("__cell").cast("long").alias("cell")
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------
 

@@ -531,6 +531,41 @@ def build_positional_postings_table(
     return read_positional_postings(spark, path)
 
 
+def append_positional_postings(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "PositionalIndex":
+    """Incrementally extend a persisted positional index with NEW
+    documents — no rebuild, no read of the existing index data. Sound
+    for THIS index because positional postings carry no corpus-level
+    statistics (no df, no dl, no norms): the merged table is row-for-row
+    identical to a from-scratch build over the union (pinned by
+    tests/test_round8_ops.py). The frequency postings (BM25/tf-idf)
+    deliberately have NO append path — df/total_dl/norms are
+    corpus-global, so those indexes rebuild.
+
+    The bucket count comes from the existing ``_stats`` sidecar (never
+    the caller), so appended rows land in the same ``__tok_bkt``
+    partition scheme and serve-time pruning stays correct. Append mode
+    adds new files to the bucket directories; existing files are
+    untouched — at 100 TB this is the hourly-ingest path: tokenize the
+    new batch, one partitioned write, done.
+
+    Caller contract: ``new_docs`` must be documents NOT already in the
+    index (re-appending an existing doc_id would double its positions
+    and inflate its match counts); dedup upstream on doc_id.
+    """
+    spark = new_docs.sparkSession
+    idx = read_positional_postings(spark, path)
+    out = build_positional_postings(
+        new_docs, id_col, text_col, n_buckets=idx.n_buckets
+    )
+    out.write.partitionBy("__tok_bkt").mode("append").parquet(path)
+    return read_positional_postings(spark, path)
+
+
 def read_positional_postings(
     spark: SparkSession, path: str
 ) -> "PositionalIndex":

@@ -552,6 +552,61 @@ def ivf_assign(
     return corpus.withColumn(cell_col, nearest_cells_expr(corpus_vec, cents, 1))
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    cents: Sequence[tuple[int, Sequence[float]]],
+    threshold: float,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    cell_col: str = "cell",
+    corpus_assigned: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus by nearest centroid, then
+    WITHIN each cluster drop every vector that has a strictly-lower-id
+    cluster-mate with cosine above ``threshold`` — each semantic-dup
+    group survives through its min-id member. Returns the KEPT rows
+    (corpus_id, vec, cell_col).
+
+    Scale shape: the quadratic compare is fenced inside a cell — ONE
+    equi-join on the cell id, |cell|² work per cell, never corpus² —
+    exactly the paper's trick for running pairwise dedup on web-scale
+    embedding sets. With n_cells ~ sqrt(n) (k-means or seed centroids)
+    candidate volume is ~n^1.5. Cell assignment is the shuffle-free
+    ``ivf_assign`` expression; pass ``corpus_assigned=True`` with a
+    persisted cell-partitioned corpus (the serving layout) to skip it.
+
+    Deterministic: assignment ties break to the lowest centroid id,
+    and the drop rule references only (cell, lower id, cosine) — no
+    RNG, no iteration order. Near-dup pairs that straddle a cell
+    boundary are the documented recall loss (the paper's too);
+    tighter recall = more probes = the LSH/pair tiers.
+    """
+    assigned = (
+        corpus
+        if corpus_assigned
+        else ivf_assign(corpus, cents, corpus_vec, cell_col)
+    )
+    a = assigned.select(
+        F.col(cell_col).alias("__cl"),
+        F.col(corpus_id).alias("__ida"),
+        F.col(corpus_vec).alias("__va"),
+    )
+    b = assigned.select(
+        F.col(cell_col).alias("__cl"),
+        F.col(corpus_id).alias("__idb"),
+        F.col(corpus_vec).alias("__vb"),
+    )
+    dups = (
+        a.join(b, "__cl")
+        .filter(F.col("__idb") < F.col("__ida"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) > F.lit(threshold))
+        .select(F.col("__ida").alias(corpus_id))
+        .distinct()
+    )
+    return assigned.join(dups, corpus_id, "left_anti")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,164 @@
+"""Round-8 operators: SemDeDup-style semantic dedup (cluster-fenced
+cosine dedup) and incremental append to the persisted positional
+phrase index."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from finlogic_spark.operators.search import (
+    append_positional_postings,
+    build_positional_postings,
+    build_positional_postings_table,
+    phrase_search,
+)
+from finlogic_spark.operators.similarity import ivf_assign, semantic_dedup
+
+# Two well-separated centroids on the first two axes.
+CENTS = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+
+
+def _emb(spark):
+    rows = [
+        # cell 0: 10 and 11 are near-identical (cos ~0.9999); 12 is a
+        # distinct direction in the same cell (cos ~0.7 to 10).
+        (10, [1.0, 0.05, 0.0]),
+        (11, [1.0, 0.051, 0.001]),
+        (12, [0.8, 0.3, 0.5]),
+        # cell 1: 20 alone; 21 is IDENTICAL to 10 but lands in cell 1?
+        # no — identical vectors assign identically, so use a cell-1
+        # vector 21 identical to 22 to test in-cell dropping there too.
+        (20, [0.0, 1.0, 0.2]),
+        (21, [0.1, 1.0, 0.0]),
+        (22, [0.1, 1.0, 0.0]),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_semantic_dedup_drops_higher_id_within_cell(spark):
+    kept = semantic_dedup(_emb(spark), CENTS, threshold=0.99)
+    ids = sorted(r.vec_id for r in kept.collect())
+    # 11 duplicates 10 (same cell, cos>0.99) -> dropped; 22 duplicates
+    # 21 -> dropped; everything else kept.
+    assert ids == [10, 12, 20, 21]
+    # the kept frame preserves the cell assignment
+    cells = {r.vec_id: r.cell for r in kept.collect()}
+    assert cells[10] == 0 and cells[21] == 1
+
+
+def test_semantic_dedup_cell_fence_blocks_cross_cell_compare(spark):
+    # Identical vectors in DIFFERENT cells are never compared: build a
+    # frame with a pre-assigned cell column splitting two identical
+    # vectors apart — both survive (the documented recall loss of the
+    # cluster fence).
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 1)],
+        "vec_id long, embedding array<double>, cell int",
+    )
+    kept = semantic_dedup(
+        df, CENTS, threshold=0.5, corpus_assigned=True
+    )
+    assert sorted(r.vec_id for r in kept.collect()) == [1, 2]
+
+
+def test_semantic_dedup_assigned_matches_unassigned(spark):
+    emb = _emb(spark)
+    direct = semantic_dedup(emb, CENTS, threshold=0.99)
+    pre = ivf_assign(emb, CENTS, "embedding", "cell")
+    served = semantic_dedup(
+        pre, CENTS, threshold=0.99, corpus_assigned=True
+    )
+    assert sorted(map(tuple, direct.select("vec_id", "cell").collect())) == \
+        sorted(map(tuple, served.select("vec_id", "cell").collect()))
+
+
+def test_semantic_dedup_transitive_chain_keeps_min_only(spark):
+    # a~b and b~c but a!~c: the greedy lower-id rule drops BOTH b and c
+    # (b duplicates a; c duplicates b) — one survivor per chain, unlike
+    # pair-graph connected components this never needs iteration.
+    rows = [
+        (1, [1.0, 0.00, 0.0]),
+        (2, [1.0, 0.28, 0.0]),   # cos(1,2) ~ 0.963
+        (3, [1.0, 0.56, 0.0]),   # cos(2,3) ~ 0.983, cos(1,3) ~ 0.873
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = semantic_dedup(df, CENTS, threshold=0.95)
+    assert sorted(r.vec_id for r in kept.collect()) == [1]
+
+
+# ---------------------------------------------------------------------------
+# Incremental positional-index append
+# ---------------------------------------------------------------------------
+
+def _docs_a(spark):
+    return spark.createDataFrame(
+        [(1, "the cat sat"), (2, "a table and a table")],
+        "doc_id long, text string",
+    )
+
+
+def _docs_b(spark):
+    return spark.createDataFrame(
+        [(3, "the cat sat on the cat"), (4, "table table table")],
+        "doc_id long, text string",
+    )
+
+
+def test_append_positional_equals_rebuild_over_union(spark, tmp_path):
+    path = str(tmp_path / "incr_idx")
+    idx0 = build_positional_postings_table(_docs_a(spark), path, n_buckets=8)
+    idx1 = append_positional_postings(_docs_b(spark), path)
+    assert idx1.n_buckets == idx0.n_buckets == 8
+
+    union = _docs_a(spark).unionByName(_docs_b(spark))
+    fresh_rows = sorted(
+        map(tuple, build_positional_postings(union).collect())
+    )
+    incr_rows = sorted(
+        map(
+            tuple,
+            idx1.postings.select("token", "doc_id", "pos").collect(),
+        )
+    )
+    assert incr_rows == fresh_rows
+
+    # end-to-end: phrase served from the appended index == from-scratch
+    served = {
+        r.doc_id: r.n_matches
+        for r in phrase_search(union, ["the", "cat"], postings=idx1).collect()
+    }
+    fresh = {
+        r.doc_id: r.n_matches
+        for r in phrase_search(union, ["the", "cat"]).collect()
+    }
+    assert served == fresh == {1: 1, 3: 2}
+    # repeated-token phrase sanity on the appended data: doc 2's two
+    # 'table's are NOT adjacent (no match); doc 4's three are (2
+    # overlapping matches).
+    served_t = {
+        r.doc_id: r.n_matches
+        for r in phrase_search(
+            union, ["table", "table"], postings=idx1
+        ).collect()
+    }
+    assert served_t == {4: 2}
+
+
+def test_append_uses_sidecar_bucket_count_not_caller(spark, tmp_path):
+    # The append path must bucket new tokens with the BUILD-time count:
+    # serve-time pruning would silently miss appended rows otherwise.
+    path = str(tmp_path / "incr_idx2")
+    build_positional_postings_table(_docs_a(spark), path, n_buckets=4)
+    idx = append_positional_postings(_docs_b(spark), path)
+    buckets = {
+        r["__tok_bkt"]
+        for r in idx.postings.select("__tok_bkt").distinct().collect()
+    }
+    assert buckets <= set(range(4)), buckets
+    with pytest.raises(ValueError, match="contradicts"):
+        phrase_search(
+            _docs_a(spark), ["cat"], postings=idx, n_buckets=16
+        )

@@ -48,6 +48,12 @@ from finlogic_spark.operators.topk import top_k
 from finlogic_spark.session import get_spark
 from finlogic_spark.sources import write_bucketed
 
+# Default bucket count: one per core at the bench box. At larger SFs
+# pass --buckets N (e.g. 128 at sf100): tasks-per-core > 1 hides
+# stragglers, per-task hash relations shrink 4x (the q5 shuffle-hash
+# build must FIT — SHJ does not spill), and partial-agg hash maps drop
+# to cache-friendly sizes. Same lesson as a real cluster: bucket count
+# is sized to the data, not the core count.
 N_BUCKETS = 32
 
 
@@ -229,12 +235,101 @@ def median_time(fn, runs: int) -> float:
     return round(statistics.median(samples), 3)
 
 
+def duckdb_baseline(sf_dir: str, runs: int) -> dict[str, float]:
+    """Median DuckDB wall time for the same four queries' oracle SQL on
+    the same parquet files, measured in THIS run so the artifact's
+    ratios are self-contained (not cross-referenced from another file's
+    numbers taken on a different day/host load)."""
+    import statistics as _st
+
+    import duckdb
+
+    from finlogic_spark.driver_queries import ORACLES
+
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={os.cpu_count()}")
+    for t in ("customer", "orders", "lineitem", "supplier", "nation",
+              "region"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    out = {}
+    for name in BUCKETED:
+        sql = ORACLES[name]
+        con.sql(sql).fetchall()  # warm
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            con.sql(sql).fetchall()
+            samples.append(time.perf_counter() - t0)
+        out[name] = round(_st.median(samples), 3)
+    return out
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata/sf10"
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    reuse = "--reuse-layouts" in argv
+    argv = [a for a in argv if a != "--reuse-layouts"]
+    if "--buckets" in argv:
+        i = argv.index("--buckets")
+        global N_BUCKETS
+        N_BUCKETS = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/repo/testdata/sf10"
+    runs = int(argv[1]) if len(argv) > 1 else 3
     spark = get_spark("bucketed-tpch")
+    # AQE OFF for this latency-class bench: these four plans are STATIC
+    # and audited below (zero fact-side exchanges by layout) — there is
+    # nothing for adaptive execution to re-plan, but AQE still breaks
+    # each query into materialized stages, adding ~0.3-0.8 s of fixed
+    # stage-scheduling latency per query at this scale (measured: q1
+    # 1.62 -> 0.83 s, q3 1.50 -> 0.77 s warm on the same layouts). At
+    # 100 TB AQE earns its keep on skew/runtime re-planning and stays
+    # ON in the session defaults; a production deployment serving
+    # fixed sub-second dashboards from bucketed layouts would pin the
+    # final plan exactly like this.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     t0 = time.perf_counter()
-    build_layouts(spark, sf_dir)
+    if reuse:
+        # --reuse-layouts: re-register the warehouse files from a prior
+        # run of THIS sf_dir (the default in-memory catalog forgets
+        # saveAsTable entries across sessions; the bucketed data files
+        # survive). CREATE TABLE ... CLUSTERED BY ... LOCATION rebuilds
+        # the same bucket spec over the same one-file-per-bucket files.
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", ""
+        ).removeprefix("file:")
+        specs = {
+            "li_bo": (["l_orderkey"], ["l_orderkey"]),
+            "ord_bo": (["o_orderkey"], ["o_orderkey"]),
+            "ord_bc": (["o_custkey"],
+                       ["o_custkey", "o_orderdate", "o_orderkey"]),
+        }
+        for table, (bcols, scols) in specs.items():
+            loc = os.path.join(wh, table)
+            cols = ", ".join(
+                f"{n} {t}" for n, t in spark.read.parquet(loc).dtypes
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            spark.sql(
+                f"CREATE TABLE {table} ({cols}) USING PARQUET "
+                f"CLUSTERED BY ({', '.join(bcols)}) "
+                f"SORTED BY ({', '.join(scols)}) INTO {N_BUCKETS} BUCKETS "
+                f"LOCATION '{loc}'"
+            )
+        # guard: the reused layout must match the sf_dir being benched
+        n_src = spark.read.parquet(
+            os.path.join(sf_dir, "lineitem.parquet")
+        ).count()
+        assert spark.table("li_bo").count() == n_src, (
+            "warehouse li_bo does not match sf_dir — rebuild without "
+            "--reuse-layouts"
+        )
+    else:
+        build_layouts(spark, sf_dir)
     build_s = round(time.perf_counter() - t0, 1)
 
     # fixed job floor: the cost of an action that does ~nothing
@@ -244,8 +339,10 @@ def main() -> int:
         runs,
     )
 
+    duck = duckdb_baseline(sf_dir, runs)
     out = {"sf_dir": sf_dir, "build_s": build_s, "n_buckets": N_BUCKETS,
-           "job_floor_s": floor, "queries": {}}
+           "job_floor_s": floor, "aqe": "off (static audited plans)",
+           "queries": {}}
     audit_fail = []
     for name, bfn in BUCKETED.items():
         flat_fn = QUERIES[name]
@@ -260,6 +357,8 @@ def main() -> int:
         out["queries"][name] = {
             "flat_s": flat_t,
             "bucketed_s": buck_t,
+            "duckdb_s": duck[name],
+            "ratio_raw": round(buck_t / duck[name], 2),
             "rows_match": match,
             "bucketed_shuffles": shuffles,
             "bucketed_minus_floor_s": round(max(0.0, buck_t - floor), 3),
@@ -268,6 +367,9 @@ def main() -> int:
             audit_fail.append(name)
     out["audit_fail"] = audit_fail
     print(json.dumps(out))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(out, f, indent=1)
     return 1 if audit_fail else 0
 
 
