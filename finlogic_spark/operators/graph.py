@@ -38,7 +38,9 @@ Scale notes (both algorithms):
   monotone sum-of-labels; star uses (edge count, sum u, sum v) over
   the canonicalized edge set, confirmed by an exact except-check
   before declaring the fixpoint (certificate equality is necessary,
-  the except makes it sufficient).
+  the except makes it sufficient). Id sums are computed as exact
+  (high-20-bits, low-20-bits) pairs so billion-row edge sets with
+  ~1e12 ids cannot overflow int64 (_sum_pair).
 """
 
 from __future__ import annotations
@@ -172,11 +174,34 @@ def connected_components(
     return labels.unionByName(isolated)
 
 
+# Certificates sum vertex ids, which can be arbitrarily large (sf100
+# chained keys reach ~9e11; 118M edges × that overflows int64 — found
+# by an ANSI overflow error at the sf100 star probe). Summing the high
+# and low 20-bit halves separately keeps every partial EXACT and
+# overflow-safe to ~1e9 rows of ~1e12 ids: true_sum = 2^20·hi + lo, so
+# (count, hi, lo) equality ⟺ exact-sum equality — the monotone
+# convergence argument is unchanged.
+_CERT_SHIFT = 20
+_CERT_MASK = (1 << _CERT_SHIFT) - 1
+
+
+def _sum_pair(col: str) -> list:
+    return [
+        F.sum(F.shiftright(F.col(col), _CERT_SHIFT)),
+        F.sum(F.col(col).bitwiseAND(F.lit(_CERT_MASK))),
+    ]
+
+
 def _min_label_rounds(
     und: DataFrame, labels: DataFrame, max_iters: int, stats: dict
 ) -> tuple[DataFrame, bool]:
     """Min-label propagation rounds; returns (labels, converged)."""
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+
+    def cert(lab: DataFrame):
+        row = lab.agg(*_sum_pair("label")).first()
+        return (row[0], row[1])
+
+    prev_sum = cert(labels)
     for _ in range(max_iters):
         stats["label_rounds"] += 1
         prop = (
@@ -193,7 +218,7 @@ def _min_label_rounds(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=False, storageLevel=_SPILL)
         )
-        new_sum = labels.agg(F.sum("label")).first()[0]
+        new_sum = cert(labels)
         if new_sum == prev_sum:
             return labels, True
         prev_sum = new_sum
@@ -241,9 +266,9 @@ def _star_labels(
 
     def certificate(cdf: DataFrame):
         row = cdf.agg(
-            F.count(F.lit(1)), F.sum("u"), F.sum("v")
+            F.count(F.lit(1)), *_sum_pair("u"), *_sum_pair("v")
         ).first()
-        return (row[0], row[1], row[2])
+        return tuple(row)
 
     prev = certificate(e)
     converged = e.isEmpty()  # an empty edge set is trivially a fixpoint
