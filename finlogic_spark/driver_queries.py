@@ -2224,14 +2224,13 @@ def doc_dedup_clusters(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, "text", "doc_id", k=3, num_hashes=6, bands=2)
-    # algorithm='star': measured on the real 117.9M-edge sf100 dup
-    # graph (tools/probe_r8.py, clean runs, identical 2.15M clusters):
-    # star-only 107.1 s in 4 rounds vs auto's label-then-star 157.7 s
-    # (8 label rounds mostly wasted on star-shaped dup families).
-    # LSH dup graphs ARE that shape, so the dedup pipeline pins star.
+    # 'auto' is shape-aware (r8): above 10M candidate edges it goes
+    # star-FIRST — measured on the real 117.9M-edge sf100 dup graph
+    # (tools/probe_r8.py, identical 2.15M clusters): star-only 107.1 s
+    # in 4 rounds vs label-then-star 157.7 s. Below the threshold the
+    # label fast path wins (bench scale: ~2x faster than star-only).
     cc = connected_components(
-        pairs, d.select("doc_id"), src="id_a", dst="id_b", id_col="doc_id",
-        algorithm="star",
+        pairs, d.select("doc_id"), src="id_a", dst="id_b", id_col="doc_id"
     )
     return cc.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster")
@@ -5578,11 +5577,11 @@ def doc_canonical_select(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, "text", "doc_id", k=3, num_hashes=6, bands=2)
-    # star-first: measured 1.47x faster than auto on the sf100 dup
-    # graph (see doc_dedup_clusters / tools/probe_r8.py).
+    # 'auto' picks star-first above 10M edges by measurement (see
+    # doc_dedup_clusters / tools/probe_r8.py) and the label fast path
+    # below it.
     cc = connected_components(
-        pairs, d.select("doc_id"), src="id_a", dst="id_b", id_col="doc_id",
-        algorithm="star",
+        pairs, d.select("doc_id"), src="id_a", dst="id_b", id_col="doc_id"
     ).select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
     scored = cc.join(
         d.select("doc_id", rN(quality_score("text"), 6).alias("quality")),

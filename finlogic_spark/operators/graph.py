@@ -67,6 +67,7 @@ def connected_components(
     algorithm: str = "auto",
     label_rounds: int = 8,
     stats: dict | None = None,
+    star_edge_threshold: int = 10_000_000,
 ) -> DataFrame:
     """Label each vertex with the smallest vertex id reachable from it
     (= its connected component's canonical representative).
@@ -76,6 +77,15 @@ def connected_components(
     ``algorithm``: 'label' (diameter-bounded min propagation), 'star'
     (O(log² n) large/small-star), or 'auto' (label fast path, star
     escalation after ``label_rounds`` — see module docstring).
+    'auto' additionally goes star-FIRST when the edge set reaches
+    ``star_edge_threshold``: measured on the real 117.9M-edge sf100
+    dedup graph (tools/probe_r8.py, identical 2.15M-cluster output),
+    star-only converged in 4 rounds / 107.1 s where label-then-star
+    took 157.7 s — at that shape the label rounds are wasted work,
+    while at bench scale (thousands of edges) label converges in a few
+    cheap rounds and star's heavier per-round plan loses. The edge
+    count is read off the ALREADY-persisted edge cache, so the probe
+    costs one cheap job, not an extra pass over the pair computation.
     ``stats``: pass a dict to receive {'label_rounds', 'star_rounds',
     'converged'} — rounds actually executed (round-complexity pins in
     tests) and whether a fixpoint was REACHED within ``max_iters``.
@@ -108,6 +118,16 @@ def connected_components(
         stats = {}
     stats["label_rounds"] = 0
     stats["star_rounds"] = 0
+    if algorithm == "auto":
+        # Materialize the edge cache with a count (the first label/star
+        # round was about to pay this materialization anyway) and pick
+        # the phase order by shape — see docstring. und holds each edge
+        # twice (both directions), so compare against 2x the threshold.
+        if und.count() >= 2 * star_edge_threshold:
+            algorithm = "star"
+            stats["auto_choice"] = "star-first"
+        else:
+            stats["auto_choice"] = "label-first"
     # max_iters is a TOTAL round budget across both phases: in 'auto'
     # the label fast path draws from it first and star gets the
     # remainder, so a caller capping shuffle-round count gets at most

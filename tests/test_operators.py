@@ -241,6 +241,35 @@ def test_connected_components_auto_escalates_and_composes(spark):
     assert stats2["star_rounds"] == 0, stats2
 
 
+def test_connected_components_auto_is_shape_aware(spark):
+    """'auto' must pick the phase order by edge-set size: below the
+    star threshold the label fast path runs first (bench-scale graphs
+    converge in a few cheap rounds); at/above it the label rounds are
+    skipped and star runs directly — the measured winner on the sf100
+    117.9M-edge dedup graph."""
+    from finlogic_spark.operators.graph import connected_components
+
+    clique = spark.createDataFrame(
+        [(i, j) for i in range(6) for j in range(i + 1, 6)],
+        "src long, dst long",
+    )
+    v = spark.createDataFrame([(i,) for i in range(6)], "id long")
+
+    small_stats: dict = {}
+    out = connected_components(clique, v, stats=small_stats)
+    assert {r["label"] for r in out.collect()} == {0}
+    assert small_stats["auto_choice"] == "label-first"
+    assert small_stats["star_rounds"] == 0
+
+    big_stats: dict = {}
+    out2 = connected_components(
+        clique, v, stats=big_stats, star_edge_threshold=1
+    )
+    assert {r["label"] for r in out2.collect()} == {0}
+    assert big_stats["auto_choice"] == "star-first"
+    assert big_stats["label_rounds"] == 0 and big_stats["star_rounds"] > 0
+
+
 def test_connected_components_converged_flag_and_warning(spark):
     """Budget exhaustion must never be silent: stats['converged'] is
     True when a fixpoint was reached, and a too-small max_iters yields
