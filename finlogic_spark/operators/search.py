@@ -70,16 +70,28 @@ def _token_bucket(col, n_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
 
+def _doc_bucket(col, n_buckets: int):
+    """Stable doc-id -> partition bucket for the FORWARD index — same
+    construction as _token_bucket, so a query-doc list's bucket set is
+    computable without touching the index."""
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
 class PostingsIndex(NamedTuple):
     """Handle to a persisted inverted index (see build_postings_table):
     ``postings`` (token, doc_id, dl, tf, df, __tok_bkt partition col),
     ``stats`` (1 row: n_docs, total_dl, n_buckets), ``norms`` per-doc
-    tf-idf L2 norms (doc_id, norm)."""
+    tf-idf L2 norms (doc_id, norm), ``forward`` the same rows
+    partitioned by doc-id bucket (``__doc_bkt``) — the forward-index
+    twin that makes BY-DOCUMENT lookups (tf-idf more-like-this query
+    vectors) a pruned scan instead of a full pass over a
+    token-partitioned table. None on indexes built before it existed."""
 
     postings: DataFrame
     stats: DataFrame
     norms: DataFrame
     n_buckets: int
+    forward: "DataFrame | None" = None
 
 
 def build_postings_table(
@@ -146,6 +158,17 @@ def build_postings_table(
         )
     )
     norms.write.mode("overwrite").parquet(os.path.join(path, "_norms"))
+    # Forward-index twin: the SAME enriched rows partitioned by doc-id
+    # bucket. One extra copy of the postings buys by-document lookups
+    # (tf-idf query vectors) as a |Q|-bucket pruned scan — without it
+    # the doc_id filter full-scans a token-partitioned table (measured
+    # 4.4 s warm per tf-idf serve at sf10; the classic inverted+forward
+    # index pair every search engine ships).
+    persisted.withColumn(
+        "__doc_bkt", _doc_bucket(F.col("doc_id"), n_buckets)
+    ).drop("__tok_bkt").write.partitionBy("__doc_bkt").mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "_forward"))
     return read_postings(spark, path)
 
 
@@ -153,11 +176,16 @@ def read_postings(spark: SparkSession, path: str) -> "PostingsIndex":
     """Open a persisted postings table for serving."""
     stats = spark.read.parquet(os.path.join(path, "_stats"))
     n_buckets = int(stats.select("n_buckets").first()[0])
+    try:
+        forward = spark.read.parquet(os.path.join(path, "_forward"))
+    except Exception:  # pre-forward-index layout
+        forward = None
     return PostingsIndex(
         postings=spark.read.parquet(path),
         stats=stats,
         norms=spark.read.parquet(os.path.join(path, "_norms")),
         n_buckets=n_buckets,
+        forward=forward,
     )
 
 
@@ -366,11 +394,30 @@ def tfidf_similar(
                 F.col("n_docs").cast("double").alias("n_docs")
             )
         )
-        qp = _tfidf_weight(
-            postings.postings.filter(F.col("doc_id").isin(query_ids)).join(
-                nd_b
+        if postings.forward is not None:
+            # Forward-index path: the query docs' bucket list is
+            # computed from the id literals alone (a tiny literal-frame
+            # job, zero index access), so fetching the |Q| query
+            # vectors is a pruned scan of ≤|Q| doc-bucket directories —
+            # never a full pass over the token-partitioned table.
+            spark = postings.forward.sparkSession
+            doc_bkts = sorted(
+                int(r[0])
+                for r in spark.createDataFrame(
+                    [(int(i),) for i in query_ids], "doc_id long"
+                )
+                .select(_doc_bucket(F.col("doc_id"), postings.n_buckets))
+                .distinct()
+                .collect()
             )
-        ).select(
+            q_rows = postings.forward.filter(
+                F.col("__doc_bkt").isin(doc_bkts)
+            ).filter(F.col("doc_id").isin(query_ids))
+        else:  # pre-forward layout: full scan is the only option
+            q_rows = postings.postings.filter(
+                F.col("doc_id").isin(query_ids)
+            )
+        qp = _tfidf_weight(q_rows.join(nd_b)).select(
             F.col("doc_id").alias("query_id"), "token", F.col("w").alias("wq")
         )
         # Partition-prune the candidate side to the query tokens'

@@ -147,6 +147,70 @@ def test_append_positional_equals_rebuild_over_union(spark, tmp_path):
     assert served_t == {4: 2}
 
 
+def test_forward_index_serves_tfidf_pruned_and_falls_back(spark, tmp_path):
+    """The frequency-postings table now ships a forward-index twin
+    (_forward, partitioned by doc-id bucket): tf-idf's query-vector
+    fetch must (a) produce cosines identical to from-scratch, (b)
+    plan a PartitionFilters prune on __doc_bkt rather than a full scan
+    of the token-partitioned table, and (c) degrade gracefully (same
+    results, full scan) when opening a pre-forward-layout index."""
+    import shutil
+
+    from finlogic_spark.operators.search import (
+        build_postings_table,
+        read_postings,
+        tfidf_similar,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark engine for big data"),
+            (1, "spark engine for bigger data"),
+            (2, "cats and dogs"),
+            (3, "dogs and cats and dogs"),
+            (4, "completely unrelated text here"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "fwd_idx")
+    idx = build_postings_table(docs, path, n_buckets=8)
+    assert idx.forward is not None
+
+    live = sorted(map(tuple, tfidf_similar(docs, [0, 2], k=3).collect()))
+    served = sorted(
+        map(
+            tuple,
+            tfidf_similar(None, [0, 2], k=3, postings=idx).collect(),
+        )
+    )
+    assert served == live and len(served) > 0
+
+    # (b) the forward fetch is partition-pruned on __doc_bkt: the
+    # bucket predicate must appear as a PartitionFilter on the scan,
+    # not as a post-scan data filter.
+    from finlogic_spark.plans import formatted_plan
+
+    plan = formatted_plan(
+        idx.forward.filter(F.col("__doc_bkt").isin([1, 2]))
+    )
+    part_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert part_lines and any("__doc_bkt" in ln for ln in part_lines), plan
+
+    # (c) pre-forward layout: drop _forward, reopen, results identical
+    shutil.rmtree(str(tmp_path / "fwd_idx" / "_forward"))
+    old = read_postings(spark, path)
+    assert old.forward is None
+    served_old = sorted(
+        map(
+            tuple,
+            tfidf_similar(None, [0, 2], k=3, postings=old).collect(),
+        )
+    )
+    assert served_old == live
+
+
 def test_append_uses_sidecar_bucket_count_not_caller(spark, tmp_path):
     # The append path must bucket new tokens with the BUILD-time count:
     # serve-time pruning would silently miss appended rows otherwise.
