@@ -111,8 +111,10 @@ BENCH_QUERIES = [
     "doc_canonical_select",
     "emb_hard_negatives",
     "events_psi_drift",
-    # round 8: cluster-fenced semantic dedup (SemDeDup)
+    # round 8: cluster-fenced semantic dedup (SemDeDup), PPJoin
+    # prefix-filtered exact Jaccard
     "emb_semantic_dedup",
+    "doc_jaccard_prefix",
 ]
 
 

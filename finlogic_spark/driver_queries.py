@@ -5762,6 +5762,42 @@ def emb_semantic_dedup(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+@q(
+    "doc_jaccard_prefix",
+    f"""
+    WITH s AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS sh FROM documents),
+    sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           floor(inter / (na.n + nb.n - inter) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM inter
+    JOIN sz na ON na.doc_id = id_a
+    JOIN sz nb ON nb.doc_id = id_b
+    WHERE inter / (na.n + nb.n - inter) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def doc_jaccard_prefix(spark, sf_dir):
+    # PPJoin prefix-filtered exact Jaccard: same results as
+    # doc_ngram_jaccard (the oracle IS the plain all-shared-shingle
+    # formulation), but candidates come only from each doc's
+    # rarest-first prefix — the lossless candidate-reduction that keeps
+    # set-similarity joins off the stop-shingle quadratic at corpus
+    # scale (a df CAP also avoids it, but by silently undercounting
+    # intersections; the prefix filter provably drops nothing).
+    from finlogic_spark.operators.text_dedup import jaccard_prefix_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = jaccard_prefix_pairs(d, "text", "doc_id", k=3, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", rN(F.col("jaccard"), 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------

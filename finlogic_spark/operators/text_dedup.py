@@ -278,6 +278,144 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """PPJoin-style prefix-filtered exact Jaccard join (Xiao et al.,
+    WWW '08): byte-identical output to
+    ``ngram_jaccard_pairs(max_doc_freq=None)`` with far fewer candidate
+    pairs, and LOSSLESS — unlike a document-frequency cap, which
+    undercounts intersections through the shingles it drops.
+
+    The prefix lemma: fix one GLOBAL canonical order over shingles
+    (here ascending document frequency, shingle text tiebreak — rare
+    shingles first, so prefixes are maximally selective). If
+    J(A,B) ≥ t, the sets must share an element inside each one's first
+    ``|x| − ⌈t·|x|⌉ + 1`` shingles under that order; pairs colliding
+    nowhere in their prefixes can be skipped without looking. Candidate
+    generation therefore explodes ONLY prefixes, and survivors are
+    verified exactly against the full sorted-set arrays
+    (``array_intersect``).
+
+    WHEN to use which — measured, not assumed. The trade is: plain
+    ``ngram_jaccard_pairs`` pays Σ_s C(df_s, 2) pair rows over ALL
+    shared shingles (quadratic in every stop-shingle's document
+    frequency); this operator pays that sum over PREFIX occurrences
+    only, plus a verify fan of |candidates|·|set| rows. On a flat-df
+    corpus the plain counting join wins outright (driver testdata sf1:
+    17.5 s vs 100.7 s here, identical 246,784 pairs) — there are no
+    stop-shingles to dodge, so the prefix's verify fan is pure
+    overhead. On a Zipfian corpus the inequality flips catastrophically
+    the other way: one boilerplate shingle shared by 100k docs feeds
+    C(100k, 2) ≈ 5e9 pair rows into the plain join while never
+    entering any prefix (most-common shingles sort LAST in the
+    canonical order) — see
+    tests/test_round8_ops.py::test_jaccard_prefix_candidate_volume_on_skew
+    for the deterministic pair-volume proof. A df CAP
+    (``max_doc_freq``) also dodges stop-shingles but silently
+    undercounts intersections through the shingles it drops; the
+    prefix filter is the lossless version of that dodge.
+    """
+    from pyspark.sql import Window
+
+    sh = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("s"),
+    )
+    dfs = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # Prefix membership via a per-doc rank window over the global
+    # (df, shingle) order — NOT a collect_list(struct)/array_sort
+    # build, which falls out of whole-stage codegen and measured ~6x
+    # slower (same lesson as ngram_jaccard_pairs' packed longs).
+    wd = Window.partitionBy("id")
+    # The ranked shingle stream feeds FOUR branches (prefix candidates,
+    # both verify probes, sizes); Spark's exchange reuse can't dedupe
+    # them (each branch prunes different columns, so the subplans
+    # differ) and the tokenize→shingle explode would re-run per branch
+    # — measured as the whole query's dominant cost. A lazy spill-safe
+    # checkpoint materializes it once (same pattern as graph.py's
+    # per-round frames).
+    from pyspark.storagelevel import StorageLevel
+
+    ranked = (
+        sh.join(dfs, "s")
+        .withColumn(
+            "__rn", F.row_number().over(wd.orderBy("df", "s"))
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(wd))
+        .localCheckpoint(
+            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    sh = ranked.select("id", "s")  # all downstream reads hit the cache
+    prefix_len = (
+        F.col("__n")
+        - F.ceil(F.lit(threshold) * F.col("__n")).cast("int")
+        + F.lit(1)
+    )
+    pref = ranked.filter(F.col("__rn") <= prefix_len).select("id", "s")
+    cands = (
+        pref.groupBy("s")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda y: F.struct(
+                                x.alias("pa"), y.alias("pb")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.pa").alias("id_a"), F.col("p.pb").alias("id_b"))
+        .distinct()
+    )
+    # Exact verify as a COUNTING join over the shingle stream — no
+    # per-doc set arrays carried through a row-per-pair join (measured
+    # ~2x the whole query when tried): fan each candidate pair out by
+    # side A's shingles (bounded by |cands|·|A|), probe side B's
+    # stream on (id, shingle), count matches per pair. Everything is a
+    # plain equi-join + partial-agg count inside codegen.
+    fan = cands.join(
+        sh.select(F.col("id").alias("id_a"), "s"), "id_a"
+    )
+    inter = (
+        fan.join(
+            sh.select(F.col("id").alias("id_b"), "s"), ["id_b", "s"]
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # per-doc sizes already ride on every ranked row
+    sizes = ranked.select("id", F.col("__n").alias("n")).distinct()
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 SIMHASH_BITS = 32
 
 
