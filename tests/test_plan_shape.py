@@ -348,3 +348,40 @@ def test_sorted_neighborhood_one_window_one_scan(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
     assert plans.count_scans(df) == 1
     assert "Join" not in plan, plan
+
+
+def test_semantic_dedup_plan_is_cell_fenced(spark):
+    """SemDeDup's pairwise compare must be a plain equi-join on the
+    cell id — never a cartesian/nested-loop across the corpus — and
+    the drop set must apply as one anti-join."""
+    from finlogic_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.5]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    kept = semantic_dedup(emb, cents, threshold=0.95)
+    plan = plans.formatted_plan(kept)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_forward_index_fetch_prunes_partitions(spark, tmp_path):
+    """tf-idf's by-document query-vector fetch against a persisted
+    index must partition-prune the _forward table to the query docs'
+    buckets (PartitionFilters on __doc_bkt, not a post-scan filter on
+    a full read)."""
+    from finlogic_spark.operators.search import build_postings_table
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} shared words here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    idx = build_postings_table(docs, str(tmp_path / "p"), n_buckets=8)
+    pruned = idx.forward.filter(F.col("__doc_bkt").isin([0, 3]))
+    plan = plans.formatted_plan(pruned)
+    part_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert part_lines and any("__doc_bkt" in ln for ln in part_lines)
