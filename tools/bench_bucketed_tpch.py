@@ -205,11 +205,78 @@ def rank_bucketed(spark, sf_dir):
     )
 
 
+def q18_bucketed(spark, sf_dir):
+    # Q18 entirely on the orderkey buckets: the HAVING aggregate
+    # (groupBy l_orderkey) runs exchange-free on li_bo's partitioning
+    # and KEEPS it, so the semi-join with ord_bo, the re-join with
+    # li_bo, and the final groupBy (superset of orderkey) all ride the
+    # same buckets — the only exchange-ish op left is the broadcast of
+    # customer and TakeOrderedAndProject's driver merge. The registry's
+    # flat variant broadcasts the big-orders set instead; bucketing
+    # makes even that unnecessary.
+    orders = spark.table("ord_bo")
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    li = spark.table("li_bo")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 300)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    j = (
+        orders.join(big, "o_orderkey", "left_semi")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return (
+        j.groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice",
+        )
+        .agg(dsum(F.col("l_quantity"), "sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q10_bucketed(spark, sf_dir):
+    # Q10: lineitem⋈orders rides the orderkey buckets exchange-free;
+    # the ONE fact-stream exchange left is re-keying the filtered join
+    # output by custkey to meet customer (which also shuffles — at
+    # sf100 a 15M-row customer is NOT broadcastable, so the flat
+    # variant's broadcast stops being an option exactly when bucketing
+    # matters). Nation broadcasts; top-20 is TakeOrderedAndProject.
+    o = spark.table("ord_bo").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = spark.table("li_bo").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    lo = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_custkey", "l_extendedprice", "l_discount"
+    )
+    joined = lo.join(
+        c.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey")
+    ).join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+             "revenue")
+    )
+    return top_k(
+        agg, [F.col("revenue").desc(), F.col("c_custkey").asc()], 20
+    ).select("c_custkey", "c_name", "revenue", "n_name")
+
+
 BUCKETED = {
     "tpch_q1": q1_bucketed,
     "tpch_q3": q3_bucketed,
     "tpch_q5": q5_bucketed,
     "rank_flagship": rank_bucketed,
+    "tpch_q18_big_orders": q18_bucketed,
+    "tpch_q10": q10_bucketed,
 }
 
 # exchanges the bucketed plan may legitimately keep — all dim-sized,
@@ -222,7 +289,14 @@ BUCKETED = {
 # q5: customer (1.5M rows), the 15M x 2-col oc stream re-keying to
 #     orderkey, final agg, final sort. The 60M lineitem never moves.
 # Anything above this budget fails the audit.
-MAX_SHUFFLES = {"tpch_q1": 2, "tpch_q3": 0, "tpch_q5": 4, "rank_flagship": 0}
+# q18: ZERO — HAVING agg, semi-join, re-join, and final agg all ride
+#      the orderkey buckets; customer broadcasts.
+# q10: the custkey re-key of the filtered fact stream + customer's
+#      shuffle + the custkey agg (the one unavoidable re-key; lineitem
+#      itself never moves).
+MAX_SHUFFLES = {"tpch_q1": 2, "tpch_q3": 0, "tpch_q5": 4,
+                "rank_flagship": 0, "tpch_q18_big_orders": 0,
+                "tpch_q10": 3}
 
 
 def median_time(fn, runs: int) -> float:
