@@ -118,6 +118,14 @@ BENCH_QUERIES = [
     # deliberately-wrong algorithm for this corpus would measure
     # nothing (ngram_jaccard, the right tool here, stays benched).
     "emb_semantic_dedup",
+    # round 9: asymmetric containment, substring dup, corpus JS drift,
+    # per-key OLS, EWMA, skyline
+    "doc_containment_pairs",
+    "doc_dup_spans",
+    "doc_source_divergence",
+    "events_trend_slope",
+    "events_ewma",
+    "orders_pareto_frontier",
 ]
 
 

@@ -291,7 +291,11 @@ def _star_labels(
         return tuple(row)
 
     prev = certificate(e)
-    converged = e.isEmpty()  # an empty edge set is trivially a fixpoint
+    # An empty edge set is trivially a fixpoint (covers max_iters=0
+    # with no edges). The certificate just computed already carries the
+    # edge count — reuse it rather than paying a second eager job
+    # (isEmpty) over the uncached canon plan on every call.
+    converged = prev[0] == 0
     for _ in range(max_iters):
         nbr = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
             e.select(F.col("v").alias("a"), F.col("u").alias("b"))

@@ -265,3 +265,147 @@ def psi_drift(
             F.first("tc").alias("n_cur"),
         )
     )
+
+
+def trend_slope(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    x_col: "F.Column",
+    y_col: "F.Column",
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend: (keys..., n, slope,
+    intercept, r2) of y against x — the "is this metric drifting"
+    primitive (per-user spend trend, per-feature decay, per-shard
+    latency creep) a monitoring pass runs over billions of keys.
+
+    Shape: ONE groupBy computing the five OLS sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) — every one a plain sum, so the whole
+    operator is a single fully map-side-combinable aggregate: the only
+    shuffle carries 6 numbers per key regardless of group size. That is
+    the 100 TB plan; there is no second pass, window, or join.
+
+    Determinism: callers pass x as an exact INTEGER column (e.g.
+    seconds from a fixed epoch) and y is quantized here to integer
+    cents, so all six statistics are exact integer/decimal sums —
+    aggregation-order independent. decimal(38,0) keeps Σxy/Σx² exact
+    far past int64 (x·y_cents products overflow bigint at corpus
+    scale). The final slope/intercept/r2 are a fixed tree of double ops
+    over those exact stats, identical on any engine.
+
+    Groups need n ≥ 2 and x-variance > 0 (vertical stacks have no
+    slope); r2 is null when y has zero variance (0/0 by convention).
+    """
+    yq = F.floor(y_col * F.lit(100.0) + F.lit(0.5)).cast("decimal(38,0)")
+    xd = x_col.cast("decimal(38,0)")
+    stats = (
+        df.filter(y_col.isNotNull() & ~F.isnan(y_col) & x_col.isNotNull())
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(xd).alias("sx"),
+            F.sum(yq).alias("sy"),
+            F.sum(xd * yq).alias("sxy"),
+            F.sum(xd * xd).alias("sxx"),
+            F.sum(yq * yq).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double") / F.lit(100.0)
+    sxy = F.col("sxy").cast("double") / F.lit(100.0)
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double") / F.lit(10000.0)
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    slope = cov_n / varx_n
+    # Variance gates decided on the EXACT integer statistics, not their
+    # double projections: n·Σx² − (Σx)² for an all-equal-x group is a
+    # catastrophic cancellation in doubles (1e19 − 1e19), and whether
+    # it lands on +0.0 or 1024.0 is fp luck — exact arithmetic makes
+    # "vertical stack" and "constant y" true properties of the data.
+    nd = F.col("n").cast("decimal(38,0)")
+    varx_exact = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_exact = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        stats.filter((F.col("n") >= 2) & (varx_exact > F.lit(0)))
+        .select(
+            *key_cols,
+            F.col("n").cast("long").alias("n"),
+            slope.alias("slope"),
+            ((sy - slope * sx) / n).alias("intercept"),
+            F.when(
+                vary_exact > F.lit(0), (cov_n * cov_n) / (varx_n * vary_n)
+            ).alias("r2"),
+        )
+    )
+
+
+def js_divergence(
+    df: DataFrame,
+    group_col: str,
+    token_col: "F.Column",
+) -> DataFrame:
+    """Jensen-Shannon divergence (nats) between each group's token
+    distribution and the whole corpus — "which source/shard/day reads
+    differently" for corpus QA. Returns (group, js_nats, n_tokens).
+
+    JS needs no smoothing: M = (P+Q)/2 is positive wherever either side
+    is, zero-P terms contribute exactly 0.5·Q·ln 2, and the corpus side
+    Q dominates every group's support. The grid is |groups| × |vocab|
+    rows — at corpus scale run it over a pruned vocabulary
+    (vocab_prune), which is standard practice for divergence monitors;
+    the heavy input pass itself is two partial-aggregatable counts.
+
+    Shape: one explode+count by (group, token) — the only shuffle that
+    sees corpus-sized data; corpus token counts REUSE that aggregate's
+    output (a second small agg over it, not a second scan); the grid is
+    corpus-vocab × groups built by broadcast. Terms are micro-nat
+    quantized (floor·1e6 as bigint) before summing so the result is
+    aggregation-order and engine independent.
+    """
+    gt = (
+        df.select(F.col(group_col).alias("g"), token_col.alias("tok"))
+        .select("g", F.explode("tok").alias("t"))
+        .groupBy("g", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    corpus = gt.groupBy("t").agg(F.sum("c").alias("ct"))
+    totals = gt.groupBy("g").agg(F.sum("c").alias("tg"))
+    total = corpus.agg(F.sum("ct").alias("tt"))
+    # Grid: one row per (group, vocab token). The vocab side is the big
+    # one — keep it as the stream and broadcast the per-group totals
+    # (|groups| rows) and the 1-row corpus total onto it.
+    grid = corpus.crossJoin(F.broadcast(totals)).crossJoin(
+        F.broadcast(total)
+    )
+    # left join the group's own count (absent -> P = 0)
+    j = grid.join(gt, ["g", "t"], "left").select(
+        "g",
+        "tg",
+        "tt",
+        F.col("ct"),
+        F.coalesce("c", F.lit(0)).alias("cg"),
+    )
+    p = F.col("cg").cast("double") / F.col("tg").cast("double")
+    qq = F.col("ct").cast("double") / F.col("tt").cast("double")
+    m = (p + qq) / F.lit(2.0)
+    term = (
+        F.when(F.col("cg") > 0, p * F.log(p / m) / F.lit(2.0)).otherwise(
+            F.lit(0.0)
+        )
+        + qq * F.log(qq / m) / F.lit(2.0)
+    )
+    return (
+        j.withColumn("__t", F.floor(term * F.lit(1e6)).cast("long"))
+        .groupBy("g")
+        .agg(
+            (F.sum("__t") / F.lit(1e6)).alias("js_nats"),
+            F.first("tg").alias("n_tokens"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "js_nats",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )

@@ -401,12 +401,23 @@ def tfidf_similar(
             # vectors is a pruned scan of ≤|Q| doc-bucket directories —
             # never a full pass over the token-partitioned table.
             spark = postings.forward.sparkSession
+            # xxhash64 is TYPE-sensitive (xxhash64(5 int) != xxhash64(5L)),
+            # so the literal query frame must hash the ids at the exact
+            # dtype the index was built over — cast to the stored
+            # forward-index doc_id type, never a hard-coded long (which
+            # silently pruned to wrong buckets for int32 ids and crashed
+            # outright on string ids).
+            stored_t = postings.forward.schema["doc_id"].dataType
             doc_bkts = sorted(
                 int(r[0])
                 for r in spark.createDataFrame(
-                    [(int(i),) for i in query_ids], "doc_id long"
+                    [(i,) for i in query_ids], ["doc_id"]
                 )
-                .select(_doc_bucket(F.col("doc_id"), postings.n_buckets))
+                .select(
+                    _doc_bucket(
+                        F.col("doc_id").cast(stored_t), postings.n_buckets
+                    )
+                )
                 .distinct()
                 .collect()
             )

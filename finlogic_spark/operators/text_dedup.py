@@ -278,6 +278,98 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Directed shingle CONTAINMENT |S_a ∩ S_b| / |S_a| ≥ t — the
+    asymmetric near-dup signal Jaccard is blind to. A short document
+    quoted whole inside a long one has Jaccard ≈ |short|/|long| (→ 0 as
+    the host grows) but containment(short → host) = 1.0; quote/
+    boilerplate/superset duplication in a training corpus is exactly
+    this shape, so a Jaccard-only dedup pass keeps every contained
+    copy. Output is DIRECTED: (id_a, id_b, containment) means id_a's
+    shingles are ≥ t contained in id_b — the id_a side is the
+    removal/flag candidate.
+
+    Plan: identical two-shuffle skeleton to ngram_jaccard_pairs (one
+    tokenize→shingle pass, packed (id, n) longs grouped by shingle,
+    array-side pair expansion, one count per unordered pair) — the only
+    difference is the last projection, which fans each unordered pair
+    into its two directions and filters each against its OWN size
+    denominator. Nothing new shuffles: direction fan-out is a 2× map on
+    the (already tiny) surviving-pair set. Same packing limits
+    (id < 2^42, n < 2^21 distinct shingles/doc) and the same
+    ``max_doc_freq`` stop-shingle cap apply.
+    """
+    pack = 1 << 21
+    bound = F.explode(
+        F.flatten(
+            F.transform(
+                F.array(F.array_distinct(shingles(text_col, k))),
+                lambda a: F.transform(
+                    a, lambda x: F.struct(x.alias("s"), F.size(a).alias("n"))
+                ),
+            )
+        )
+    )
+    sh = df.select(F.col(id_col), bound.alias("__e")).select(
+        (F.col(id_col).cast("long") * pack + F.col("__e.n")).alias("__idn"),
+        F.col("__e.s").alias("s"),
+    )
+    grouped = sh.groupBy("s").agg(F.collect_list("__idn").alias("__docs"))
+    if max_doc_freq is not None:
+        grouped = grouped.filter(F.size("__docs") <= max_doc_freq)
+    docs = F.col("__docs")
+    pairs = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + 2, F.size(docs)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("pa"), F.greatest(x, y).alias("pb")
+                ),
+            ),
+        )
+    )
+    undirected = (
+        grouped.filter(F.size("__docs") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count("*").alias("inter"))
+        .select(
+            F.shiftright("pa", 21).alias("ia"),
+            F.shiftright("pb", 21).alias("ib"),
+            F.col("pa").bitwiseAND(pack - 1).alias("na"),
+            F.col("pb").bitwiseAND(pack - 1).alias("nb"),
+            F.col("inter"),
+        )
+    )
+    directed = F.explode(
+        F.array(
+            F.struct(
+                F.col("ia").alias("id_a"),
+                F.col("ib").alias("id_b"),
+                (F.col("inter") / F.col("na")).alias("containment"),
+            ),
+            F.struct(
+                F.col("ib").alias("id_a"),
+                F.col("ia").alias("id_b"),
+                (F.col("inter") / F.col("nb")).alias("containment"),
+            ),
+        )
+    )
+    return (
+        undirected.select(directed.alias("d"))
+        .select("d.*")
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def jaccard_prefix_pairs(
     df: DataFrame,
     text_col: str,
@@ -352,11 +444,20 @@ def jaccard_prefix_pairs(
         )
     )
     sh = ranked.select("id", "s")  # all downstream reads hit the cache
-    prefix_len = (
-        F.col("__n")
-        - F.ceil(F.lit(threshold) * F.col("__n")).cast("int")
-        + F.lit(1)
-    )
+    # ⌈t·n⌉ in EXACT integer arithmetic. A floating ceil(t*n) can round
+    # a mathematically-integer product UP (0.7*10 = 7.000000000000001 →
+    # ceil 8), shortening the prefix by 1 and breaking the lossless
+    # guarantee for pairs exactly at threshold. Fraction(str(t)) reads
+    # the threshold the caller *wrote* (0.7 → 7/10), then
+    # ⌈n·num/den⌉ = (n·num + den − 1) div den; the double division is
+    # exact because the numerator is adjusted to an exact multiple.
+    from fractions import Fraction
+
+    _th = Fraction(str(threshold)).limit_denominator(1_000_000)
+    _num, _den = _th.numerator, _th.denominator
+    _x = F.col("__n") * F.lit(_num) + F.lit(_den - 1)
+    _ceil_tn = ((_x - F.pmod(_x, F.lit(_den))) / F.lit(_den)).cast("int")
+    prefix_len = F.col("__n") - _ceil_tn + F.lit(1)
     pref = ranked.filter(F.col("__rn") <= prefix_len).select("id", "s")
     cands = (
         pref.groupBy("s")
@@ -711,3 +812,87 @@ def sorted_neighborhood_pairs(
     if score is not None:
         out_cols.append(F.col("__n.score").alias("score"))
     return led.withColumn("__n", F.explode(neigh_nn)).select(*out_cols)
+
+
+def dup_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_len: int = 40,
+    sel_nibbles: int = 1,
+) -> DataFrame:
+    """Cross-document EXACT substring duplication: per document, how
+    many of its content-sampled ``span_len``-char spans also occur in
+    at least one other document — the character-level twin of shingle
+    dedup that catches verbatim boilerplate/license/quote blocks which
+    word-shingle Jaccard dilutes below threshold inside long documents
+    (the "deduplicating training data" substring signal). Returns
+    (id, n_spans, n_dup_spans, dup_ratio).
+
+    Sampling is CONTENT-KEYED (Broder/Manber mod-p fingerprint
+    selection): every char offset is hashed but only spans whose md5
+    ends in ``sel_nibbles`` zero hex chars are kept — a 16^-n sample.
+    Selection depends only on span content, so two copies of a
+    duplicated region keep the SAME spans no matter how the copies are
+    aligned. A fixed-stride sample cannot do this: copies at offsets
+    with different residues mod the stride sample disjoint
+    region-relative positions and NEVER collide — silent 100% miss, the
+    failure mode this design exists to avoid. Spans travel as md5
+    digests, never raw text — the shuffle carries fixed 32-char keys
+    whatever span_len is, and only the kept 1/16^n of offsets ever
+    leaves the row.
+
+    Shape: one explode pass materialized once (lazy spill-safe
+    checkpoint — three consumers would otherwise re-run the substring
+    explode per branch), then three partial-aggregatable counts: spans
+    per doc, docs per span (≥2 = shared), shared spans per doc via one
+    semi-join back. No pair expansion anywhere — cost is linear in
+    total kept-span count even when one license block appears in a
+    million documents (contrast any pairwise formulation: that block
+    alone would fan to 10^12 pairs). The per-offset md5 is the
+    dominant compute — same order as winnowing's per-offset k-gram
+    hashing, the accepted price of alignment-robust fingerprints.
+    """
+    zeros = "0" * sel_nibbles
+    t = f"`{text_col}`"
+    span_expr = F.expr(
+        f"filter(transform(sequence(1, greatest(length({t}) -"
+        f" {span_len - 1}, 1), 1), i -> md5(substr({t}, i, {span_len}))),"
+        f" h -> right(h, {sel_nibbles}) = '{zeros}')"
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    sp = (
+        df.select(F.col(id_col).alias("id"), span_expr.alias("__sp"))
+        .select("id", F.explode(F.array_distinct("__sp")).alias("h"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    per_doc = sp.groupBy("id").agg(F.count(F.lit(1)).alias("n_spans"))
+    shared = (
+        sp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("h")
+    )
+    dup = (
+        sp.join(shared, "h", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    return (
+        per_doc.join(dup, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            (
+                F.floor(
+                    F.coalesce("n_dup_spans", F.lit(0))
+                    / F.col("n_spans")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("dup_ratio"),
+        )
+    )

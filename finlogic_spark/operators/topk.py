@@ -27,3 +27,41 @@ def top_k(
     else:
         cols = list(order_by)
     return df.orderBy(*cols).limit(k)
+
+
+def pareto_frontier_2d(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """2-D skyline (maxima frontier): the distinct (x, y) points not
+    dominated by any other point — q dominates p when q.x ≥ p.x AND
+    q.y ≥ p.y with at least one strict. The classic "best trade-off"
+    query (freshest date at the highest price, cheapest at the fastest,
+    ...), returned sorted by x ascending / y descending.
+
+    Shape: dominance within one x is a plain partial-aggregatable
+    ``max(y) GROUP BY x`` — that single shuffle is the only one that
+    sees data-sized input, and it compacts the table to |distinct x|
+    rows. Cross-x dominance over the compacted set is then one running
+    max over x DESC (a point survives iff its y strictly exceeds every
+    y at larger x). That window is single-partition, which is exactly
+    right AFTER compaction: for date/bucket-grained x the compacted set
+    is thousands of rows at any corpus size; for continuous x,
+    pre-bucket x (the skyline of bucket maxima contains the true
+    frontier's buckets) or accept the sort — the frontier itself is
+    what's fundamentally sequential here.
+    """
+    from pyspark.sql import Window
+
+    compact = df.groupBy(F.col(x_col).alias("x")).agg(
+        F.max(F.col(y_col)).alias("y")
+    )
+    w = (
+        Window.orderBy(F.col("x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        compact.withColumn("__cm", F.max("y").over(w))
+        .filter(F.col("__cm").isNull() | (F.col("y") > F.col("__cm")))
+        .select(F.col("x").alias(x_col), F.col("y").alias(y_col))
+        .orderBy(x_col)
+    )

@@ -44,3 +44,44 @@ def trailing_avg_2(
     """(current + best-available-previous) / 2 — the reference's
     ``avg_*`` denominator (src/finlogic/indicators.py:47-54)."""
     return (F.col(col) + lag_smooth(col, group_keys, order_key, lags)) / F.lit(2.0)
+
+
+def ewma(
+    col: str,
+    group_keys: Sequence[str],
+    order_keys: Sequence[str],
+    alpha: float = 0.5,
+    horizon: int = 4,
+) -> Column:
+    """Finite-horizon exponentially weighted moving average: over the
+    current row and its ``horizon - 1`` predecessors in the group,
+    weights α(1−α)^k, renormalized over the lags that exist (early rows
+    in a group average over fewer points rather than leaking a bias
+    toward zero).
+
+    Truncating the classically-infinite EWMA at a fixed horizon is what
+    makes it an ENGINE-friendly operator: every term is a lag() over
+    one shared window spec (one shuffle on the group keys, one
+    in-partition sort, ``horizon`` lag columns riding the same sorted
+    run) instead of a sequential scan that can't parallelize across a
+    partition. With α = 0.5 the dropped tail is < (1−α)^horizon ≈ 6% of
+    the weight at the default, and the weights are exact binary
+    doubles.
+
+    Determinism: ``order_keys`` must be a TOTAL order within each group
+    (include a unique id as tiebreak) — same hazard as every window op
+    in this module. The weighted sum is a fixed left-to-right
+    expression tree, so any engine evaluating the same tree gets the
+    identical double.
+    """
+    w = Window.partitionBy(*group_keys).orderBy(
+        *[F.col(k).asc() for k in order_keys]
+    )
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(horizon):
+        wt = alpha * (1.0 - alpha) ** k
+        xk = F.col(col) if k == 0 else F.lag(F.col(col), k).over(w)
+        num = num + F.when(xk.isNotNull(), xk * F.lit(wt)).otherwise(F.lit(0.0))
+        den = den + F.when(xk.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return num / den

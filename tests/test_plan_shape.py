@@ -385,3 +385,56 @@ def test_forward_index_fetch_prunes_partitions(spark, tmp_path):
         ln for ln in plan.splitlines() if "PartitionFilters" in ln
     ]
     assert part_lines and any("__doc_bkt" in ln for ln in part_lines)
+
+
+def test_trend_slope_single_partial_agg_shuffle(spark, sf_dir):
+    # The whole regression is ONE aggregate: exactly one exchange, with
+    # a partial HashAggregate below it (map-side combine of the six
+    # sufficient statistics — the shuffle carries 6 numbers per key).
+    df = QUERIES["events_trend_slope"](spark, sf_dir)
+    p = plans.formatted_plan(df)
+    # one agg exchange + the driver query's final orderBy range exchange
+    assert plans.count_shuffles(df) <= 2
+    assert "partial" in p.lower()
+
+
+def test_pareto_frontier_compacts_before_window(spark, sf_dir):
+    # Dominance within x is a partial-aggregatable max GROUP BY x (the
+    # only data-sized shuffle); the single-partition window runs over
+    # the compacted |distinct x| rows, never the raw table.
+    from finlogic_spark.operators.topk import pareto_frontier_2d
+
+    o = _t(spark, sf_dir, "orders")
+    df = pareto_frontier_2d(o, "o_orderdate", "o_totalprice")
+    p = plans.formatted_plan(df)
+    agg_pos = p.find("HashAggregate")
+    win_pos = p.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # formatted plans print top-down: the window must sit ABOVE the
+    # aggregate (consume its output), not below it
+    assert win_pos < agg_pos
+    assert "partial" in p.lower()
+
+
+def test_js_divergence_grid_is_broadcast_not_cartesian(spark, sf_dir):
+    # The |vocab| x |groups| grid must come from broadcasting the tiny
+    # per-group totals onto the vocab counts — never a shuffled
+    # cartesian of two corpus-derived frames.
+    df = QUERIES["doc_source_divergence"](spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_containment_two_shuffles_like_jaccard(spark, sf_dir):
+    # Same two-shuffle skeleton as ngram_jaccard_pairs: by shingle,
+    # by pair. Direction fan-out is a map, not a join — no third
+    # data-sized exchange. Raw read (not _t) so the pin measures the
+    # operator, not the bench harness's CPU-heavy input repartition.
+    import os
+
+    from finlogic_spark.operators.text_dedup import containment_pairs
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = containment_pairs(d, "text", "doc_id", k=3, threshold=0.8)
+    assert plans.count_shuffles(df) <= 2
