@@ -5990,36 +5990,41 @@ def orders_pareto_frontier(spark, sf_dir):
     corpus AS (SELECT t, SUM(c) AS ct FROM gc GROUP BY 1),
     totals AS (SELECT g, SUM(c) AS tg FROM gc GROUP BY 1),
     tot AS (SELECT SUM(ct) AS tt FROM corpus),
-    grid AS (SELECT g, tg, t, ct, tt
-             FROM corpus CROSS JOIN totals CROSS JOIN tot),
     j AS (
-      SELECT grid.g, tg, tt, ct, COALESCE(gc.c, 0) AS cg
-      FROM grid LEFT JOIN gc ON gc.g = grid.g AND gc.t = grid.t),
+      SELECT gc.g, gc.c, tg, tt, ct
+      FROM gc JOIN corpus USING (t) JOIN totals USING (g) CROSS JOIN tot),
     terms AS (
-      SELECT g, tg,
-        CAST(floor((CASE WHEN cg > 0 THEN
-               (CAST(cg AS DOUBLE) / CAST(tg AS DOUBLE))
-               * ln((CAST(cg AS DOUBLE) / CAST(tg AS DOUBLE))
-                    / (((CAST(cg AS DOUBLE) / CAST(tg AS DOUBLE))
+      SELECT g, tg, tt, ct,
+        CAST(floor((
+               (CAST(c AS DOUBLE) / CAST(tg AS DOUBLE))
+               * ln((CAST(c AS DOUBLE) / CAST(tg AS DOUBLE))
+                    / (((CAST(c AS DOUBLE) / CAST(tg AS DOUBLE))
                         + (CAST(ct AS DOUBLE) / CAST(tt AS DOUBLE)))
                        / 2.0)) / 2.0
-             ELSE 0.0 END
              + (CAST(ct AS DOUBLE) / CAST(tt AS DOUBLE))
                * ln((CAST(ct AS DOUBLE) / CAST(tt AS DOUBLE))
-                    / (((CAST(cg AS DOUBLE) / CAST(tg AS DOUBLE))
+                    / (((CAST(c AS DOUBLE) / CAST(tg AS DOUBLE))
                         + (CAST(ct AS DOUBLE) / CAST(tt AS DOUBLE)))
                        / 2.0)) / 2.0) * 1000000.0) AS BIGINT) AS term
-      FROM j)
-    SELECT g AS source, CAST(SUM(term) AS DOUBLE) / 1000000.0 AS js_nats,
-           CAST(MIN(tg) AS BIGINT) AS n_tokens
-    FROM terms GROUP BY g ORDER BY source
+      FROM j),
+    per_g AS (
+      SELECT g, SUM(term) AS sp, SUM(ct) AS sg,
+             MIN(tg) AS tg, MIN(tt) AS tt
+      FROM terms GROUP BY g)
+    SELECT g AS source,
+           CAST(sp + CAST(floor(ln(2.0) / 2.0
+                 * (CAST(tt - sg AS DOUBLE) / CAST(tt AS DOUBLE))
+                 * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS js_nats,
+           CAST(tg AS BIGINT) AS n_tokens
+    FROM per_g ORDER BY source
     """,
 )
 def doc_source_divergence(spark, sf_dir):
     # Jensen-Shannon divergence of each source's token distribution vs
     # the whole corpus — "which shard reads differently". One
-    # corpus-sized count shuffle; the |sources|x|vocab| grid is built
-    # by broadcasting the per-source totals onto the vocab counts;
+    # corpus-sized count shuffle; absent-token mass in closed form
+    # (0.5*ln2*(1 - sum Q over the source's own vocab), exact integer
+    # sums) so nothing |sources|x|vocab| is ever materialized;
     # micro-nat quantized terms keep the sum engine/order independent.
     from finlogic_spark.functions.text import tokens
     from finlogic_spark.operators.profile import js_divergence
@@ -6067,6 +6072,62 @@ def doc_dup_spans(spark, sf_dir):
         F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
         "dup_ratio",
     ).orderBy("doc_id")
+
+
+@q("stream_trend_slope", None)
+def stream_trend_slope(spark, sf_dir):
+    # Streaming twin of events_trend_slope (oracle attached below,
+    # AFTER registration — it's the identical batch SQL): the six OLS
+    # sufficient statistics are associative integer sums, so the
+    # streaming stateful aggregation (6 numbers of state per key) is
+    # bit-identical to the batch aggregate whatever the micro-batch
+    # boundaries; ols_finish is a stateless projection applied to the
+    # drained sink, where a live dashboard would re-derive slopes.
+    from finlogic_spark.operators.profile import ols_finish
+    from finlogic_spark.streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+        trend_stats_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    handle = run_to_memory_sink(
+        trend_stats_stream(stream), "q_trend_stats", output_mode="complete"
+    )
+    handle.stop()
+    stats = spark.table("q_trend_stats")
+    out = ols_finish(stats, ["user_id", "event_type"])
+    return out.select(
+        "user_id",
+        "event_type",
+        "n",
+        rN(F.col("slope"), 12).alias("slope"),
+        rN(F.col("intercept"), 6).alias("intercept"),
+        F.when(F.col("r2").isNotNull(), rN(F.col("r2"), 6)).alias("r2"),
+    ).orderBy("user_id", "event_type")
+
+
+ORACLES["stream_trend_slope"] = ORACLES["events_trend_slope"]
+
+
+@q("doc_containment_prefix", None)
+def doc_containment_prefix(spark, sf_dir):
+    # Prefix-filtered directed containment (oracle = the SAME SQL as
+    # doc_containment_pairs, attached below): candidates pair A-side
+    # rarest-first prefixes against the full shingle stream, so the
+    # stop-shingle pair fan that exhausts shuffle disk at sf10 in the
+    # packed-pairs formulation never materializes — the lossless scale
+    # path for asymmetric dedup.
+    from finlogic_spark.operators.text_dedup import containment_prefix_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = containment_prefix_pairs(d, "text", "doc_id", k=3, threshold=0.8)
+    return pairs.select(
+        "id_a", "id_b", rN(F.col("containment"), 6).alias("containment")
+    ).orderBy("id_a", "id_b")
+
+
+ORACLES["doc_containment_prefix"] = ORACLES["doc_containment_pairs"]
 
 
 # ---------------------------------------------------------------------------

@@ -295,9 +295,26 @@ def trend_slope(
     Groups need n ≥ 2 and x-variance > 0 (vertical stacks have no
     slope); r2 is null when y has zero variance (0/0 by convention).
     """
+    stats = trend_stats(df, key_cols, x_col, y_col)
+    return ols_finish(stats, key_cols)
+
+
+def trend_stats(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    x_col: "F.Column",
+    y_col: "F.Column",
+) -> DataFrame:
+    """The sufficient-statistics half of trend_slope: per-key exact
+    (n, Σx, Σy, Σxy, Σx², Σy²). Split out because every sum is
+    ASSOCIATIVE — the same aggregate runs unchanged as a Structured
+    Streaming stateful aggregation (state = 6 numbers per key,
+    incremental updates, exact parity with the batch result whatever
+    the micro-batch boundaries). ols_finish() turns either engine's
+    stats into the final slopes."""
     yq = F.floor(y_col * F.lit(100.0) + F.lit(0.5)).cast("decimal(38,0)")
     xd = x_col.cast("decimal(38,0)")
-    stats = (
+    return (
         df.filter(y_col.isNotNull() & ~F.isnan(y_col) & x_col.isNotNull())
         .groupBy(*key_cols)
         .agg(
@@ -309,6 +326,11 @@ def trend_slope(
             F.sum(yq * yq).alias("syy"),
         )
     )
+
+
+def ols_finish(stats: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Finishing projection over trend_stats output: a fixed tree of
+    double ops plus exact-integer variance gates — see trend_slope."""
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
     sy = F.col("sy").cast("double") / F.lit(100.0)
@@ -351,18 +373,24 @@ def js_divergence(
     differently" for corpus QA. Returns (group, js_nats, n_tokens).
 
     JS needs no smoothing: M = (P+Q)/2 is positive wherever either side
-    is, zero-P terms contribute exactly 0.5·Q·ln 2, and the corpus side
-    Q dominates every group's support. The grid is |groups| × |vocab|
-    rows — at corpus scale run it over a pruned vocabulary
-    (vocab_prune), which is standard practice for divergence monitors;
-    the heavy input pass itself is two partial-aggregatable counts.
+    is, and zero-P terms are handled in CLOSED FORM — a token absent
+    from the group contributes exactly 0.5·Q·ln 2, so the whole
+    absent-token mass collapses to 0.5·ln 2·(1 − Σ_{t∈g} Q_t), with
+    Σ_{t∈g} Q_t derived from an EXACT integer sum of the group's own
+    corpus counts. Nothing is ever materialized per (group, absent
+    token): the naive |groups| × |vocab| grid this replaces was the
+    query's dominant cost from sf10 on (a corpus-squared-ish join that
+    only existed to emit rows whose value is a one-liner).
 
     Shape: one explode+count by (group, token) — the only shuffle that
     sees corpus-sized data; corpus token counts REUSE that aggregate's
-    output (a second small agg over it, not a second scan); the grid is
-    corpus-vocab × groups built by broadcast. Terms are micro-nat
-    quantized (floor·1e6 as bigint) before summing so the result is
-    aggregation-order and engine independent.
+    output (a second small agg over it, not a second scan); present
+    rows join corpus counts ON TOKEN (gt-sized, same key as the corpus
+    agg), per-group totals and the 1-row corpus total ride in by
+    broadcast. Present terms are micro-nat quantized (floor·1e6 as
+    bigint) before summing and the absent-mass term is one more floored
+    micro-nat value per group, so the result is aggregation-order and
+    engine independent.
     """
     gt = (
         df.select(F.col(group_col).alias("g"), token_col.alias("tok"))
@@ -373,39 +401,36 @@ def js_divergence(
     corpus = gt.groupBy("t").agg(F.sum("c").alias("ct"))
     totals = gt.groupBy("g").agg(F.sum("c").alias("tg"))
     total = corpus.agg(F.sum("ct").alias("tt"))
-    # Grid: one row per (group, vocab token). The vocab side is the big
-    # one — keep it as the stream and broadcast the per-group totals
-    # (|groups| rows) and the 1-row corpus total onto it.
-    grid = corpus.crossJoin(F.broadcast(totals)).crossJoin(
-        F.broadcast(total)
+    j = (
+        gt.join(corpus, "t")
+        .join(F.broadcast(totals), "g")
+        .crossJoin(F.broadcast(total))
     )
-    # left join the group's own count (absent -> P = 0)
-    j = grid.join(gt, ["g", "t"], "left").select(
-        "g",
-        "tg",
-        "tt",
-        F.col("ct"),
-        F.coalesce("c", F.lit(0)).alias("cg"),
-    )
-    p = F.col("cg").cast("double") / F.col("tg").cast("double")
+    p = F.col("c").cast("double") / F.col("tg").cast("double")
     qq = F.col("ct").cast("double") / F.col("tt").cast("double")
     m = (p + qq) / F.lit(2.0)
-    term = (
-        F.when(F.col("cg") > 0, p * F.log(p / m) / F.lit(2.0)).otherwise(
-            F.lit(0.0)
-        )
-        + qq * F.log(qq / m) / F.lit(2.0)
-    )
-    return (
+    term = p * F.log(p / m) / F.lit(2.0) + qq * F.log(qq / m) / F.lit(2.0)
+    per_g = (
         j.withColumn("__t", F.floor(term * F.lit(1e6)).cast("long"))
         .groupBy("g")
         .agg(
-            (F.sum("__t") / F.lit(1e6)).alias("js_nats"),
-            F.first("tg").alias("n_tokens"),
+            F.sum("__t").alias("__sp"),
+            F.sum("ct").alias("__sg"),  # exact: Σ corpus counts of g's vocab
+            F.first("tg").alias("tg"),
+            F.first("tt").alias("tt"),
         )
-        .select(
-            F.col("g").alias(group_col),
-            "js_nats",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    absent = F.floor(
+        F.log(F.lit(2.0))
+        / F.lit(2.0)
+        * (
+            (F.col("tt") - F.col("__sg")).cast("double")
+            / F.col("tt").cast("double")
         )
+        * F.lit(1e6)
+    ).cast("long")
+    return per_g.select(
+        F.col("g").alias(group_col),
+        ((F.col("__sp") + absent) / F.lit(1e6)).alias("js_nats"),
+        F.col("tg").cast("long").alias("n_tokens"),
     )

@@ -221,6 +221,29 @@ def ngram_jaccard_pairs(
     out of codegen and costs ~5× more. Limits: id < 2^42, n < 2^21
     distinct shingles per document (a multi-MB doc; chunk above that).
     """
+    return (
+        _shingle_pair_intersections(df, text_col, id_col, k, max_doc_freq)
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _shingle_pair_intersections(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    max_doc_freq: int | None,
+) -> DataFrame:
+    """Shared two-shuffle skeleton of the exact set-similarity joins
+    (Jaccard + containment): unordered (id_a < id_b) pairs with both
+    distinct-shingle set sizes and the exact intersection count —
+    (id_a, id_b, n_a, n_b, inter). See ngram_jaccard_pairs for the
+    plan-shape rationale (packed longs, carried sizes, two shuffles)."""
     pack = 1 << 21
     # Bind the distinct-shingle array once and emit (shingle, count)
     # structs from inside the lambda: explode-with-carried-size written
@@ -269,12 +292,6 @@ def ngram_jaccard_pairs(
             F.col("pb").bitwiseAND(pack - 1).alias("n_b"),
             F.col("inter"),
         )
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -296,78 +313,95 @@ def containment_pairs(
     shingles are ≥ t contained in id_b — the id_a side is the
     removal/flag candidate.
 
-    Plan: identical two-shuffle skeleton to ngram_jaccard_pairs (one
-    tokenize→shingle pass, packed (id, n) longs grouped by shingle,
-    array-side pair expansion, one count per unordered pair) — the only
-    difference is the last projection, which fans each unordered pair
-    into its two directions and filters each against its OWN size
-    denominator. Nothing new shuffles: direction fan-out is a 2× map on
-    the (already tiny) surviving-pair set. Same packing limits
-    (id < 2^42, n < 2^21 distinct shingles/doc) and the same
-    ``max_doc_freq`` stop-shingle cap apply.
+    Plan: identical two-shuffle skeleton to ngram_jaccard_pairs
+    (_shingle_pair_intersections) — the only difference is the last
+    projection, which fans each unordered pair into its two directions
+    and filters each against its OWN size denominator. Nothing new
+    shuffles: direction fan-out is a 2× map on the (already tiny)
+    surviving-pair set. Same packing limits (id < 2^42, n < 2^21
+    distinct shingles/doc) and the same ``max_doc_freq`` stop-shingle
+    cap apply.
     """
-    pack = 1 << 21
-    bound = F.explode(
-        F.flatten(
-            F.transform(
-                F.array(F.array_distinct(shingles(text_col, k))),
-                lambda a: F.transform(
-                    a, lambda x: F.struct(x.alias("s"), F.size(a).alias("n"))
-                ),
-            )
-        )
-    )
-    sh = df.select(F.col(id_col), bound.alias("__e")).select(
-        (F.col(id_col).cast("long") * pack + F.col("__e.n")).alias("__idn"),
-        F.col("__e.s").alias("s"),
-    )
-    grouped = sh.groupBy("s").agg(F.collect_list("__idn").alias("__docs"))
-    if max_doc_freq is not None:
-        grouped = grouped.filter(F.size("__docs") <= max_doc_freq)
-    docs = F.col("__docs")
-    pairs = F.flatten(
-        F.transform(
-            docs,
-            lambda x, i: F.transform(
-                F.slice(docs, i + 2, F.size(docs)),
-                lambda y: F.struct(
-                    F.least(x, y).alias("pa"), F.greatest(x, y).alias("pb")
-                ),
-            ),
-        )
-    )
-    undirected = (
-        grouped.filter(F.size("__docs") >= 2)
-        .select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
-        .agg(F.count("*").alias("inter"))
-        .select(
-            F.shiftright("pa", 21).alias("ia"),
-            F.shiftright("pb", 21).alias("ib"),
-            F.col("pa").bitwiseAND(pack - 1).alias("na"),
-            F.col("pb").bitwiseAND(pack - 1).alias("nb"),
-            F.col("inter"),
-        )
+    undirected = _shingle_pair_intersections(
+        df, text_col, id_col, k, max_doc_freq
     )
     directed = F.explode(
         F.array(
             F.struct(
-                F.col("ia").alias("id_a"),
-                F.col("ib").alias("id_b"),
-                (F.col("inter") / F.col("na")).alias("containment"),
+                F.col("id_a").alias("da"),
+                F.col("id_b").alias("db"),
+                (F.col("inter") / F.col("n_a")).alias("containment"),
             ),
             F.struct(
-                F.col("ib").alias("id_a"),
-                F.col("ia").alias("id_b"),
-                (F.col("inter") / F.col("nb")).alias("containment"),
+                F.col("id_b").alias("da"),
+                F.col("id_a").alias("db"),
+                (F.col("inter") / F.col("n_b")).alias("containment"),
             ),
         )
     )
     return (
         undirected.select(directed.alias("d"))
-        .select("d.*")
+        .select(
+            F.col("d.da").alias("id_a"),
+            F.col("d.db").alias("id_b"),
+            F.col("d.containment").alias("containment"),
+        )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def _ranked_shingle_stream(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Shared input of the prefix-filtered similarity joins: the
+    distinct-shingle stream (id, s) with each shingle's per-doc rank
+    ``__rn`` under the global rarest-first (df, shingle) order and the
+    doc's distinct-shingle count ``__n``.
+
+    Prefix membership via a per-doc rank window — NOT a
+    collect_list(struct)/array_sort build, which falls out of
+    whole-stage codegen and measured ~6x slower (same lesson as
+    ngram_jaccard_pairs' packed longs). The stream feeds FOUR branches
+    (prefix candidates, both verify probes, sizes); Spark's exchange
+    reuse can't dedupe them (each branch prunes different columns, so
+    the subplans differ) and the tokenize→shingle explode would re-run
+    per branch — measured as the whole query's dominant cost. A lazy
+    spill-safe checkpoint materializes it once (same pattern as
+    graph.py's per-round frames)."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    sh = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("s"),
+    )
+    dfs = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    wd = Window.partitionBy("id")
+    return (
+        sh.join(dfs, "s")
+        .withColumn("__rn", F.row_number().over(wd.orderBy("df", "s")))
+        .withColumn("__n", F.count(F.lit(1)).over(wd))
+        .localCheckpoint(
+            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+    )
+
+
+def _exact_ceil_tn(threshold: float) -> Column:
+    """⌈t·__n⌉ in EXACT integer arithmetic. A floating ceil(t*n) can
+    round a mathematically-integer product UP (0.55*100 =
+    55.00000000000001 → ceil 56), shortening the prefix by 1 and
+    breaking the lossless guarantee for pairs exactly at threshold.
+    Fraction(str(t)) reads the threshold the caller *wrote* (0.7 →
+    7/10), then ⌈n·num/den⌉ = (n·num + den − 1) div den; the double
+    division is exact because the numerator is adjusted to an exact
+    multiple."""
+    from fractions import Fraction
+
+    th = Fraction(str(threshold)).limit_denominator(1_000_000)
+    num, den = th.numerator, th.denominator
+    x = F.col("__n") * F.lit(num) + F.lit(den - 1)
+    return ((x - F.pmod(x, F.lit(den))) / F.lit(den)).cast("int")
 
 
 def jaccard_prefix_pairs(
@@ -412,52 +446,9 @@ def jaccard_prefix_pairs(
     undercounts intersections through the shingles it drops; the
     prefix filter is the lossless version of that dodge.
     """
-    from pyspark.sql import Window
-
-    sh = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.explode(F.array_distinct(shingles(text_col, k))).alias("s"),
-    )
-    dfs = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    # Prefix membership via a per-doc rank window over the global
-    # (df, shingle) order — NOT a collect_list(struct)/array_sort
-    # build, which falls out of whole-stage codegen and measured ~6x
-    # slower (same lesson as ngram_jaccard_pairs' packed longs).
-    wd = Window.partitionBy("id")
-    # The ranked shingle stream feeds FOUR branches (prefix candidates,
-    # both verify probes, sizes); Spark's exchange reuse can't dedupe
-    # them (each branch prunes different columns, so the subplans
-    # differ) and the tokenize→shingle explode would re-run per branch
-    # — measured as the whole query's dominant cost. A lazy spill-safe
-    # checkpoint materializes it once (same pattern as graph.py's
-    # per-round frames).
-    from pyspark.storagelevel import StorageLevel
-
-    ranked = (
-        sh.join(dfs, "s")
-        .withColumn(
-            "__rn", F.row_number().over(wd.orderBy("df", "s"))
-        )
-        .withColumn("__n", F.count(F.lit(1)).over(wd))
-        .localCheckpoint(
-            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
-        )
-    )
+    ranked = _ranked_shingle_stream(df, text_col, id_col, k)
     sh = ranked.select("id", "s")  # all downstream reads hit the cache
-    # ⌈t·n⌉ in EXACT integer arithmetic. A floating ceil(t*n) can round
-    # a mathematically-integer product UP (0.7*10 = 7.000000000000001 →
-    # ceil 8), shortening the prefix by 1 and breaking the lossless
-    # guarantee for pairs exactly at threshold. Fraction(str(t)) reads
-    # the threshold the caller *wrote* (0.7 → 7/10), then
-    # ⌈n·num/den⌉ = (n·num + den − 1) div den; the double division is
-    # exact because the numerator is adjusted to an exact multiple.
-    from fractions import Fraction
-
-    _th = Fraction(str(threshold)).limit_denominator(1_000_000)
-    _num, _den = _th.numerator, _th.denominator
-    _x = F.col("__n") * F.lit(_num) + F.lit(_den - 1)
-    _ceil_tn = ((_x - F.pmod(_x, F.lit(_den))) / F.lit(_den)).cast("int")
-    prefix_len = F.col("__n") - _ceil_tn + F.lit(1)
+    prefix_len = F.col("__n") - _exact_ceil_tn(threshold) + F.lit(1)
     pref = ranked.filter(F.col("__rn") <= prefix_len).select("id", "s")
     cands = (
         pref.groupBy("s")
@@ -514,6 +505,66 @@ def jaccard_prefix_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def containment_prefix_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Prefix-filtered DIRECTED containment join — the scale path for
+    ``containment_pairs``, byte-identical to
+    ``containment_pairs(max_doc_freq=None)`` at the same threshold.
+
+    The asymmetric prefix lemma: if |A∩B| ≥ t·|A|, then A's first
+    ``|A| − ⌈t·|A|⌉ + 1`` shingles under the global rarest-first order
+    must intersect B **anywhere** (if none of A's first p shingles hit
+    B, the intersection is ≤ |A| − p < t·|A|). So candidate (a → b)
+    edges come from joining A-side PREFIXES against the FULL shingle
+    stream — only the contained side gets a prefix, because only its
+    size appears in the denominator. Candidate volume is
+    Σ_s pref_df(s)·df(s): stop-shingles sort LAST in the canonical
+    order, so they almost never enter a prefix and their huge df never
+    multiplies — the same dodge that keeps the Jaccard variant off the
+    quadratic (and what the df CAP in ``containment_pairs`` buys only
+    by silently undercounting). Survivors are verified with the exact
+    counting join over the cached stream.
+
+    Measured trade (same as jaccard_prefix_pairs): on a flat-df corpus
+    the plain packed-pairs formulation wins; on a Zipfian corpus with
+    boilerplate the plain join's Σ C(df,2) pair fan exhausts shuffle
+    disk from sf10 on (observed: 43 GB spill → out of space) while the
+    prefix filter never materializes those pairs.
+    """
+    ranked = _ranked_shingle_stream(df, text_col, id_col, k)
+    sh = ranked.select("id", "s")
+    prefix_len = F.col("__n") - _exact_ceil_tn(threshold) + F.lit(1)
+    pref = ranked.filter(F.col("__rn") <= prefix_len).select("id", "s")
+    cands = (
+        pref.select(F.col("id").alias("id_a"), "s")
+        .join(sh.select(F.col("id").alias("id_b"), "s"), "s")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fan = cands.join(sh.select(F.col("id").alias("id_a"), "s"), "id_a")
+    inter = (
+        fan.join(sh.select(F.col("id").alias("id_b"), "s"), ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = ranked.select("id", F.col("__n").alias("n")).distinct()
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")),
+            "id_a",
+        )
+        .withColumn("containment", F.col("inter") / F.col("n_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
     )
 
 

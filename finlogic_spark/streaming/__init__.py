@@ -470,3 +470,29 @@ def sliding_distinct_users(
             "u_approx",
         )
     )
+
+
+def trend_stats_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-(user, event_type) OLS sufficient statistics —
+    the incremental twin of ``operators.profile.trend_slope``. The six
+    statistics are plain associative sums over exact integers, so
+    Structured Streaming's stateful aggregation maintains them with
+    SIX numbers of state per key, updates are micro-batch-boundary
+    independent, and the drained result is BIT-IDENTICAL to the batch
+    aggregate (hence shares its SQL oracle). Finish with
+    ``operators.profile.ols_finish`` on the sink table — the finishing
+    projection is stateless and belongs downstream of the store, where
+    a dashboard can re-derive slopes from live stats at any time.
+
+    Production shape: update mode into an upsert/kv sink keyed by the
+    group (state and sink both O(keys)); the memory-sink complete-mode
+    drain used in tests is the bounded-stream harness, not the
+    deployment pattern.
+    """
+    from finlogic_spark.operators.profile import trend_stats
+
+    e = with_event_time(events)
+    x = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(
+        F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    return trend_stats(e, ["user_id", "event_type"], x, F.col("value"))

@@ -205,3 +205,82 @@ def test_js_divergence_bounded_by_ln2(spark):
         assert 0.0 <= r.js_nats <= math.log(2.0) + 1e-9
     # the 10%-of-corpus disjoint group diverges far more than the 90% one
     assert out["g1"].js_nats > out["g2"].js_nats > 0.0
+
+
+# ----------------------------------------- containment prefix filter
+
+def test_containment_prefix_identical_to_uncapped_plain(spark):
+    """containment_prefix_pairs must be byte-identical to
+    containment_pairs(max_doc_freq=None): the asymmetric prefix lemma
+    is lossless, so only the candidate set shrinks."""
+    from finlogic_spark.operators.text_dedup import (
+        containment_pairs,
+        containment_prefix_pairs,
+    )
+
+    rows = [
+        (i, " ".join(f"t{(i * 7 + j * 3) % 41}" for j in range(30)))
+        for i in range(40)
+    ] + [
+        # quote pairs: doc 100+i contains doc i's text verbatim
+        (100 + i, " ".join(f"t{(i * 7 + j * 3) % 41}" for j in range(30))
+         + " " + " ".join(f"x{i}y{j}" for j in range(40)))
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.8):
+        plain = sorted(
+            map(
+                tuple,
+                containment_pairs(
+                    docs, "text", "doc_id", k=3, threshold=t,
+                    max_doc_freq=None,
+                ).collect(),
+            )
+        )
+        pref = sorted(
+            map(
+                tuple,
+                containment_prefix_pairs(
+                    docs, "text", "doc_id", k=3, threshold=t
+                ).collect(),
+            )
+        )
+        assert plain == pref and len(plain) > 0
+
+
+def test_containment_prefix_dodges_boilerplate_fan(spark):
+    """On a boilerplate-heavy corpus the packed-pairs formulation
+    expands C(n_docs, 2) rows per shared shingle (the fan that ran
+    sf10 out of shuffle disk); the prefix filter's candidate edges
+    stay bounded because boilerplate shingles sort last and never
+    enter a prefix."""
+    from finlogic_spark.operators.text_dedup import (
+        containment_prefix_pairs,
+        shingles,
+    )
+
+    n_docs = 60
+    header = "terms of service apply to all content on this site"
+    rows = [
+        (i, header + " " + " ".join(f"u{i}w{j}" for j in range(12)))
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("s")
+    )
+    plain_volume = (
+        sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        .select(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("v"))
+        .first()["v"]
+    )
+    assert plain_volume >= 8 * (60 * 59 / 2), plain_volume
+    # every doc: 20 distinct shingles, 8 boilerplate (df=60, sort last)
+    # + 12 unique; containment(a->b) = 8/20 = 0.4 < 0.8 for all pairs,
+    # and prefixes (len 20 - 16 + 1 = 5) hold only unique shingles ->
+    # zero candidates, zero output.
+    out = containment_prefix_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.8
+    )
+    assert out.count() == 0

@@ -601,3 +601,32 @@ def test_sliding_distinct_stream_matches_batch_and_exact(spark, sf_dir, events_b
         assert abs(est - exact[ws]) <= max(2, 0.06 * exact[ws]), (
             ws, est, exact[ws],
         )
+
+
+def test_stream_trend_stats_match_batch(spark, sf_dir, events_batch):
+    """The OLS sufficient statistics are associative integer sums, so
+    the streaming stateful aggregation must be BIT-identical to the
+    batch aggregate regardless of micro-batch boundaries — the parity
+    claim stream_trend_slope's shared oracle rests on."""
+    from pyspark.sql import functions as F
+
+    from finlogic_spark.operators.profile import ols_finish, trend_stats
+
+    stream = st.read_events_stream(spark, sf_dir)
+    got = _drain(
+        spark, st.trend_stats_stream(stream), "t_trend_stats"
+    )
+    x = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(
+        F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    want = trend_stats(
+        events_batch, ["user_id", "event_type"], x, F.col("value")
+    )
+    key = lambda r: (r["user_id"], r["event_type"])  # noqa: E731
+    g = {key(r): r.asDict() for r in got.collect()}
+    w = {key(r): r.asDict() for r in want.collect()}
+    assert g == w
+    # and the finished slopes agree end-to-end
+    fg = sorted(map(tuple, ols_finish(got, ["user_id", "event_type"]).collect()))
+    fw = sorted(map(tuple, ols_finish(want, ["user_id", "event_type"]).collect()))
+    assert fg == fw
