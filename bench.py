@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -221,18 +222,26 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # Median-of-N steady-state timing: the first run pays one-off
+    # JVM/whole-stage codegen compilation (irrelevant at any real scale
+    # and absent from the DuckDB baseline, which is also measured
+    # warm); the median of the subsequent N runs measures the actual
+    # data-path cost. A single warm run proved noise-dominated for
+    # sub-second queries (round-9 per-query ratios swung ±50% on
+    # nothing), matching the baseline's median-of-3 discipline fixes
+    # that symmetrically.
+    spark_runs = max(1, int(os.environ.get("SPARK_GRAFT_SPARK_RUNS", "3")))
     for name in BENCH_QUERIES:
-        # Steady-state timing: the first run pays one-off JVM/whole-stage
-        # codegen compilation (irrelevant at any real scale and absent
-        # from the DuckDB baseline, which is also measured warm); the
-        # second run measures the actual data-path cost.
         # A single failing query must never sink the whole bench line:
         # record its error and keep measuring the rest.
         try:
             dq.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            start = time.perf_counter()
-            dq.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - start, 3)
+            samples = []
+            for _ in range(spark_runs):
+                start = time.perf_counter()
+                dq.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - start)
+            timings[name] = round(statistics.median(samples), 3)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -271,6 +280,7 @@ def main() -> None:
                 **({"errors": errors, "partial": True} if errors else {}),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "baseline_runs": baseline_runs,  # per-query median of N warm runs
+                "spark_runs": spark_runs,  # Spark side: same median-of-N
                 "duckdb_baseline": base,
                 "duckdb_baseline_total": base_total,
                 # Queries whose BASELINE was killed at the per-query

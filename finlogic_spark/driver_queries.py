@@ -5834,7 +5834,15 @@ def doc_containment_pairs(spark, sf_dir):
     from finlogic_spark.operators.text_dedup import containment_pairs
 
     d = _t(spark, sf_dir, "documents")
-    pairs = containment_pairs(d, "text", "doc_id", k=3, threshold=0.8)
+    # max_doc_freq=None for oracle parity: the SQL oracle has no
+    # doc-frequency cap, so a capped run silently undercounts
+    # intersections the moment any shingle's df exceeds the cap
+    # (same reasoning as doc_ngram_jaccard). Corpus-scale users who
+    # need the stop-shingle cap should prefer the lossless
+    # containment_prefix_pairs (doc_containment_prefix) instead.
+    pairs = containment_pairs(
+        d, "text", "doc_id", k=3, threshold=0.8, max_doc_freq=None
+    )
     return pairs.select(
         "id_a", "id_b", rN(F.col("containment"), 6).alias("containment")
     ).orderBy("id_a", "id_b")

@@ -110,9 +110,13 @@ def have_pil() -> bool:
 def pil_decoder(kind: str, raw: bytes) -> dict:
     """Real image codec via Pillow (optional dependency): decodes
     PNG/JPEG/... payloads to pixel bytes; non-image kinds (and FLSM
-    stub containers) fall through to the stub so mixed tables work."""
+    stub containers) fall through to the stub so mixed tables work.
+    Without Pillow, PNG payloads fall back to the pure-stdlib
+    ``png_decoder`` — the hermetic container still decodes real PNGs."""
     if kind != "image" or (raw is not None and raw[:4] == _MAGIC):
         return stub_decoder(kind, raw)
+    if not have_pil():
+        return png_decoder(kind, raw)
     import io
 
     from PIL import Image  # noqa: PLC0415 — optional, import-gated
@@ -122,6 +126,104 @@ def pil_decoder(kind: str, raw: bytes) -> dict:
         frames = int(getattr(im, "n_frames", 1))
         body = im.convert("RGB").tobytes()
     return {"width": w, "height": h, "n_frames": frames, "body": body}
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per pixel by PNG color type (bit depth 8, non-interlaced)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decoder(kind: str, raw: bytes) -> dict:
+    """Real PNG codec in pure stdlib (zlib inflate + full filter
+    reconstruction per the PNG spec): no image library needed, so the
+    real-container decode path runs even in the hermetic test env.
+    Supports bit depth 8, color types 0/2/4/6, non-interlaced — the
+    shapes every PNG encoder emits by default. ``body`` is RGB24
+    scanlines (alpha dropped, gray replicated), matching what
+    ``pil_decoder``'s ``convert("RGB").tobytes()`` produces so the two
+    codecs are interchangeable downstream. Non-image kinds and FLSM
+    stub containers fall through to the stub, same as ``pil_decoder``."""
+    if kind != "image" or (raw is not None and raw[:4] == _MAGIC):
+        return stub_decoder(kind, raw)
+    import zlib  # noqa: PLC0415 — stdlib, decode path only
+
+    data = bytes(raw)
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (png_decoder)")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                raise ValueError(
+                    f"unsupported PNG shape (depth={depth}, color={color}, "
+                    f"interlace={interlace})"
+                )
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    flat = zlib.decompress(bytes(idat))
+    if len(flat) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    # Filter reconstruction: each scanline leads with its filter type;
+    # a/b/c are the left / above / above-left reconstructed bytes.
+    prev = bytearray(stride)
+    out = bytearray()
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = flat[base]
+        line = bytearray(flat[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        # to RGB24: replicate gray, drop alpha
+        if color == 2:
+            out += line
+        elif color == 6:
+            for i in range(0, stride, 4):
+                out += line[i : i + 3]
+        elif color == 0:
+            for v in line:
+                out += bytes((v, v, v))
+        else:  # 4: gray + alpha
+            for i in range(0, stride, 2):
+                out += bytes((line[i], line[i], line[i]))
+        prev = line
+    return {"width": w, "height": h, "n_frames": 1, "body": bytes(out)}
 
 
 FEATURES_SCHEMA = T.StructType(

@@ -411,7 +411,15 @@ def tfidf_similar(
             doc_bkts = sorted(
                 int(r[0])
                 for r in spark.createDataFrame(
-                    [(i,) for i in query_ids], ["doc_id"]
+                    # Normalize numpy scalars (a caller iterating a
+                    # pandas/numpy id array hands us np.int64 /
+                    # np.str_) to native Python values: schema
+                    # inference rejects numpy types outright.
+                    [
+                        (i.item() if hasattr(i, "item") else i,)
+                        for i in query_ids
+                    ],
+                    ["doc_id"],
                 )
                 .select(
                     _doc_bucket(

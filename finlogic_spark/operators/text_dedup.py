@@ -321,6 +321,19 @@ def containment_pairs(
     surviving-pair set. Same packing limits (id < 2^42, n < 2^21
     distinct shingles/doc) and the same ``max_doc_freq`` stop-shingle
     cap apply.
+
+    WARNING — the ``max_doc_freq`` cap is LOSSY for containment: a
+    shingle whose doc frequency exceeds the cap silently drops out of
+    every intersection it belongs to, which UNDERCOUNTS containment
+    (a boilerplate header shared by >cap docs stops counting toward
+    any pair's |S_a ∩ S_b|). On a real corpus prefer
+    ``containment_prefix_pairs``: it is byte-identical to
+    ``containment_pairs(max_doc_freq=None)`` at the same threshold
+    while bounding the candidate fan losslessly (frequent shingles
+    sort last and never enter a prefix), so it needs no cap at all.
+    Keep the cap only when an approximate, recall-losing screen is
+    explicitly acceptable and pass ``max_doc_freq=None`` whenever the
+    result must be exact.
     """
     undirected = _shingle_pair_intersections(
         df, text_col, id_col, k, max_doc_freq

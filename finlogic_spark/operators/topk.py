@@ -49,11 +49,20 @@ def pareto_frontier_2d(
     pre-bucket x (the skyline of bucket maxima contains the true
     frontier's buckets) or accept the sort — the frontier itself is
     what's fundamentally sequential here.
+
+    Null keys are excluded up front: under SQL three-valued comparison
+    a null x or y neither dominates nor is dominated (a NOT-EXISTS
+    formulation silently keeps such rows), while letting a null-x group
+    sort last under ``x DESC`` would wrongly test real points against
+    its running max. Dropping nulls makes the semantics explicit
+    instead of sort-order-dependent.
     """
     from pyspark.sql import Window
 
-    compact = df.groupBy(F.col(x_col).alias("x")).agg(
-        F.max(F.col(y_col)).alias("y")
+    compact = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("x"))
+        .agg(F.max(F.col(y_col)).alias("y"))
     )
     w = (
         Window.orderBy(F.col("x").desc())

@@ -116,28 +116,108 @@ def test_pil_decoder_falls_back_on_stub_containers(media):
     assert sorted(map(tuple, feats.collect())) == sorted(map(tuple, base.collect()))
 
 
-def test_pil_decoder_real_png(spark):
-    # Real-codec path: only runs where Pillow is installed (not in the
-    # hermetic container) — same schema, real pixel dimensions.
-    from finlogic_spark.operators.multimodal import (
-        MEDIA_SCHEMA,
-        have_pil,
-        pil_decoder,
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload))
     )
 
-    if not have_pil():
-        import pytest
 
-        pytest.skip("Pillow not installed; real-codec path exercised elsewhere")
-    import io
+def _make_png(w, h, color, filtered_rows) -> bytes:
+    """Minimal independent PNG writer (test-side oracle): each entry of
+    filtered_rows is (filter_type_byte, already-filtered scanline)."""
+    import struct
+    import zlib
 
-    from PIL import Image
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(bytes([ft]) + bytes(line) for ft, line in filtered_rows)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
 
-    buf = io.BytesIO()
-    Image.new("RGB", (7, 3), (200, 10, 10)).save(buf, format="PNG")
+
+def test_real_png_decode_through_pipeline(spark):
+    # Real-container path, hermetic: pil_decoder takes the Pillow path
+    # when installed, else the pure-stdlib png_decoder — same schema,
+    # real pixel dimensions either way.
+    from finlogic_spark.operators.multimodal import MEDIA_SCHEMA, pil_decoder
+
+    rows = [(0, bytes([200, 10, 10]) * 7)] * 3  # 7x3 solid RGB, filter 0
+    png = _make_png(7, 3, 2, rows)
     df = spark.createDataFrame(
-        [(99, "image", bytearray(buf.getvalue()), None)], MEDIA_SCHEMA
+        [(99, "image", bytearray(png), None)], MEDIA_SCHEMA
     )
     row = extract_features(df, dim=8, decoder=pil_decoder).collect()[0]
     assert (row["width"], row["height"], row["n_frames"]) == (7, 3, 1)
     assert len(row["embedding"]) == 8
+
+
+def test_png_decoder_reconstructs_all_filter_types():
+    # Independent oracle: the test forward-applies each PNG filter
+    # (spec definitions, written here, not the decoder's inverse) to
+    # known pixels; png_decoder must reconstruct the original RGB bytes
+    # exactly across filter types 0..4.
+    from finlogic_spark.operators.multimodal import png_decoder
+
+    w, h, ch = 5, 5, 3
+    stride = w * ch
+    pixels = [
+        bytes(((x * 37 + y * 91 + c * 13) % 256) for x in range(w) for c in range(ch))
+        for y in range(h)
+    ]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    filtered = []
+    prev = bytes(stride)
+    for y, line in enumerate(pixels):
+        ft = y % 5
+        out = bytearray()
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ft == 0:
+                out.append(line[i])
+            elif ft == 1:
+                out.append((line[i] - a) & 0xFF)
+            elif ft == 2:
+                out.append((line[i] - b) & 0xFF)
+            elif ft == 3:
+                out.append((line[i] - ((a + b) >> 1)) & 0xFF)
+            else:
+                out.append((line[i] - paeth(a, b, c)) & 0xFF)
+        filtered.append((ft, bytes(out)))
+        prev = line
+    png = _make_png(w, h, 2, filtered)
+    d = png_decoder("image", png)
+    assert (d["width"], d["height"], d["n_frames"]) == (w, h, 1)
+    assert d["body"] == b"".join(pixels)
+
+
+def test_png_decoder_color_conversions():
+    # Gray (type 0) replicates to RGB; RGBA (type 6) drops alpha —
+    # matching Pillow's convert("RGB") so the codecs interchange.
+    from finlogic_spark.operators.multimodal import png_decoder
+
+    gray = _make_png(3, 1, 0, [(0, bytes([5, 120, 250]))])
+    d = png_decoder("image", gray)
+    assert d["body"] == bytes([5, 5, 5, 120, 120, 120, 250, 250, 250])
+
+    rgba_row = bytes([10, 20, 30, 255, 40, 50, 60, 128])
+    rgba = _make_png(2, 1, 6, [(0, rgba_row)])
+    d = png_decoder("image", rgba)
+    assert d["body"] == bytes([10, 20, 30, 40, 50, 60])

@@ -1,0 +1,111 @@
+"""Round-10 regression tests for the round-9 VERDICT/ADVICE items.
+
+1. containment_pairs' max_doc_freq cap is LOSSY: a shingle whose doc
+   frequency exceeds the cap silently drops out of every intersection,
+   undercounting containment — the test makes the undercount VISIBLE
+   on a boilerplate-fan corpus and pins that containment_prefix_pairs
+   (the documented corpus-scale default) matches the uncapped result
+   byte-for-byte on the same corpus.
+2. tfidf_similar's forward-index literal query frame must accept numpy
+   integer ids (schema inference rejects np.int64 unless elements are
+   normalized to native Python scalars).
+3. pareto_frontier_2d excludes null x/y up front — a null-x group must
+   neither appear in the frontier nor suppress real points via the
+   x-DESC running max.
+"""
+
+from pyspark.sql import functions as F
+
+
+def _boilerplate_docs(spark, n=30, cap_breaker=25):
+    """Corpus where one shingle run ('the same legal header text ...')
+    is shared by cap_breaker docs: with max_doc_freq < cap_breaker the
+    shared shingles vanish from every intersection."""
+    header = "alpha beta gamma delta epsilon zeta"
+    rows = []
+    for i in range(n):
+        uniq = " ".join(f"u{i}x{j}" for j in range(4))
+        if i < cap_breaker:
+            # near-identical docs: boilerplate header + tiny unique tail
+            rows.append((i, f"{header} {uniq}"))
+        else:
+            rows.append((i, " ".join(f"v{i}y{j}" for j in range(12))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_containment_cap_undercount_visible_prefix_exact(spark):
+    from finlogic_spark.operators.text_dedup import (
+        containment_pairs,
+        containment_prefix_pairs,
+    )
+
+    docs = _boilerplate_docs(spark, n=30, cap_breaker=25)
+    t = 0.5
+    uncapped = sorted(
+        map(
+            tuple,
+            containment_pairs(
+                docs, "text", "doc_id", k=3, threshold=t, max_doc_freq=None
+            ).collect(),
+        )
+    )
+    capped = sorted(
+        map(
+            tuple,
+            containment_pairs(
+                docs, "text", "doc_id", k=3, threshold=t, max_doc_freq=10
+            ).collect(),
+        )
+    )
+    prefix = sorted(
+        map(
+            tuple,
+            containment_prefix_pairs(
+                docs, "text", "doc_id", k=3, threshold=t
+            ).collect(),
+        )
+    )
+    # The boilerplate shingles (df=25 > cap=10) are dropped from every
+    # intersection: the capped path visibly loses pairs the truth has.
+    assert len(uncapped) > 0
+    assert len(capped) < len(uncapped)
+    # The lossless prefix filter needs no cap and matches exactly.
+    assert prefix == uncapped
+
+
+def test_tfidf_forward_index_numpy_ids(spark, tmp_path):
+    """np.int64 query ids must work on the served forward-index path:
+    createDataFrame schema inference rejects numpy scalars unless the
+    literal frame normalizes them to native Python values."""
+    import numpy as np
+
+    from finlogic_spark.operators.search import (
+        build_postings_table,
+        tfidf_similar,
+    )
+    from tests.test_round9_fixes import _mk_docs
+
+    docs = _mk_docs(spark, "doc_id long, text string")
+    idx = build_postings_table(docs, str(tmp_path / "pidxnp"), n_buckets=8)
+    assert idx.forward is not None
+    live = sorted(map(tuple, tfidf_similar(docs, [0, 1, 2], k=5).collect()))
+    np_ids = list(np.array([0, 1, 2], dtype=np.int64))
+    served = sorted(
+        map(tuple, tfidf_similar(None, np_ids, k=5, postings=idx).collect())
+    )
+    assert served and live == served
+
+
+def test_pareto_frontier_excludes_null_keys(spark):
+    from finlogic_spark.operators.topk import pareto_frontier_2d
+
+    rows = [
+        (1.0, 10.0),
+        (2.0, 5.0),
+        (None, 99.0),  # null x: must not suppress (1.0, 10) or (2.0, 5)
+        (3.0, None),  # null y: must not appear
+        (3.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = sorted(map(tuple, pareto_frontier_2d(df, "x", "y").collect()))
+    assert got == [(1.0, 10.0), (2.0, 5.0), (3.0, 1.0)]

@@ -630,3 +630,107 @@ def test_stream_trend_stats_match_batch(spark, sf_dir, events_batch):
     fg = sorted(map(tuple, ols_finish(got, ["user_id", "event_type"]).collect()))
     fw = sorted(map(tuple, ols_finish(want, ["user_id", "event_type"]).collect()))
     assert fg == fw
+
+
+def test_trend_stats_upsert_sink_crash_restart_exactly_once(spark, tmp_path):
+    """Production shape for the streaming trend twin (VERDICT r9 item):
+    trend_stats_stream in update mode draining into the upsert/kv sink,
+    under the SAME two-commit-point failure injection as the CDC upsert
+    test — batch 1 dies mid-write (torn v=1, no _SUCCESS), batch 2 dies
+    between the snapshot commit and the checkpoint commit (so the
+    restart REPLAYS batch 2). The stateful aggregation's state lives in
+    the streaming checkpoint, so the replayed batch re-emits the same
+    cumulative stats and the overwrite-by-batch-id sink absorbs the
+    at-least-once window. Final stats table must be exactly-once: equal
+    to the batch trend_stats twin over all events, and ols_finish over
+    the live snapshot must equal the batch slopes."""
+    import datetime as dt
+    import glob as _glob
+    import os
+
+    from pyspark.errors import StreamingQueryException
+
+    from finlogic_spark.operators.profile import ols_finish, trend_stats
+
+    schema = "ts timestamp, user_id long, event_type string, value double"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(minutes, uid, etype, value):
+        return (t0 + dt.timedelta(minutes=minutes), uid, etype, value)
+
+    batches = [
+        [ev(0, 1, "click", 1.0), ev(10, 1, "click", 2.0), ev(0, 2, "view", 5.0)],
+        [ev(20, 1, "click", 2.5), ev(5, 2, "view", 4.0), ev(0, 3, "buy", 9.0)],
+        [ev(30, 1, "click", 4.0), ev(10, 2, "view", 3.5), ev(15, 3, "buy", 8.0)],
+        [ev(40, 1, "click", 4.5), ev(15, 2, "view", 3.0), ev(1, 4, "click", 7.0)],
+    ]
+    src = str(tmp_path / "ev_src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src + "_tmp")
+        part = _glob.glob(src + "_tmp/part-*.parquet")[0]
+        os.rename(part, f"{src}/b{i}.parquet")
+
+    path, ck = str(tmp_path / "trend_snap"), str(tmp_path / "trend_ck")
+    keys = ["user_id", "event_type"]
+    # n is monotone per key under cumulative stateful aggregation, so
+    # it is the natural order column: a stale replayed row can never
+    # clobber a newer aggregate.
+    inner = st.foreach_batch_upsert_writer(path, keys=keys, order_cols=["n"])
+    crash1 = str(tmp_path / "crashed_midwrite")
+    crash2 = str(tmp_path / "crashed_between")
+
+    def failing(df, bid):
+        if bid == 1 and not os.path.exists(crash1):
+            open(crash1, "w").close()
+            os.makedirs(f"{path}/v=1", exist_ok=True)
+            with open(f"{path}/v=1/part-garbage.parquet", "wb") as f:
+                f.write(b"\x00torn")
+            raise RuntimeError("induced crash mid-write of v=1")
+        inner(df, bid)
+        if bid == 2 and not os.path.exists(crash2):
+            open(crash2, "w").close()
+            raise RuntimeError("induced crash between commit points")
+
+    file_schema = spark.read.parquet(f"{src}/b0.parquet").schema
+
+    def start():
+        stream = (
+            spark.readStream.schema(file_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            st.trend_stats_stream(stream)
+            .writeStream.foreachBatch(failing)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    for _ in range(2):  # two induced crashes -> two dead queries
+        q = start()
+        with pytest.raises(StreamingQueryException):
+            q.awaitTermination(120)
+    q = start()  # final restart drains to completion
+    assert q.awaitTermination(120)
+    q.stop()
+
+    snap = st.read_upsert_snapshot(spark, path)
+    x = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(
+        F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    all_rows = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    want = trend_stats(all_rows, keys, x, F.col("value"))
+    key = lambda r: (r["user_id"], r["event_type"])  # noqa: E731
+    g = {key(r): r.asDict() for r in snap.collect()}
+    w = {key(r): r.asDict() for r in want.collect()}
+    assert g == w  # exactly-once: no double counts, no lost batches
+    fg = sorted(map(tuple, ols_finish(snap, keys).collect()))
+    fw = sorted(map(tuple, ols_finish(want, keys).collect()))
+    assert fg == fw
