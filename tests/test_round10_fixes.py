@@ -109,3 +109,38 @@ def test_pareto_frontier_excludes_null_keys(spark):
     df = spark.createDataFrame(rows, "x double, y double")
     got = sorted(map(tuple, pareto_frontier_2d(df, "x", "y").collect()))
     assert got == [(1.0, 10.0), (2.0, 5.0), (3.0, 1.0)]
+
+
+def test_trend_stats_fast_path_bounds_guard(spark):
+    """The hi/lo long fast path must RAISE (not silently wrap) when a
+    group's |x| exceeds 2^31, and wide=True must handle the same data
+    exactly."""
+    import pytest
+
+    from finlogic_spark.operators.profile import trend_stats
+
+    big = 1 << 40  # x beyond the fast path's 2^31 bound
+    rows = [("k", big, 1.0), ("k", big + 1, 2.0), ("k", big + 2, 3.0)]
+    df = spark.createDataFrame(rows, "k string, x long, y double")
+    fast = trend_stats(df, ["k"], F.col("x"), F.col("y"))
+    with pytest.raises(Exception) as exc:
+        fast.collect()
+    assert "wide=True" in str(exc.value)
+    wide = trend_stats(df, ["k"], F.col("x"), F.col("y"), wide=True)
+    r = wide.collect()[0]
+    assert r["n"] == 3 and int(r["sx"]) == 3 * big + 3
+    # Σx² = Σ (big+i)² for i in 0..2 — exact far past int64
+    assert int(r["sxx"]) == sum((big + i) ** 2 for i in range(3))
+
+
+def test_trend_stats_fast_equals_wide_in_bounds(spark):
+    """Inside the bounds the two arithmetic paths are bit-identical."""
+    from finlogic_spark.operators.profile import trend_stats
+
+    rows = [
+        ("a", i * 3600, float((i * 7) % 13) - 3.3) for i in range(50)
+    ] + [("b", i * 60 + 5, float(i) * 0.01) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, x long, y double")
+    fast = {r["k"]: r.asDict() for r in trend_stats(df, ["k"], F.col("x"), F.col("y")).collect()}
+    wide = {r["k"]: r.asDict() for r in trend_stats(df, ["k"], F.col("x"), F.col("y"), wide=True).collect()}
+    assert fast == wide
