@@ -417,12 +417,107 @@ def _exact_ceil_tn(threshold: float) -> Column:
     return ((x - F.pmod(x, F.lit(den))) / F.lit(den)).cast("int")
 
 
+def _hashed_set_verify(
+    cands: DataFrame,
+    ranked: DataFrame,
+    broadcast_sets: bool | None = None,
+    broadcast_max_docs: int = 2_000_000,
+) -> DataFrame:
+    """Exact intersection counts for candidate pairs WITHOUT the
+    per-pair shingle fan: each doc's distinct shingles are packed ONCE
+    into a sorted array of xxhash64 fingerprints (8 B/element vs
+    ~25 B/shingle string), candidates pick up both sides' arrays via
+    two plain equi-joins, and ``array_intersect`` counts the overlap
+    per pair inside the JVM.
+
+    WHY this shape: the previous counting-join verify fanned every
+    candidate pair by side A's full shingle list and probed B's stream
+    on (id, shingle) — Σ_pairs |A| rows carrying shingle STRINGS.
+    At sf10 (500k docs, 31.6M candidate pairs, ~58 shingles/doc) that
+    is 2.1e9 join rows ≈ 95 GB of shuffle: measured spill-to-death
+    (SPILL_OUT_OF_MEMORY, disk exhausted). The array-carry verify
+    moves |pairs|·|set| work from SHUFFLED ROWS into per-row JVM array
+    intersections: the only data-sized shuffles are the two pair-side
+    joins (~|pairs| rows × one 8·|set|-byte array), ~6× smaller and
+    linear in the candidate count. (An earlier array-carry attempt
+    that measured 2× slower carried string arrays built by
+    collect_list(struct) — the fingerprint packing is what flips the
+    trade.)
+
+    Exactness: intersection counts are exact up to 64-bit fingerprint
+    collisions — P(any cross-doc collision affecting one pair) <
+    |set|²/2⁶⁴ ≈ 1e-15 per pair, the standard Rabin/Broder fingerprint
+    trade, vastly tighter than the MinHash tiers this verifies for.
+
+    ``broadcast_sets``: on a family-clustered corpus the candidate set
+    ≈ the true result (every intra-family pair is a match), so no
+    filter can shrink it — the array carry through the pair joins is
+    OUTPUT-inherent. When the per-doc set table is small relative to
+    the pair stream (it is |docs| rows vs |pairs| ≈ Σ C(family, 2)),
+    broadcasting it turns BOTH pair joins map-side: the pair stream
+    never shuffles at all (measured at sf10: 94M candidate pairs ×
+    ~950 B of arrays ≈ 90 GB of shuffle — more than a single box's
+    free disk — drops to ~zero). Default None auto-broadcasts when
+    |docs| ≤ ``broadcast_max_docs`` (2M docs ≈ 1 GB of arrays, safe
+    in any reasonable driver); on a corpus too big to broadcast the
+    shuffle join is the right plan anyway, because a cluster's
+    aggregate shuffle disk scales with its executor count while a
+    broadcast must fit every single one.
+    Returns (id_a, id_b, inter, n_a, n_b)."""
+    from pyspark.storagelevel import StorageLevel
+
+    sets = (
+        ranked.select("id", F.xxhash64("s").alias("h"))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("h")).alias("hs"))
+        .select("id", "hs", F.size("hs").alias("n"))
+    )
+    if broadcast_sets is None:
+        # the count reuses ranked's checkpoint; cache sets so the
+        # decision job doesn't recompute the groupBy inside the joins
+        sets = sets.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+        broadcast_sets = sets.count() <= broadcast_max_docs
+    side = (lambda d: F.broadcast(d)) if broadcast_sets else (lambda d: d)
+    return (
+        cands.join(
+            side(
+                sets.select(
+                    F.col("id").alias("id_a"),
+                    F.col("hs").alias("__ha"),
+                    F.col("n").alias("n_a"),
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            side(
+                sets.select(
+                    F.col("id").alias("id_b"),
+                    F.col("hs").alias("__hb"),
+                    F.col("n").alias("n_b"),
+                )
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__ha", "__hb")).alias("inter"),
+            "n_a",
+            "n_b",
+        )
+    )
+
+
 def jaccard_prefix_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    broadcast_sets: bool | None = None,
 ) -> DataFrame:
     """PPJoin-style prefix-filtered exact Jaccard join (Xiao et al.,
     WWW '08): byte-identical output to
@@ -444,11 +539,14 @@ def jaccard_prefix_pairs(
     ``ngram_jaccard_pairs`` pays Σ_s C(df_s, 2) pair rows over ALL
     shared shingles (quadratic in every stop-shingle's document
     frequency); this operator pays that sum over PREFIX occurrences
-    only, plus a verify fan of |candidates|·|set| rows. On a flat-df
-    corpus the plain counting join wins outright (driver testdata sf1:
-    17.5 s vs 100.7 s here, identical 246,784 pairs) — there are no
-    stop-shingles to dodge, so the prefix's verify fan is pure
-    overhead. On a Zipfian corpus the inequality flips catastrophically
+    only, plus per-pair array-intersect verify work (see
+    ``_hashed_set_verify`` — the row-fanning counting verify it
+    replaced died of shuffle spill at sf10). On a flat-df corpus the
+    plain counting join wins (driver testdata sf1: 17.5 s plain vs
+    100.7 s for the prefix path's pre-rework verify, identical 246,784
+    pairs) — there are no stop-shingles to dodge, so candidate
+    filtering is pure overhead. On a Zipfian corpus the inequality
+    flips catastrophically
     the other way: one boilerplate shingle shared by 100k docs feeds
     C(100k, 2) ≈ 5e9 pair rows into the plain join while never
     entering any prefix (most-common shingles sort LAST in the
@@ -460,7 +558,6 @@ def jaccard_prefix_pairs(
     prefix filter is the lossless version of that dodge.
     """
     ranked = _ranked_shingle_stream(df, text_col, id_col, k)
-    sh = ranked.select("id", "s")  # all downstream reads hit the cache
     prefix_len = F.col("__n") - _exact_ceil_tn(threshold) + F.lit(1)
     pref = ranked.filter(F.col("__rn") <= prefix_len).select("id", "s")
     cands = (
@@ -485,34 +582,9 @@ def jaccard_prefix_pairs(
         .select(F.col("p.pa").alias("id_a"), F.col("p.pb").alias("id_b"))
         .distinct()
     )
-    # Exact verify as a COUNTING join over the shingle stream — no
-    # per-doc set arrays carried through a row-per-pair join (measured
-    # ~2x the whole query when tried): fan each candidate pair out by
-    # side A's shingles (bounded by |cands|·|A|), probe side B's
-    # stream on (id, shingle), count matches per pair. Everything is a
-    # plain equi-join + partial-agg count inside codegen.
-    fan = cands.join(
-        sh.select(F.col("id").alias("id_a"), "s"), "id_a"
-    )
-    inter = (
-        fan.join(
-            sh.select(F.col("id").alias("id_b"), "s"), ["id_b", "s"]
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    # per-doc sizes already ride on every ranked row
-    sizes = ranked.select("id", F.col("__n").alias("n")).distinct()
+    verified = _hashed_set_verify(cands, ranked, broadcast_sets)
     return (
-        inter.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")),
-            "id_b",
-        )
-        .withColumn(
+        verified.withColumn(
             "jaccard",
             F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
         )
@@ -527,6 +599,7 @@ def containment_prefix_pairs(
     id_col: str,
     k: int = 3,
     threshold: float = 0.8,
+    broadcast_sets: bool | None = None,
 ) -> DataFrame:
     """Prefix-filtered DIRECTED containment join — the scale path for
     ``containment_pairs``, byte-identical to
@@ -543,8 +616,8 @@ def containment_prefix_pairs(
     order, so they almost never enter a prefix and their huge df never
     multiplies — the same dodge that keeps the Jaccard variant off the
     quadratic (and what the df CAP in ``containment_pairs`` buys only
-    by silently undercounting). Survivors are verified with the exact
-    counting join over the cached stream.
+    by silently undercounting). Survivors are verified exactly with
+    the hashed-set array intersect (``_hashed_set_verify``).
 
     Measured trade (same as jaccard_prefix_pairs): on a flat-df corpus
     the plain packed-pairs formulation wins; on a Zipfian corpus with
@@ -563,19 +636,9 @@ def containment_prefix_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    fan = cands.join(sh.select(F.col("id").alias("id_a"), "s"), "id_a")
-    inter = (
-        fan.join(sh.select(F.col("id").alias("id_b"), "s"), ["id_b", "s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sizes = ranked.select("id", F.col("__n").alias("n")).distinct()
+    verified = _hashed_set_verify(cands, ranked, broadcast_sets)
     return (
-        inter.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")),
-            "id_a",
-        )
-        .withColumn("containment", F.col("inter") / F.col("n_a"))
+        verified.withColumn("containment", F.col("inter") / F.col("n_a"))
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
