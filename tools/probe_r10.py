@@ -134,6 +134,25 @@ def main() -> int:
         i = argv.index("--timeout")
         timeout = float(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
+    skip_baseline: set = set()
+    if "--skip-baseline" in argv:
+        # For baselines that are unrunnable rather than slow: the
+        # uncapped all-pairs containment/jaccard SQL at sf10 was
+        # kernel-OOM-killed at 103 GB RSS after ~70 min (5.9e9-row
+        # hash-join intermediate) — con.interrupt() never fires
+        # because the query dies of memory before any checkpoint.
+        i = argv.index("--skip-baseline")
+        skip_baseline = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    sf10_override = sf100_override = None
+    if "--sf10" in argv:
+        i = argv.index("--sf10")
+        sf10_override = [q for q in argv[i + 1].split(",") if q]
+        argv = argv[:i] + argv[i + 2:]
+    if "--sf100" in argv:
+        i = argv.index("--sf100")
+        sf100_override = [q for q in argv[i + 1].split(",") if q]
+        argv = argv[:i] + argv[i + 2:]
     sf10 = argv[0] if argv else "/root/repo/testdata/sf10"
     sf100 = argv[1] if len(argv) > 1 else "/root/repo/testdata/sf100"
 
@@ -141,7 +160,10 @@ def main() -> int:
 
     spark = get_spark("probe-r10")
     out: dict = {"runs": runs, "timeout_s": timeout, "probes": {}}
-    plan = [(sf10, "sf10", SF10_QUERIES, runs), (sf100, "sf100", SF100_QUERIES, 1)]
+    plan = [
+        (sf10, "sf10", sf10_override or SF10_QUERIES, runs),
+        (sf100, "sf100", sf100_override or SF100_QUERIES, 1),
+    ]
     for sf_dir, label, names, n_runs in plan:
         for name in names:
             key = f"{label}:{name}"
@@ -150,6 +172,15 @@ def main() -> int:
             except Exception as e:  # record, keep probing
                 out["probes"][key] = {"err": str(e)[:300]}
                 print(key, out["probes"][key], flush=True)
+                continue
+            if name in skip_baseline:
+                row["duckdb_s"] = None
+                row["baseline_note"] = (
+                    "DNF: oracle SQL kernel-OOM-killed at 103 GB RSS "
+                    "after ~70 min (uncapped all-pairs join)"
+                )
+                out["probes"][key] = row
+                print(key, row, flush=True)
                 continue
             row.update(duckdb_time(name, sf_dir, n_runs, timeout))
             if row.get("duckdb_s"):
