@@ -438,3 +438,31 @@ def test_containment_two_shuffles_like_jaccard(spark, sf_dir):
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     df = containment_pairs(d, "text", "doc_id", k=3, threshold=0.8)
     assert plans.count_shuffles(df) <= 2
+
+
+def test_prefix_verify_broadcast_pair_stream_never_shuffles(spark, sf_dir):
+    # _hashed_set_verify with broadcast_sets=True must make BOTH pair
+    # joins map-side: after the candidate distinct, the (possibly
+    # output-sized) pair stream reaches the intersect through
+    # BroadcastHashJoins only — the 95 GB sf10 spill the old counting
+    # verify paid came from shuffling that stream with arrays attached.
+    import os
+
+    from finlogic_spark.operators.text_dedup import containment_prefix_pairs
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = containment_prefix_pairs(
+        d, "text", "doc_id", k=3, threshold=0.8, broadcast_sets=True
+    )
+    p = plans.formatted_plan(df)
+    assert p.count("BroadcastHashJoin") >= 2
+    # shuffles remaining: shingle df join / rank window / candidate
+    # distinct — none AFTER the verify joins. array_intersect rides a
+    # project, never an exchange.
+    import re
+
+    tail = p.split("BroadcastHashJoin")[0]
+    # the section of the plan ABOVE (later than) the first broadcast
+    # join must contain no Exchange other than the final sort of the
+    # operator's orderBy-free output (there is none here).
+    assert "Exchange hashpartitioning" not in tail.split("== Physical Plan ==")[-1]
