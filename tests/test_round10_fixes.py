@@ -144,3 +144,57 @@ def test_trend_stats_fast_equals_wide_in_bounds(spark):
     fast = {r["k"]: r.asDict() for r in trend_stats(df, ["k"], F.col("x"), F.col("y")).collect()}
     wide = {r["k"]: r.asDict() for r in trend_stats(df, ["k"], F.col("x"), F.col("y"), wide=True).collect()}
     assert fast == wide
+
+
+def test_hilo_split_roundtrip_property():
+    """The fast path's algebraic core: p = (p>>31)*2^31 + (p & (2^31-1))
+    must hold for any int64 (arithmetic shift = floor division in two's
+    complement) — checked over adversarial and random values."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    lo_mask = (1 << 31) - 1
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.integers(min_value=-(2**62), max_value=2**62))
+    def check(p):
+        hi = p >> 31
+        lo = p & lo_mask
+        assert hi * (1 << 31) + lo == p
+        assert 0 <= lo < (1 << 31)
+
+    check()
+
+
+def test_hashed_verify_matches_plain_counting(spark):
+    """_hashed_set_verify's intersection counts must equal the plain
+    uncapped counting join's on a mixed corpus (fingerprint collisions
+    are the only divergence mode and are ~impossible at test scale) —
+    and the broadcast and shuffle variants must agree with each other."""
+    from finlogic_spark.operators.text_dedup import (
+        containment_pairs,
+        containment_prefix_pairs,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i * 5 + j * 11) % 37}" for j in range(25)))
+        for i in range(30)
+    ] + [
+        (200 + i, " ".join(f"w{(i * 5 + j * 11) % 37}" for j in range(25))
+         + " tail" + str(i))
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = sorted(
+        map(tuple, containment_pairs(
+            docs, "text", "doc_id", k=3, threshold=0.6, max_doc_freq=None
+        ).collect())
+    )
+    for bcast in (True, False):
+        pref = sorted(
+            map(tuple, containment_prefix_pairs(
+                docs, "text", "doc_id", k=3, threshold=0.6,
+                broadcast_sets=bcast,
+            ).collect())
+        )
+        assert pref == plain and len(plain) > 0

@@ -160,10 +160,12 @@ def main() -> int:
 
     spark = get_spark("probe-r10")
     out: dict = {"runs": runs, "timeout_s": timeout, "probes": {}}
+    # "--sf10 none" / "--sf100 none" skips that scale entirely
     plan = [
         (sf10, "sf10", sf10_override or SF10_QUERIES, runs),
         (sf100, "sf100", sf100_override or SF100_QUERIES, 1),
     ]
+    plan = [p for p in plan if p[2] != ["none"]]
     for sf_dir, label, names, n_runs in plan:
         for name in names:
             key = f"{label}:{name}"
