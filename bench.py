@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     "events_trend_slope",
     "events_ewma",
     "orders_pareto_frontier",
+    # round 10: irregular-sample TWAP, outlier-robust winsorized stats
+    "events_twap",
+    "events_winsorize",
 ]
 
 

@@ -6138,6 +6138,96 @@ def doc_containment_prefix(spark, sf_dir):
 ORACLES["doc_containment_prefix"] = ORACLES["doc_containment_pairs"]
 
 
+@q(
+    "events_twap",
+    """
+    WITH base AS (
+      SELECT event_type, date_trunc('day', ts) AS bucket_start, ts,
+             event_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+    d AS (
+      SELECT event_type, bucket_start, vq,
+             date_diff('second', ts,
+               coalesce(lead(ts) OVER (PARTITION BY event_type, bucket_start
+                                       ORDER BY ts, event_id),
+                        bucket_start + INTERVAL 1 DAY)) AS dur
+      FROM base)
+    SELECT event_type, bucket_start, count(*) AS n,
+           floor(CAST(SUM(vq * dur) AS DOUBLE) / (100.0 * SUM(dur))
+                 * 1000000.0 + 0.5) / 1000000.0 AS twap
+    FROM d GROUP BY 1, 2 ORDER BY event_type, bucket_start
+    """,
+)
+def events_twap(spark, sf_dir):
+    # Step-function TWAP per (event_type, day): each sample's value
+    # holds until the next sample (the last to day end); integral over
+    # covered duration. One lead() window + one partial-agg groupBy —
+    # the shuffle carries group keys only; the integral is exact
+    # integer cents x seconds, so aggregation order can't move it.
+    from finlogic_spark.operators.windows import time_weighted_avg
+
+    e = _t(spark, sf_dir, "events")
+    out = time_weighted_avg(
+        e, ["event_type"], "ts", "value", tiebreak_cols=["event_id"]
+    )
+    return out.select(
+        "event_type",
+        "bucket_start",
+        "n",
+        rN(F.col("twap"), 6).alias("twap"),
+    ).orderBy("event_type", "bucket_start")
+
+
+@q(
+    "events_winsorize",
+    """
+    WITH base AS (
+      SELECT event_type, value FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)),
+    b AS (
+      SELECT event_type,
+             floor(quantile_cont(value, 0.01) * 1000000.0 + 0.5)
+               / 1000000.0 AS p_lo_val,
+             floor(quantile_cont(value, 0.99) * 1000000.0 + 0.5)
+               / 1000000.0 AS p_hi_val
+      FROM base GROUP BY 1)
+    SELECT e.event_type, p_lo_val, p_hi_val, count(*) AS n,
+           CAST(SUM(CASE WHEN value < p_lo_val THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(CASE WHEN value > p_hi_val THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clipped_hi,
+           floor(CAST(SUM(CAST(floor(
+                   least(greatest(value, p_lo_val), p_hi_val) * 100.0
+                   + 0.5) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * count(*)) * 1000000.0 + 0.5) / 1000000.0
+             AS win_mean
+    FROM base e JOIN b USING (event_type)
+    GROUP BY 1, 2, 3 ORDER BY event_type
+    """,
+)
+def events_winsorize(spark, sf_dir):
+    # Outlier-robust per-group location: p01/p99 clip bounds, clip
+    # counts, winsorized mean. Exact percentile aggregate (oracle
+    # parity; approx_percentile is the bounded-state 100 TB tier),
+    # bounds broadcast back (|groups| = feature names, tiny), one
+    # partial-agg pass for the clipped stats. Bounds rounded to 1e-6
+    # before clipping so the clip decision is data, not interpolation
+    # luck; mean via exact integer cents.
+    from finlogic_spark.operators.profile import winsorize_stats
+
+    e = _t(spark, sf_dir, "events")
+    out = winsorize_stats(e, ["event_type"], "value")
+    return out.select(
+        "event_type",
+        "p_lo_val",
+        "p_hi_val",
+        "n",
+        "n_clipped_lo",
+        "n_clipped_hi",
+        rN(F.col("win_mean"), 6).alias("win_mean"),
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------

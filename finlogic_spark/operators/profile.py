@@ -518,3 +518,62 @@ def js_divergence(
         ((F.col("__sp") + absent) / F.lit(1e6)).alias("js_nats"),
         F.col("tg").cast("long").alias("n_tokens"),
     )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group winsorization summary: clip bounds at the p_lo/p_hi
+    percentiles, how many rows each bound clipped, and the mean of the
+    clipped values — the outlier-robust location estimate a feature/
+    metrics pipeline reports instead of a raw mean that one fat-fingered
+    value can drag anywhere.
+
+    Two passes by necessity (the bounds must exist before clipping):
+    a per-group percentile aggregate, broadcast back onto the rows
+    (|groups| is small by construction — these are feature/metric
+    names, not user ids), then one partial-aggregatable pass for the
+    clipped stats. ``exact=True`` uses exact ``percentile`` (full
+    per-group sort — the oracle-parity tier); ``exact=False`` swaps in
+    ``approx_percentile`` (fixed-size sketch, the 100 TB tier — same
+    plan, bounded state).
+
+    Bounds are rounded to 1e-6 BEFORE clipping so the clip decision is
+    a property of the data, not of which engine's linear interpolation
+    landed 1e-12 away; the clipped mean uses the exact integer-cents
+    sum (order-independent, same discipline as trend_stats).
+
+    Returns (keys..., p_lo_val, p_hi_val, n, n_clipped_lo,
+    n_clipped_hi, win_mean).
+    """
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull() & ~F.isnan(v))
+    pfun = "percentile" if exact else "approx_percentile"
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    bounds = base.groupBy(*key_cols).agg(
+        r6(F.expr(f"{pfun}(`{value_col}`, {p_lo})")).alias("p_lo_val"),
+        r6(F.expr(f"{pfun}(`{value_col}`, {p_hi})")).alias("p_hi_val"),
+    )
+    clipped = F.least(F.greatest(v, F.col("p_lo_val")), F.col("p_hi_val"))
+    cq = F.floor(clipped * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return (
+        base.join(F.broadcast(bounds), list(key_cols))
+        .groupBy(*key_cols)
+        .agg(
+            F.first("p_lo_val").alias("p_lo_val"),
+            F.first("p_hi_val").alias("p_hi_val"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(v < F.col("p_lo_val"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_clipped_lo"),
+            F.sum(
+                F.when(v > F.col("p_hi_val"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_clipped_hi"),
+            (F.sum(cq) / (F.lit(100.0) * F.count(F.lit(1)))).alias("win_mean"),
+        )
+    )

@@ -85,3 +85,58 @@ def ewma(
         num = num + F.when(xk.isNotNull(), xk * F.lit(wt)).otherwise(F.lit(0.0))
         den = den + F.when(xk.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
     return num / den
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_cols: Sequence[str] = (),
+    bucket: str = "day",
+) -> DataFrame:
+    """Step-function TWAP over irregularly sampled values: within each
+    (keys..., bucket) the value holds from its own timestamp until the
+    next sample (the last holds to bucket end), and the result is the
+    time integral divided by covered duration — the standard metric for
+    "average price/level while it was in effect" over samples that
+    arrive whenever they arrive (a plain AVG overweights bursts of
+    samples and underweights quiet stretches).
+
+    Shape: ONE window (lead over the in-bucket order gives each
+    sample's holding duration) + ONE partial-aggregatable groupBy — no
+    joins, no second pass; the shuffle carries the group keys only.
+
+    Determinism: the integral is Σ value_cents·dur_seconds — both exact
+    integers, so aggregation order can't perturb the sum (same
+    discipline as trend_stats); per-group magnitudes stay far under
+    int64 (cents < 2³¹, dur ≤ 86 400). ``tiebreak_cols`` must complete
+    a total order for equal timestamps (a tied sample gets duration 0 —
+    which sample that is must not depend on partitioning).
+
+    Returns (keys..., bucket_start, n, twap).
+    """
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull() & ~F.isnan(v)).withColumn(
+        "__bkt", F.date_trunc(bucket, F.col(ts_col))
+    )
+    w = Window.partitionBy(*key_cols, "__bkt").orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    bucket_end = F.col("__bkt") + F.expr(f"INTERVAL 1 {bucket}")
+    dur = F.unix_timestamp(
+        F.coalesce(F.lead(F.col(ts_col)).over(w), bucket_end)
+    ) - F.unix_timestamp(F.col(ts_col))
+    vq = F.floor(v * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return (
+        base.withColumn("__wv", vq * dur)
+        .withColumn("__dur", dur)
+        .groupBy(*key_cols, F.col("__bkt").alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum("__wv")
+                / (F.lit(100.0) * F.sum("__dur"))
+            ).alias("twap"),
+        )
+    )
