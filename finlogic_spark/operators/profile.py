@@ -552,7 +552,11 @@ def winsorize_stats(
     n_clipped_hi, win_mean).
     """
     v = F.col(value_col)
-    base = df.filter(v.isNotNull() & ~F.isnan(v))
+    # project to (keys, value) before either pass: both the percentile
+    # buffers and the second aggregation only ever touch these columns
+    base = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        *key_cols, value_col
+    )
     pfun = "percentile" if exact else "approx_percentile"
     r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     bounds = base.groupBy(*key_cols).agg(

@@ -117,8 +117,15 @@ def time_weighted_avg(
     Returns (keys..., bucket_start, n, twap).
     """
     v = F.col(value_col)
-    base = df.filter(v.isNotNull() & ~F.isnan(v)).withColumn(
-        "__bkt", F.date_trunc(bucket, F.col(ts_col))
+    # Explicit projection BEFORE the window: the shuffle+sort is the
+    # whole cost of this operator, and it must carry (keys, ts,
+    # tiebreak, value) — not every wide column the caller's frame
+    # happens to have. Column pruning below a Window is not a rewrite
+    # to gamble 5x shuffle bytes on.
+    base = (
+        df.filter(v.isNotNull() & ~F.isnan(v))
+        .select(*key_cols, ts_col, *tiebreak_cols, value_col)
+        .withColumn("__bkt", F.date_trunc(bucket, F.col(ts_col)))
     )
     w = Window.partitionBy(*key_cols, "__bkt").orderBy(
         F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]
