@@ -520,6 +520,26 @@ def js_divergence(
     )
 
 
+def _cents_sum_guard(max_abs_col: str, n_col: str, sum_col: str, op: str):
+    """Exactness guard for Σ quantized-cents aggregates (the
+    trend_stats discipline): the long sum is exact iff per-row
+    |cents| < 2³¹ AND the group has < 2³¹ rows — then |Σ| < 2⁶² and
+    nothing wraps. A violating group raises with the bound and the fix
+    rather than returning a wrapped (ANSI off) or opaquely failed
+    (ANSI on) mean."""
+    bound = F.lit(1 << 31).cast("long")
+    return F.when(
+        (F.col(max_abs_col) >= bound) | (F.col(n_col) >= bound),
+        F.raise_error(
+            F.lit(
+                f"{op} exact-cents bound exceeded: quantized |value| "
+                "cents >= 2^31 (values beyond +/-$21M) or >= 2^31 rows "
+                "in one group; rescale the value column first"
+            )
+        ).cast("long"),
+    ).otherwise(F.col(sum_col))
+
+
 def winsorize_stats(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -565,7 +585,7 @@ def winsorize_stats(
     )
     clipped = F.least(F.greatest(v, F.col("p_lo_val")), F.col("p_hi_val"))
     cq = F.floor(clipped * F.lit(100.0) + F.lit(0.5)).cast("long")
-    return (
+    agg = (
         base.join(F.broadcast(bounds), list(key_cols))
         .groupBy(*key_cols)
         .agg(
@@ -578,6 +598,19 @@ def winsorize_stats(
             F.sum(
                 F.when(v > F.col("p_hi_val"), F.lit(1)).otherwise(F.lit(0))
             ).alias("n_clipped_hi"),
-            (F.sum(cq) / (F.lit(100.0) * F.count(F.lit(1)))).alias("win_mean"),
+            F.sum(cq).alias("__scq"),
+            F.max(F.abs(cq)).alias("__max_acq"),
         )
+    )
+    return agg.select(
+        *key_cols,
+        "p_lo_val",
+        "p_hi_val",
+        "n",
+        "n_clipped_lo",
+        "n_clipped_hi",
+        (
+            _cents_sum_guard("__max_acq", "n", "__scq", "winsorize_stats")
+            / (F.lit(100.0) * F.col("n"))
+        ).alias("win_mean"),
     )

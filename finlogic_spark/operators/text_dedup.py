@@ -472,12 +472,21 @@ def _hashed_set_verify(
         .agg(F.array_sort(F.collect_list("h")).alias("hs"))
         .select("id", "hs", F.size("hs").alias("n"))
     )
+    # Checkpoint UNCONDITIONALLY: the per-doc set build (shingle →
+    # xxhash64 → groupBy → array_sort) feeds BOTH pair-side joins, and
+    # without materialization it runs twice — and when broadcast, the
+    # same ~|docs|-sized table is broadcast-BUILT twice. The lazy
+    # checkpoint computes on first use and is reused by the second
+    # join and (auto path) the decision count. Cleanup contract: the
+    # MEMORY_AND_DISK blocks live until the session drops them — a
+    # long-lived shared session running many verifies back-to-back
+    # should scrub between calls (spark.catalog.clearCache() plus
+    # unpersisting leftover RDDs, as tools/probe_r10._drop_persisted
+    # does); a per-job session gets cleanup for free at stop().
+    sets = sets.localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     if broadcast_sets is None:
-        # the count reuses ranked's checkpoint; cache sets so the
-        # decision job doesn't recompute the groupBy inside the joins
-        sets = sets.localCheckpoint(
-            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
-        )
         broadcast_sets = sets.count() <= broadcast_max_docs
     side = (lambda d: F.broadcast(d)) if broadcast_sets else (lambda d: d)
     return (

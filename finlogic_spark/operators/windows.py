@@ -109,10 +109,17 @@ def time_weighted_avg(
 
     Determinism: the integral is Σ value_cents·dur_seconds — both exact
     integers, so aggregation order can't perturb the sum (same
-    discipline as trend_stats); per-group magnitudes stay far under
-    int64 (cents < 2³¹, dur ≤ 86 400). ``tiebreak_cols`` must complete
-    a total order for equal timestamps (a tied sample gets duration 0 —
-    which sample that is must not depend on partitioning).
+    discipline as trend_stats). The bound that makes it exact —
+    |cents| < 2³¹ (values within ±$21M) — is ENFORCED, not assumed:
+    products go through try_multiply (no opaque ANSI
+    ARITHMETIC_OVERFLOW, no silent wrap with ANSI off) and max|cents|
+    rides the aggregate; a violating group raises with the bound in
+    the message. Under that bound no sum can wrap: durations are
+    non-negative and Σdur per group ≤ the bucket length (≤ ~2.7M s
+    even for month buckets), so |Σ cents·dur| < 2³¹·2²² < 2⁵³.
+    ``tiebreak_cols`` must complete a total order for equal timestamps
+    (a tied sample gets duration 0 — which sample that is must not
+    depend on partitioning).
 
     Returns (keys..., bucket_start, n, twap).
     """
@@ -135,15 +142,35 @@ def time_weighted_avg(
         F.coalesce(F.lead(F.col(ts_col)).over(w), bucket_end)
     ) - F.unix_timestamp(F.col(ts_col))
     vq = F.floor(v * F.lit(100.0) + F.lit(0.5)).cast("long")
-    return (
-        base.withColumn("__wv", vq * dur)
+    agg = (
+        base.withColumn("__wv", F.try_multiply(vq, dur))
         .withColumn("__dur", dur)
+        .withColumn("__avq", F.abs(vq))
         .groupBy(*key_cols, F.col("__bkt").alias("bucket_start"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (
-                F.sum("__wv")
-                / (F.lit(100.0) * F.sum("__dur"))
-            ).alias("twap"),
+            F.sum("__wv").alias("__sw"),
+            F.sum("__dur").alias("__sd"),
+            F.max("__avq").alias("__max_avq"),
         )
+    )
+    # |cents| >= 2^31 voids the exactness contract — raise with the fix
+    # rather than return a wrapped (ANSI off) or opaquely failed (ANSI
+    # on) integral; try_multiply above keeps the violating row itself
+    # from throwing before this guard can name the bound.
+    guarded_sw = F.when(
+        F.col("__max_avq") >= F.lit(1 << 31).cast("long"),
+        F.raise_error(
+            F.lit(
+                "time_weighted_avg exact-integral bound exceeded: "
+                "quantized |value| cents >= 2^31 (values beyond "
+                "+/-$21M); rescale the value column before the TWAP"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__sw"))
+    return agg.select(
+        *key_cols,
+        "bucket_start",
+        "n",
+        (guarded_sw / (F.lit(100.0) * F.col("__sd"))).alias("twap"),
     )

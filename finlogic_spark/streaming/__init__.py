@@ -477,12 +477,22 @@ def trend_stats_stream(events: DataFrame) -> DataFrame:
     the incremental twin of ``operators.profile.trend_slope``. The six
     statistics are plain associative sums over exact integers, so
     Structured Streaming's stateful aggregation maintains them with
-    SIX numbers of state per key, updates are micro-batch-boundary
+    six numbers of state per key, updates are micro-batch-boundary
     independent, and the drained result is BIT-IDENTICAL to the batch
     aggregate (hence shares its SQL oracle). Finish with
     ``operators.profile.ols_finish`` on the sink table — the finishing
     projection is stateless and belongs downstream of the store, where
     a dashboard can re-derive slopes from live stats at any time.
+
+    ``wide=True`` is PINNED here even though batch trend_stats now
+    defaults to the faster hi/lo-split long layout: a streaming
+    aggregate's state schema is part of its checkpoint contract, and
+    the wide layout (six decimal sums) is what every checkpoint
+    written by earlier releases holds. Switching the streaming twin to
+    the 11-accumulator fast layout would fail state-schema validation
+    on restart — an upgrade that can't resume is worse than the hi/lo
+    speedup, which only pays off at batch scan scale anyway (streaming
+    state updates are per-key, not scan-bound).
 
     Production shape: update mode into an upsert/kv sink keyed by the
     group (state and sink both O(keys)); the memory-sink complete-mode
@@ -495,4 +505,4 @@ def trend_stats_stream(events: DataFrame) -> DataFrame:
     x = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(
         F.lit("2024-01-01 00:00:00").cast("timestamp")
     )
-    return trend_stats(e, ["user_id", "event_type"], x, F.col("value"))
+    return trend_stats(e, ["user_id", "event_type"], x, F.col("value"), wide=True)

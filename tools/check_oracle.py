@@ -95,29 +95,37 @@ def main() -> int:
             continue
         sc, sv = normalize(spark_df)
         dc, dv = normalize(duck_df)
+        # Mirror the driver gate's full three-field contract per row
+        # (rows/schema/hash judged INDEPENDENTLY, so a schema-
+        # preserving row-count bug is NAMED, not folded into the hash):
+        rec = {
+            "rows_match": len(sv) == len(dv),
+            "schema_match": sc == dc,
+            "hash_match": sc == dc and sv == dv,
+            "spark_rows": len(sv),
+            "oracle_rows": len(dv),
+            "err": None,
+        }
         if sc != dc:
-            failures.append(name)
-            results[name] = {
-                "status": "FAIL", "err": f"columns spark={sc} duck={dc}"
-            }
+            rec["status"] = "FAIL"
+            rec["err"] = f"columns spark={sc} duck={dc}"
             print(f"FAIL {name}: columns spark={sc} duck={dc}")
         elif len(sv) != len(dv):
-            failures.append(name)
-            results[name] = {
-                "status": "FAIL", "err": f"rows spark={len(sv)} duck={len(dv)}"
-            }
+            rec["status"] = "FAIL"
+            rec["err"] = f"rows spark={len(sv)} duck={len(dv)}"
             print(f"FAIL {name}: rows spark={len(sv)} duck={len(dv)}")
         elif sv != dv:
-            failures.append(name)
             diff = [(a, b) for a, b in zip(sv, dv) if a != b][:3]
-            results[name] = {"status": "FAIL", "err": f"values differ: {diff}"}
+            rec["status"] = "FAIL"
+            rec["err"] = f"values differ: {diff}"
             print(f"FAIL {name}: values differ; first diffs: {diff}")
         else:
-            results[name] = {
-                "status": "OK", "rows": len(sv),
-                "hash_match": True, "schema_match": True,
-            }
+            rec["status"] = "OK"
+            rec["rows"] = len(sv)
             print(f"OK   {name}: {len(sv)} rows")
+        if rec["status"] == "FAIL":
+            failures.append(name)
+        results[name] = rec
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     if json_out:
         with open(json_out, "w") as f:
