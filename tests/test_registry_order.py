@@ -36,3 +36,26 @@ def test_gate_window_covers_newest_quarter():
 def test_registry_and_registration_order_agree():
     assert set(dq.REGISTRATION_ORDER) == set(dq.QUERIES)
     assert len(dq.REGISTRATION_ORDER) == len(dq.QUERIES)
+
+
+def test_every_registry_query_green_in_some_committed_gate():
+    """Full HISTORICAL gate coverage, made mechanical: the 50-query
+    driver window plus the committed full-registry local runs must
+    have certified every current registry query green at least once.
+    A query that exists but has never sat inside any gate is exactly
+    the blind spot the newest-first interleave is supposed to prevent
+    — this asserts the outcome, not the mechanism."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    import gate_coverage
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = gate_coverage.audit(repo)
+    assert not out["uncovered"], (
+        f"{len(out['uncovered'])} registry queries never green in any "
+        f"committed correctness artifact: {out['uncovered']}"
+    )
