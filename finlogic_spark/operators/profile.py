@@ -546,7 +546,7 @@ def winsorize_stats(
     value_col: str,
     p_lo: float = 0.01,
     p_hi: float = 0.99,
-    exact: bool = True,
+    strategy: str = "compact",
 ) -> DataFrame:
     """Per-group winsorization summary: clip bounds at the p_lo/p_hi
     percentiles, how many rows each bound clipped, and the mean of the
@@ -554,34 +554,59 @@ def winsorize_stats(
     metrics pipeline reports instead of a raw mean that one fat-fingered
     value can drag anywhere.
 
-    Two passes by necessity (the bounds must exist before clipping):
-    a per-group percentile aggregate, broadcast back onto the rows
-    (|groups| is small by construction — these are feature/metric
-    names, not user ids), then one partial-aggregatable pass for the
-    clipped stats. ``exact=True`` uses exact ``percentile`` (full
-    per-group sort — the oracle-parity tier); ``exact=False`` swaps in
-    ``approx_percentile`` (fixed-size sketch, the 100 TB tier — same
-    plan, bounded state).
+    Two strategies, BIT-IDENTICAL output (parity-pinned in tests, the
+    outlier-MAD two-tier discipline):
+
+    - ``"compact"`` (default, the scale tier): ONE scan builds the
+      per-group value-frequency histogram — groupBy(keys, value) with
+      a map-side-combining count, so what shuffles is |distinct (key,
+      value)| rows, not |rows| (measurement values quantize heavily in
+      practice: 100M sf100 event rows compact to ~280k). Exact
+      percentiles then come from cumulative counts over the sorted
+      histogram, reproducing Spark ``percentile``'s interpolation
+      arithmetic step for step (position = p·(n−1) in doubles; at a
+      fractional position, (higher−pos)·v_lo + (pos−lower)·v_hi — the
+      same value→count map walk Percentile does internally), and the
+      clip counts and winsorized mean are count-weighted sums over the
+      SAME histogram — the raw rows are never touched again. Worst
+      case (a truly continuous column, zero compaction) this degrades
+      to an n-row shuffle and a spillable per-group sort — no
+      per-group in-memory percentile buffer at any shape, which the
+      exact tier cannot promise.
+    - ``"exact"`` (the reference tier): per-group exact ``percentile``
+      aggregates (each group's values buffered in the aggregation
+      state), bounds broadcast back onto the rows, one partial-agg
+      pass for the clipped stats. Two full scans; the cross-check the
+      compact tier is pinned against.
 
     Bounds are rounded to 1e-6 BEFORE clipping so the clip decision is
     a property of the data, not of which engine's linear interpolation
     landed 1e-12 away; the clipped mean uses the exact integer-cents
-    sum (order-independent, same discipline as trend_stats).
+    sum under the enforced |cents| < 2³¹ bound (order-independent,
+    same discipline as trend_stats).
+
+    The compact tier lazily localCheckpoints the ~|distinct| histogram
+    so bounds and stats branches share one scan; in a long-lived
+    session scrub with spark.catalog.clearCache() between unrelated
+    jobs (see _hashed_set_verify's cleanup note).
 
     Returns (keys..., p_lo_val, p_hi_val, n, n_clipped_lo,
     n_clipped_hi, win_mean).
     """
+    if strategy not in ("compact", "exact"):
+        raise ValueError(f"unknown winsorize strategy: {strategy!r}")
     v = F.col(value_col)
     # project to (keys, value) before either pass: both the percentile
     # buffers and the second aggregation only ever touch these columns
     base = df.filter(v.isNotNull() & ~F.isnan(v)).select(
         *key_cols, value_col
     )
-    pfun = "percentile" if exact else "approx_percentile"
     r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    if strategy == "compact":
+        return _winsorize_compact(base, key_cols, value_col, p_lo, p_hi, r6)
     bounds = base.groupBy(*key_cols).agg(
-        r6(F.expr(f"{pfun}(`{value_col}`, {p_lo})")).alias("p_lo_val"),
-        r6(F.expr(f"{pfun}(`{value_col}`, {p_hi})")).alias("p_hi_val"),
+        r6(F.expr(f"percentile(`{value_col}`, {p_lo})")).alias("p_lo_val"),
+        r6(F.expr(f"percentile(`{value_col}`, {p_hi})")).alias("p_hi_val"),
     )
     clipped = F.least(F.greatest(v, F.col("p_lo_val")), F.col("p_hi_val"))
     cq = F.floor(clipped * F.lit(100.0) + F.lit(0.5)).cast("long")
@@ -604,6 +629,147 @@ def winsorize_stats(
     )
     return agg.select(
         *key_cols,
+        "p_lo_val",
+        "p_hi_val",
+        "n",
+        "n_clipped_lo",
+        "n_clipped_hi",
+        (
+            _cents_sum_guard("__max_acq", "n", "__scq", "winsorize_stats")
+            / (F.lit(100.0) * F.col("n"))
+        ).alias("win_mean"),
+    )
+
+
+def _winsorize_compact(
+    base: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    p_lo: float,
+    p_hi: float,
+    r6,
+) -> DataFrame:
+    """Compact-histogram winsorize tier (see winsorize_stats): one
+    scan → value-frequency histogram → exact percentiles from
+    cumulative counts → count-weighted clipped stats, all on the
+    compacted frame."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    keys = list(key_cols)
+    v = F.col(value_col)
+    hist = (
+        base.groupBy(*keys, value_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        # both the bounds branch and the stats branch hang off this
+        # frame; without materialization the full-table scan + partial
+        # agg would run twice
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    # each histogram row (one DISTINCT value — the row frame is
+    # tie-free by construction) covers 0-indexed ranks
+    # [cum − c, cum − 1] of the group's sorted values
+    ranked = hist.select(
+        *keys,
+        v.alias("__v"),
+        F.col("__c"),
+        F.sum("__c").over(w_cum).alias("__cum"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+
+    def rank_value(pos):
+        """Conditional-max extraction of the value at 0-indexed rank
+        ``pos`` (a per-group Column): exactly one histogram row's rank
+        range covers it."""
+        lo = F.col("__cum") - F.col("__c")
+        return F.max(
+            F.when((lo <= pos) & (pos < F.col("__cum")), F.col("__v"))
+        )
+
+    def percentile_interp(p: float, tag: str):
+        """Spark Percentile's interpolation, reproduced op for op on
+        the histogram ranks so the compact tier is bit-identical to
+        the exact tier: position = p·(n−1) (doubles); an integral
+        position returns that value, a fractional one returns
+        (higher−pos)·v_lo + (pos−lower)·v_hi."""
+        pos = F.lit(p) * (F.col("__n") - F.lit(1)).cast("double")
+        lower = F.floor(pos).cast("long")
+        higher = F.ceil(pos).cast("long")
+        return {
+            f"__l_{tag}": lower,
+            f"__h_{tag}": higher,
+            f"__pos_{tag}": pos,
+        }
+
+    lo_cols = percentile_interp(p_lo, "lo")
+    hi_cols = percentile_interp(p_hi, "hi")
+    with_pos = ranked.select(
+        "*", *[c.alias(a) for a, c in {**lo_cols, **hi_cols}.items()]
+    )
+    agg_bounds = with_pos.groupBy(*keys).agg(
+        rank_value(F.col("__l_lo")).alias("__v_ll"),
+        rank_value(F.col("__h_lo")).alias("__v_lh"),
+        rank_value(F.col("__l_hi")).alias("__v_hl"),
+        rank_value(F.col("__h_hi")).alias("__v_hh"),
+        F.max("__l_lo").alias("__l_lo"),
+        F.max("__h_lo").alias("__h_lo"),
+        F.max("__pos_lo").alias("__pos_lo"),
+        F.max("__l_hi").alias("__l_hi"),
+        F.max("__h_hi").alias("__h_hi"),
+        F.max("__pos_hi").alias("__pos_hi"),
+    )
+
+    def interp(tag: str):
+        l, h, pos = F.col(f"__l_{tag}"), F.col(f"__h_{tag}"), F.col(f"__pos_{tag}")
+        vl, vh = F.col(f"__v_{tag[0]}l"), F.col(f"__v_{tag[0]}h")
+        return F.when(l == h, vl).otherwise(
+            (h.cast("double") - pos) * vl + (pos - l.cast("double")) * vh
+        )
+
+    bounds = agg_bounds.select(
+        *keys,
+        r6(interp("lo")).alias("p_lo_val"),
+        r6(interp("hi")).alias("p_hi_val"),
+    )
+    # clipped stats from the SAME histogram: every row with value v
+    # contributes identically, so per-row sums become count-weighted
+    # sums over distinct values — the raw table is never re-read
+    clipped = F.least(
+        F.greatest(F.col("__v"), F.col("p_lo_val")), F.col("p_hi_val")
+    )
+    cq = F.floor(clipped * F.lit(100.0) + F.lit(0.5)).cast("long")
+    agg = (
+        hist.join(F.broadcast(bounds), keys)
+        .select(
+            *keys, F.col(value_col).alias("__v"), "__c", "p_lo_val", "p_hi_val"
+        )
+        .groupBy(*keys)
+        .agg(
+            F.first("p_lo_val").alias("p_lo_val"),
+            F.first("p_hi_val").alias("p_hi_val"),
+            F.sum("__c").alias("n"),
+            F.sum(
+                F.when(F.col("__v") < F.col("p_lo_val"), F.col("__c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_clipped_lo"),
+            F.sum(
+                F.when(F.col("__v") > F.col("p_hi_val"), F.col("__c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_clipped_hi"),
+            F.sum(F.try_multiply(F.col("__c"), cq)).alias("__scq"),
+            F.max(F.abs(cq)).alias("__max_acq"),
+        )
+    )
+    return agg.select(
+        *keys,
         "p_lo_val",
         "p_hi_val",
         "n",

@@ -61,17 +61,40 @@ def test_winsorize_stats_golden(spark):
     assert r["p_hi_val"] < 10_000.0
 
 
-def test_winsorize_approx_tier_same_shape(spark):
-    """exact=False (approx_percentile sketch) returns the same schema
-    and clips plausibly — the bounded-state tier for corpus scale."""
+def test_winsorize_tier_parity(spark):
+    """The compact-histogram tier must be BIT-IDENTICAL to the exact
+    percentile() tier — same interpolation arithmetic, same integer-
+    cents mean — across tied values, skewed groups, fractional
+    interpolation positions, and a single-row group (the outlier-MAD
+    two-strategy discipline)."""
+    import random
+
     from finlogic_spark.operators.profile import winsorize_stats
 
-    rows = [("g", float(i % 97)) for i in range(2000)]
+    rng = random.Random(71)
+    rows = (
+        # heavy ties (quantized cents), one group
+        [("a", round(rng.uniform(0, 50), 2)) for _ in range(600)]
+        # continuous doubles, fractional positions guaranteed
+        + [("b", rng.uniform(-100, 100)) for _ in range(457)]
+        # tiny group: n=1 (position 0 on both percentiles)
+        + [("c", 42.17)]
+        # constant group
+        + [("d", 5.0)] * 31
+    )
     df = spark.createDataFrame(rows, "k string, v double")
-    exact = winsorize_stats(df, ["k"], "v").collect()[0]
-    approx = winsorize_stats(df, ["k"], "v", exact=False).collect()[0]
-    assert exact.asDict().keys() == approx.asDict().keys()
-    assert abs(exact["win_mean"] - approx["win_mean"]) < 2.0
+    for p_lo, p_hi in [(0.01, 0.99), (0.25, 0.75), (0.0, 1.0)]:
+        exact = sorted(
+            winsorize_stats(
+                df, ["k"], "v", p_lo, p_hi, strategy="exact"
+            ).collect(),
+            key=lambda r: r["k"],
+        )
+        compact = sorted(
+            winsorize_stats(df, ["k"], "v", p_lo, p_hi).collect(),
+            key=lambda r: r["k"],
+        )
+        assert [r.asDict() for r in exact] == [r.asDict() for r in compact]
 
 
 def test_twap_single_shuffle_plan(spark):
