@@ -94,6 +94,7 @@ def time_weighted_avg(
     value_col: str,
     tiebreak_cols: Sequence[str] = (),
     bucket: str = "day",
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Step-function TWAP over irregularly sampled values: within each
     (keys..., bucket) the value holds from its own timestamp until the
@@ -106,6 +107,22 @@ def time_weighted_avg(
     Shape: ONE window (lead over the in-bucket order gives each
     sample's holding duration) + ONE partial-aggregatable groupBy — no
     joins, no second pass; the shuffle carries the group keys only.
+
+    ``bucket_col``: the layout lever. By default the bucket is the
+    derived expression date_trunc(bucket, ts) — opaque to the planner,
+    so the window always pays one hash exchange + sort. A table
+    materialized with the truncated timestamp as a STORED column and
+    written bucketed+sorted by (keys..., bucket_col[, ts, tiebreaks])
+    (sources.write_bucketed) lets the planner prove the scan already
+    satisfies both the window's partitioning (bucket HashPartitioning
+    on a subset of the partition keys) and its ordering (single-file
+    buckets carry their sortBy order; reporting it needs
+    spark.sql.legacy.bucketedTableScan.outputOrdering=true, off by
+    default only because multi-file buckets would need a merge) — the
+    ENTIRE plan runs exchange-free and sort-free off the layout
+    (pinned in tests/test_storage.py). The caller promises bucket_col
+    == date_trunc(bucket, ts_col); ``bucket`` still names the unit
+    for the end-of-bucket duration of each group's last sample.
 
     Determinism: the integral is Σ value_cents·dur_seconds — both exact
     integers, so aggregation order can't perturb the sum (same
@@ -129,11 +146,22 @@ def time_weighted_avg(
     # tiebreak, value) — not every wide column the caller's frame
     # happens to have. Column pruning below a Window is not a rewrite
     # to gamble 5x shuffle bytes on.
-    base = (
-        df.filter(v.isNotNull() & ~F.isnan(v))
-        .select(*key_cols, ts_col, *tiebreak_cols, value_col)
-        .withColumn("__bkt", F.date_trunc(bucket, F.col(ts_col)))
-    )
+    filtered = df.filter(v.isNotNull() & ~F.isnan(v))
+    if bucket_col is None:
+        base = filtered.select(
+            *key_cols, ts_col, *tiebreak_cols, value_col
+        ).withColumn("__bkt", F.date_trunc(bucket, F.col(ts_col)))
+    else:
+        # the stored column IS the attribute the table is bucketed on —
+        # aliasing (not recomputing) preserves the planner's ability to
+        # match it against the scan's output partitioning/ordering
+        base = filtered.select(
+            *key_cols,
+            F.col(bucket_col).alias("__bkt"),
+            ts_col,
+            *tiebreak_cols,
+            value_col,
+        )
     w = Window.partitionBy(*key_cols, "__bkt").orderBy(
         F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]
     )

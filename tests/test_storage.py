@@ -129,6 +129,67 @@ def test_bucketed_window_and_group_no_shuffle(spark, sf_dir):
     )
 
 
+def test_bucketed_twap_no_exchange_no_sort(spark, sf_dir):
+    """Layout-assisted TWAP: on a table whose truncated timestamp is a
+    STORED column and which is written bucketed+sorted by
+    (event_type, bkt_day, ts, event_id), time_weighted_avg's window
+    must ride the layout completely — ZERO exchanges (bucket
+    HashPartitioning on a subset of the window partition keys) AND
+    ZERO sorts (single-file buckets carry their sortBy order, which is
+    exactly the window's required ordering). The operator is sort-
+    bound by design on a flat layout, so this is its 100 TB answer.
+
+    Sort elision needs spark.sql.legacy.bucketedTableScan.outputOrdering
+    — off by default since 3.0 because a MULTI-file bucket would need a
+    merge to honor its sortBy; our one-file-per-bucket writes (the
+    repartition-before-write discipline) are exactly the case the conf
+    exists for. Exchange elision holds with or without it."""
+    import re
+
+    from finlogic_spark.operators.windows import time_weighted_avg
+
+    e = _t(spark, sf_dir, "events")
+    write_bucketed(
+        e.withColumn("bkt_day", F.date_trunc("day", F.col("ts"))).repartition(
+            8, F.col("event_type"), F.col("bkt_day")
+        ),
+        "t_events_twap",
+        ["event_type", "bkt_day"],
+        8,
+        sort_cols=["event_type", "bkt_day", "ts", "event_id"],
+    )
+    conf_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    prev = spark.conf.get(conf_key, "false")
+    spark.conf.set(conf_key, "true")
+    try:
+        eb = spark.table("t_events_twap")
+        out = time_weighted_avg(
+            eb,
+            ["event_type"],
+            "ts",
+            "value",
+            tiebreak_cols=["event_id"],
+            bucket_col="bkt_day",
+        )
+        assert plans.count_shuffles(out) == 0
+        sorts = [
+            line
+            for line in plans.formatted_plan(out).splitlines()
+            if re.match(r"^\(\d+\) Sort\b", line.strip())
+        ]
+        assert not sorts, f"window should ride the bucket sort: {sorts}"
+        # same values as the flat derived-bucket path
+        flat = time_weighted_avg(
+            e, ["event_type"], "ts", "value", tiebreak_cols=["event_id"]
+        )
+        key = lambda r: (r["event_type"], r["bucket_start"])  # noqa: E731
+        got = sorted(out.collect(), key=key)
+        want = sorted(flat.collect(), key=key)
+        assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    finally:
+        spark.conf.set(conf_key, prev)
+
+
 def test_fact_layout_partition_pruning(spark, fixture_dir, tmp_path):
     from finlogic_spark import plans
     from finlogic_spark.sources import write_fact_layout
