@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     # round 10: irregular-sample TWAP, outlier-robust winsorized stats
     "events_twap",
     "events_winsorize",
+    "events_kll_quantiles",
 ]
 
 

@@ -6231,6 +6231,70 @@ def events_winsorize(spark, sf_dir):
     ).orderBy("event_type")
 
 
+@q(
+    "events_kll_quantiles",
+    """
+    -- Property-style oracle (same pattern as approx_quantiles /
+    -- approx_distinct): KLL sketch ESTIMATES are partitioning-specific,
+    -- but the sketch carries a rank-error guarantee — the estimate's
+    -- exact rank must land within eps*n of the requested rank. The ok
+    -- flags assert exactly that band on the Spark side; the exact
+    -- percentiles and group counts compare directly.
+    SELECT event_type,
+           floor(quantile_cont(value, 0.5) * 100.0 + 0.5) / 100.0
+             AS exact_median,
+           floor(quantile_cont(value, 0.99) * 100.0 + 0.5) / 100.0
+             AS exact_p99,
+           count(*) AS n,
+           TRUE AS p50_ok,
+           TRUE AS p99_ok
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+    GROUP BY 1 ORDER BY event_type
+    """,
+)
+def events_kll_quantiles(spark, sf_dir):
+    # Mergeable per-group KLL quantile sketch as a distributed
+    # aggregate (operators/sketch.py): map-side partial sketches per
+    # (input partition, group), a sketch-only shuffle (KBs per group,
+    # never rows), reduce-side merge + quantile extraction. The rank
+    # band is checked EXACTLY: the estimate is an item of the group, so
+    # its possible ranks are [count(<est), count(<=est)]; the flag
+    # asserts that interval intersects [p-eps, p+eps]*n with eps=0.02
+    # (k=200; randomized-KLL 99%-confidence bound is 2.3/k ~ 0.0115,
+    # widened for the deterministic-parity variant).
+    from finlogic_spark.operators.sketch import kll_group_quantiles
+
+    eps = 0.02
+    e = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    base = e.filter(v.isNotNull() & ~F.isnan(v)).select("event_type", "value")
+    est = kll_group_quantiles(base, ["event_type"], "value", [0.5, 0.99])
+    est_w = est.groupBy("event_type").agg(
+        F.max(F.when(F.col("prob") == 0.5, F.col("value"))).alias("kll_p50"),
+        F.max(F.when(F.col("prob") == 0.99, F.col("value"))).alias("kll_p99"),
+    )
+
+    def band_ok(p: float, est_col: str):
+        lt = F.sum(F.when(v < F.col(est_col), 1).otherwise(0))
+        le = F.sum(F.when(v <= F.col(est_col), 1).otherwise(0))
+        n = F.count(F.lit(1))
+        return (lt <= (p + eps) * n) & (le >= (p - eps) * n)
+
+    return (
+        base.join(F.broadcast(est_w), "event_type")
+        .groupBy("event_type")
+        .agg(
+            rN(F.percentile("value", F.lit(0.5)), 2).alias("exact_median"),
+            rN(F.percentile("value", F.lit(0.99)), 2).alias("exact_p99"),
+            F.count(F.lit(1)).alias("n"),
+            band_ok(0.5, "kll_p50").alias("p50_ok"),
+            band_ok(0.99, "kll_p99").alias("p99_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------

@@ -1,0 +1,224 @@
+"""Mergeable per-group quantile sketch (KLL) as a first-class
+distributed aggregate — the missing primitive behind every percentile-
+shaped operator in this engine (winsorize bounds, MAD outliers,
+resample bands) once a single group no longer fits one pass of exact
+percentile state.
+
+Algorithm: KLL (Karnin, Lang, Liberty — "Optimal Quantile
+Approximation in Streams", FOCS'16), the compactor-hierarchy sketch
+Apache DataSketches ships as its production quantile sketch. A sketch
+is a stack of levels; items at level l carry weight 2^l; when a level
+overflows its capacity (k·c^depth, c = 2/3, floor 2) it is sorted and
+every other item is promoted one level up. Size is O(k·log(n/k)) —
+a few KB for k=200 at any n — and two sketches MERGE by level-wise
+concatenation + the same compaction, which is what makes it a
+distributed aggregate rather than a percentile buffer:
+
+    map side:    one sketch per (input partition, group)   [mapInPandas]
+    shuffle:     sketches only — KBs per group, never rows
+    reduce side: merge sketches per group, read quantiles  [applyInPandas]
+
+This mirrors exactly how Spark's own approx_percentile UDAF
+partial-aggregates, but with the sketch exposed as a value the caller
+can persist, ship, and merge across days/tables — the property a
+100 TB rollup pipeline needs (today's sketch + yesterday's sketch =
+the week's percentiles without re-reading either day).
+
+Arrow batching note: this is one of the justified Pandas-UDF sites
+(like the k-means distance kernel) — the per-item compactor loop is
+imperative by nature; the DataFrame API has no mergeable-sketch
+aggregate to compose. The map side walks each Arrow batch as numpy
+arrays (bulk level-0 append + vectorized sorts), never per-row Python.
+
+Determinism: compaction parity alternates per level instead of the
+paper's coin flip — the sketch is then a deterministic function of
+(partitioning, batch order), and the rank-error guarantee (ε ≈ 2.3/k
+at 99% confidence for the randomized variant; the deterministic
+parity behaves equivalently on non-adversarial data and is the
+DataSketches default test mode) is validated property-style in the
+registry oracle: the estimate must land inside the exact
+[p−ε̄, p+ε̄] rank band. Different partitionings may yield different
+(all valid) estimates — same contract as approx_percentile.
+
+Reference parity note: the reference engine (crdcj/FinLogic) has no
+sketch operator; this is an engine-scope addition per SURVEY §2.10.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_C = 2.0 / 3.0  # KLL level-capacity decay
+
+
+class KLL:
+    """Plain-python/numpy KLL compactor stack. Levels are numpy float64
+    arrays; ``levels[l]`` items carry weight 2**l. Not thread-safe; one
+    instance per (partition, group)."""
+
+    __slots__ = ("k", "n", "levels", "parity")
+
+    def __init__(self, k: int = 200):
+        if k < 8:
+            raise ValueError("k < 8 gives useless error bounds")
+        self.k = k
+        self.n = 0
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.parity: list[bool] = [False]
+
+    def _cap(self, level: int) -> int:
+        depth = len(self.levels) - 1 - level
+        return max(2, int(self.k * (_C ** depth)))
+
+    def extend(self, values: np.ndarray) -> None:
+        """Bulk append (one Arrow batch's worth) then restore the size
+        invariant — the hot path stays vectorized."""
+        if values.size == 0:
+            return
+        self.levels[0] = np.concatenate([self.levels[0], values])
+        self.n += int(values.size)
+        self._compress()
+
+    def _compress(self) -> None:
+        total_cap = sum(self._cap(l) for l in range(len(self.levels)))
+        while sum(a.size for a in self.levels) > total_cap:
+            for l in range(len(self.levels)):
+                if self.levels[l].size > self._cap(l):
+                    srt = np.sort(self.levels[l])
+                    off = 1 if self.parity[l] else 0
+                    self.parity[l] = not self.parity[l]
+                    promoted = srt[off::2]
+                    self.levels[l] = np.empty(0, dtype=np.float64)
+                    if l + 1 == len(self.levels):
+                        self.levels.append(np.empty(0, dtype=np.float64))
+                        self.parity.append(False)
+                    self.levels[l + 1] = np.concatenate(
+                        [self.levels[l + 1], promoted]
+                    )
+                    break
+            else:  # no level over its own cap: grow top by compacting 0
+                break
+            total_cap = sum(self._cap(l) for l in range(len(self.levels)))
+
+    def merge(self, other: "KLL") -> "KLL":
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+            self.parity.append(False)
+        for l, arr in enumerate(other.levels):
+            if arr.size:
+                self.levels[l] = np.concatenate([self.levels[l], arr])
+        self.n += other.n
+        self._compress()
+        return self
+
+    def quantiles(self, probs: Sequence[float]) -> list[float]:
+        """Estimate each prob's quantile: smallest sketch item whose
+        cumulative weight reaches prob·n (rank convention shared with
+        the validation band; within ε any convention is equivalent)."""
+        items = np.concatenate([a for a in self.levels if a.size])
+        weights = np.concatenate(
+            [
+                np.full(a.size, 1 << l, dtype=np.int64)
+                for l, a in enumerate(self.levels)
+                if a.size
+            ]
+        )
+        order = np.argsort(items, kind="stable")
+        items, weights = items[order], weights[order]
+        cum = np.cumsum(weights)
+        out = []
+        for p in probs:
+            target = p * self.n
+            idx = int(np.searchsorted(cum, target, side="left"))
+            out.append(float(items[min(idx, items.size - 1)]))
+        return out
+
+    # --- interchange with Spark rows: (k, n, items, lvls) ---
+
+    def to_parts(self) -> tuple[int, int, list[float], list[int]]:
+        items: list[float] = []
+        lvls: list[int] = []
+        for l, a in enumerate(self.levels):
+            items.extend(float(x) for x in a)
+            lvls.extend([l] * a.size)
+        return self.k, self.n, items, lvls
+
+    @classmethod
+    def from_parts(cls, k: int, n: int, items, lvls) -> "KLL":
+        s = cls(k)
+        s.n = int(n)
+        items = np.asarray(items, dtype=np.float64)
+        lvls = np.asarray(lvls, dtype=np.int64)
+        top = int(lvls.max()) if lvls.size else 0
+        s.levels = [items[lvls == l] for l in range(top + 1)]
+        s.parity = [False] * (top + 1)
+        return s
+
+
+def kll_group_quantiles(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    probs: Sequence[float],
+    k: int = 200,
+) -> DataFrame:
+    """Per-group quantile estimates via distributed KLL: map-side
+    partial sketches (one per input partition per group), a
+    sketch-only shuffle, reduce-side merge + extraction.
+
+    Returns (keys..., prob, value) — one row per group per requested
+    prob. The raw rows shuffle NOWHERE: the only exchange carries
+    O(partitions·groups) sketch rows of O(k·log(n/k)) doubles each.
+    """
+    keys = list(key_cols)
+    probs = [float(p) for p in probs]
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull() & ~F.isnan(v)).select(*keys, value_col)
+    types = {f.name: f.dataType.simpleString() for f in base.schema.fields}
+    key_fields = ", ".join(f"`{name}` {types[name]}" for name in keys)
+    sketch_schema = (
+        f"{key_fields}, __k int, __n bigint, "
+        "__items array<double>, __lvls array<int>"
+    )
+
+    def build_partials(batches):
+        import pandas as pd
+
+        sketches: dict[tuple, KLL] = {}
+        for pdf in batches:
+            vals = pdf[value_col].to_numpy(dtype=np.float64)
+            grouped = pdf.groupby(keys, sort=False, dropna=False).indices
+            for gkey, idx in grouped.items():
+                if not isinstance(gkey, tuple):
+                    gkey = (gkey,)
+                sketches.setdefault(gkey, KLL(k)).extend(vals[idx])
+        rows = []
+        for gkey, s in sketches.items():
+            kk, n, items, lvls = s.to_parts()
+            rows.append((*gkey, kk, n, items, lvls))
+        cols = keys + ["__k", "__n", "__items", "__lvls"]
+        yield pd.DataFrame(rows, columns=cols)
+
+    partials = base.mapInPandas(build_partials, schema=sketch_schema)
+
+    out_fields = key_fields + ", prob double, value double"
+
+    def merge_extract(pdf):
+        import pandas as pd
+
+        merged: KLL | None = None
+        for _, row in pdf.iterrows():
+            s = KLL.from_parts(row["__k"], row["__n"], row["__items"], row["__lvls"])
+            merged = s if merged is None else merged.merge(s)
+        gkey = [pdf.iloc[0][c] for c in keys]
+        qs = merged.quantiles(probs)
+        return pd.DataFrame(
+            [(*gkey, p, q) for p, q in zip(probs, qs)],
+            columns=keys + ["prob", "value"],
+        )
+
+    return partials.groupBy(*keys).applyInPandas(merge_extract, schema=out_fields)

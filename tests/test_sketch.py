@@ -1,0 +1,122 @@
+"""KLL mergeable quantile sketch (operators/sketch.py).
+
+Pins: (1) rank-error bound on single-stream builds across
+distributions, (2) merge-of-chunks lands in the same band (the
+distributed-aggregate property), (3) determinism for a fixed input
+order, (4) parts round-trip, (5) the Spark aggregate end-to-end with
+multi-key groups, (6) sketch size stays O(k log n/k).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from finlogic_spark.operators.sketch import KLL, kll_group_quantiles
+
+EPS = 0.02  # k=200 band used by the registry oracle
+PROBS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _rank_err(values: np.ndarray, est: float, p: float) -> float:
+    """Distance from p to the estimate's feasible exact-rank interval."""
+    n = values.size
+    lo = float(np.sum(values < est)) / n
+    hi = float(np.sum(values <= est)) / n
+    if lo <= p <= hi:
+        return 0.0
+    return min(abs(p - lo), abs(p - hi))
+
+
+@pytest.mark.parametrize(
+    "dist",
+    ["uniform", "lognormal", "sorted", "reversed", "ties"],
+)
+def test_kll_rank_bound_single_stream(dist):
+    rng = np.random.RandomState(7)
+    n = 50_000
+    if dist == "uniform":
+        vals = rng.uniform(0, 1000, n)
+    elif dist == "lognormal":
+        vals = rng.lognormal(3.0, 2.0, n)
+    elif dist == "sorted":
+        vals = np.sort(rng.uniform(0, 1000, n))
+    elif dist == "reversed":
+        vals = np.sort(rng.uniform(0, 1000, n))[::-1].copy()
+    else:  # heavy ties: 100 distinct values
+        vals = rng.randint(0, 100, n).astype(np.float64)
+    s = KLL(200)
+    # feed in Arrow-batch-sized chunks like mapInPandas would
+    for i in range(0, n, 8192):
+        s.extend(vals[i : i + 8192])
+    assert s.n == n
+    for p, est in zip(PROBS, s.quantiles(PROBS)):
+        assert _rank_err(vals, est, p) <= EPS, (dist, p)
+
+
+def test_kll_merge_matches_band_and_counts():
+    rng = np.random.RandomState(11)
+    chunks = [rng.lognormal(2.0, 1.5, 7000) for _ in range(12)]
+    full = np.concatenate(chunks)
+    merged = KLL(200)
+    for c in chunks:
+        part = KLL(200)
+        part.extend(c)
+        merged.merge(part)
+    assert merged.n == full.size
+    for p, est in zip(PROBS, merged.quantiles(PROBS)):
+        assert _rank_err(full, est, p) <= EPS, p
+
+
+def test_kll_deterministic_and_roundtrip():
+    rng = np.random.RandomState(3)
+    vals = rng.uniform(-5, 5, 30_000)
+    a, b = KLL(200), KLL(200)
+    for i in range(0, vals.size, 4096):
+        a.extend(vals[i : i + 4096])
+        b.extend(vals[i : i + 4096])
+    assert a.to_parts() == b.to_parts()
+    k, n, items, lvls = a.to_parts()
+    c = KLL.from_parts(k, n, items, lvls)
+    assert c.n == a.n
+    assert c.quantiles(PROBS) == a.quantiles(PROBS)
+
+
+def test_kll_size_stays_logarithmic():
+    rng = np.random.RandomState(5)
+    s = KLL(200)
+    for _ in range(40):
+        s.extend(rng.uniform(0, 1, 25_000))
+    stored = sum(a.size for a in s.levels)
+    assert s.n == 1_000_000
+    assert stored < 3_000  # O(k log(n/k)) — ~KBs, never the stream
+
+
+def test_kll_group_quantiles_spark(spark):
+    rng = np.random.RandomState(17)
+    rows = []
+    for g in ("a", "b", "c"):
+        scale = {"a": 1.0, "b": 50.0, "c": 0.01}[g]
+        for x in rng.lognormal(1.0, 1.0, 4000) * scale:
+            rows.append((g, 1, float(x)))
+    # nulls/nans must be ignored, not crash
+    rows += [("a", 1, None), ("b", 1, float("nan"))]
+    df = spark.createDataFrame(rows, "grp string, sub int, value double")
+    out = kll_group_quantiles(df, ["grp", "sub"], "value", [0.25, 0.5, 0.9])
+    got = {(r["grp"], r["sub"], r["prob"]): r["value"] for r in out.collect()}
+    assert len(got) == 9
+    by_g = {g: np.array([v for (gg, _, v) in rows if gg == g and v == v and v is not None])
+            for g in ("a", "b", "c")}
+    for (g, sub, p), est in got.items():
+        assert sub == 1
+        assert _rank_err(by_g[g], est, p) <= EPS, (g, p)
+
+
+def test_kll_group_quantiles_registry_query(spark, sf_dir):
+    from finlogic_spark.driver_queries import QUERIES
+
+    rows = QUERIES["events_kll_quantiles"](spark, sf_dir).collect()
+    assert rows, "no groups"
+    for r in rows:
+        assert r["p50_ok"] and r["p99_ok"], r["event_type"]
