@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "events_twap",
     "events_winsorize",
     "events_kll_quantiles",
+    "doc_dsir_select",
 ]
 
 

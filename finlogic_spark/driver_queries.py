@@ -1927,15 +1927,15 @@ def stream_user_profiles(spark, sf_dir):
     # collapses multi-batch update-mode emissions to each user's final
     # profile (n_events is monotonic), so the result is independent of
     # micro-batch boundaries.
-    from finlogic_spark.streaming import read_events_stream, run_to_memory_sink
+    from finlogic_spark.streaming import read_events_stream, drain_stream_to_df
     from finlogic_spark.streaming.stateful import user_profile_stream
 
     stream = read_events_stream(spark, sf_dir)
-    handle = run_to_memory_sink(
-        user_profile_stream(stream), "q_user_profiles", output_mode="update"
+    # scale-safe drain (see stream_resample_ffill): executor-side
+    # parquet per batch instead of driver-accumulating memory sink
+    profiles = drain_stream_to_df(
+        user_profile_stream(stream), output_mode="update"
     )
-    handle.stop()
-    profiles = spark.table("q_user_profiles")
     return keep_last(profiles, ["user_id"], ["n_events"]).orderBy("user_id")
 
 
@@ -5264,17 +5264,18 @@ def stream_resample_ffill(spark, sf_dir):
     # keep_last over (key, bucket) by the monotonic n_obs collapses the
     # open bucket's tentative update-mode re-emissions, so the result
     # is micro-batch-boundary independent and equals the batch SQL.
-    from finlogic_spark.streaming import read_events_stream, run_to_memory_sink
+    from finlogic_spark.streaming import read_events_stream, drain_stream_to_df
     from finlogic_spark.streaming.stateful import resample_ffill_stream
 
     stream = read_events_stream(spark, sf_dir).filter(
         F.col("user_id") % 20 == 0
     )
-    handle = run_to_memory_sink(
-        resample_ffill_stream(stream), "q_resample_ffill", output_mode="update"
+    # foreachBatch parquet drain, NOT the memory sink: update-mode
+    # emissions accumulate in driver memory under a memory sink, which
+    # dies on spark.driver.maxResultSize at sf100 (probe-caught)
+    rows = drain_stream_to_df(
+        resample_ffill_stream(stream), output_mode="update"
     )
-    handle.stop()
-    rows = spark.table("q_resample_ffill")
     # Batch-twin precondition: the stateful op drops events that arrive
     # below a key's open bucket, while the SQL twin folds ALL events in.
     # Every emitted row carries the key's cumulative dropped count, so
@@ -6093,17 +6094,18 @@ def stream_trend_slope(spark, sf_dir):
     # drained sink, where a live dashboard would re-derive slopes.
     from finlogic_spark.operators.profile import ols_finish
     from finlogic_spark.streaming import (
+        drain_stream_to_df,
         read_events_stream,
-        run_to_memory_sink,
         trend_stats_stream,
     )
 
     stream = read_events_stream(spark, sf_dir)
-    handle = run_to_memory_sink(
-        trend_stats_stream(stream), "q_trend_stats", output_mode="complete"
+    # complete-mode drain keeps only the final batch's directory (each
+    # batch re-emits the whole aggregate); executor-side writes, no
+    # driver-sized memory-sink table
+    stats = drain_stream_to_df(
+        trend_stats_stream(stream), output_mode="complete"
     )
-    handle.stop()
-    stats = spark.table("q_trend_stats")
     out = ols_finish(stats, ["user_id", "event_type"])
     return out.select(
         "user_id",
@@ -6255,44 +6257,127 @@ def events_winsorize(spark, sf_dir):
 )
 def events_kll_quantiles(spark, sf_dir):
     # Mergeable per-group KLL quantile sketch as a distributed
-    # aggregate (operators/sketch.py): map-side partial sketches per
-    # (input partition, group), a sketch-only shuffle (KBs per group,
-    # never rows), reduce-side merge + quantile extraction. The rank
-    # band is checked EXACTLY: the estimate is an item of the group, so
-    # its possible ranks are [count(<est), count(<=est)]; the flag
-    # asserts that interval intersects [p-eps, p+eps]*n with eps=0.02
-    # (k=200; randomized-KLL 99%-confidence bound is 2.3/k ~ 0.0115,
-    # widened for the deterministic-parity variant).
+    # aggregate (operators/sketch.py), validated against exact rank
+    # bands. ONE data-sized pass: the value-frequency histogram
+    # (map-side-combining groupBy — sf100's 100M rows compact to
+    # ~280k) feeds (a) the sketch via binary-weight insertion, (b) the
+    # exact interpolated percentiles (histogram_percentiles — the
+    # winsorize-pinned arithmetic, bit-identical to percentile()),
+    # (c) the band counts. The band is checked EXACTLY: the estimate
+    # is an item of the group, so its possible ranks are
+    # [count(<est), count(<=est)]; the flag asserts that interval
+    # intersects [p-eps, p+eps]*n with eps=0.02 (k=200;
+    # randomized-KLL 99%-confidence bound is 2.3/k ~ 0.0115, widened
+    # for the deterministic-parity variant).
+    from pyspark.storagelevel import StorageLevel
+
+    from finlogic_spark.operators.profile import histogram_percentiles
     from finlogic_spark.operators.sketch import kll_group_quantiles
 
     eps = 0.02
     e = _t(spark, sf_dir, "events")
     v = F.col("value")
     base = e.filter(v.isNotNull() & ~F.isnan(v)).select("event_type", "value")
-    est = kll_group_quantiles(base, ["event_type"], "value", [0.5, 0.99])
+    hist = (
+        base.groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        # sketch, percentile, and band branches share this frame
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    est = kll_group_quantiles(
+        hist, ["event_type"], "value", [0.5, 0.99], weight_col="__c"
+    )
     est_w = est.groupBy("event_type").agg(
         F.max(F.when(F.col("prob") == 0.5, F.col("value"))).alias("kll_p50"),
         F.max(F.when(F.col("prob") == 0.99, F.col("value"))).alias("kll_p99"),
     )
-
-    def band_ok(p: float, est_col: str):
-        lt = F.sum(F.when(v < F.col(est_col), 1).otherwise(0))
-        le = F.sum(F.when(v <= F.col(est_col), 1).otherwise(0))
-        n = F.count(F.lit(1))
-        return (lt <= (p + eps) * n) & (le >= (p - eps) * n)
-
-    return (
-        base.join(F.broadcast(est_w), "event_type")
+    pct = histogram_percentiles(
+        hist, ["event_type"], "value", "__c",
+        {"exact_median": 0.5, "exact_p99": 0.99},
+    )
+    band = (
+        hist.join(F.broadcast(est_w), "event_type")
         .groupBy("event_type")
         .agg(
-            rN(F.percentile("value", F.lit(0.5)), 2).alias("exact_median"),
-            rN(F.percentile("value", F.lit(0.99)), 2).alias("exact_p99"),
-            F.count(F.lit(1)).alias("n"),
-            band_ok(0.5, "kll_p50").alias("p50_ok"),
-            band_ok(0.99, "kll_p99").alias("p99_ok"),
+            F.sum("__c").alias("n"),
+            F.sum(F.when(v < F.col("kll_p50"), F.col("__c")).otherwise(0)).alias("__lt50"),
+            F.sum(F.when(v <= F.col("kll_p50"), F.col("__c")).otherwise(0)).alias("__le50"),
+            F.sum(F.when(v < F.col("kll_p99"), F.col("__c")).otherwise(0)).alias("__lt99"),
+            F.sum(F.when(v <= F.col("kll_p99"), F.col("__c")).otherwise(0)).alias("__le99"),
+        )
+    )
+
+    def band_ok(p: float, lt: str, le: str):
+        n = F.col("n")
+        return (F.col(lt) <= (p + eps) * n) & (F.col(le) >= (p - eps) * n)
+
+    return (
+        pct.join(band, "event_type")
+        .select(
+            "event_type",
+            rN(F.col("exact_median"), 2).alias("exact_median"),
+            rN(F.col("exact_p99"), 2).alias("exact_p99"),
+            "n",
+            band_ok(0.5, "__lt50", "__le50").alias("p50_ok"),
+            band_ok(0.99, "__lt99", "__le99").alias("p99_ok"),
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "doc_dsir_select",
+    f"""
+    -- DSIR (Xie et al., NeurIPS'23) deterministic MAP mode: top-k raw
+    -- docs by add-alpha-smoothed unigram likelihood ratio against the
+    -- lang='en' exemplar corpus. Per-token log-ratios floored to
+    -- integer micro-nats once, so each doc's weight is an exact
+    -- integer sum on both engines and the top-100 cut is stable.
+    WITH tok AS (SELECT doc_id, lang, unnest({_TOKS_SQL}) AS token
+                 FROM documents),
+    craw AS (SELECT token, count(*) AS n_raw FROM tok GROUP BY 1),
+    ctgt AS (SELECT token, count(*) AS n_tgt FROM tok
+             WHERE lang = 'en' GROUP BY 1),
+    vocab AS (SELECT token, n_raw, coalesce(n_tgt, 0) AS n_tgt
+              FROM craw LEFT JOIN ctgt USING (token)),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS v,
+                   CAST(sum(n_raw) AS DOUBLE) AS traw,
+                   CAST(sum(n_tgt) AS DOUBLE) AS ttgt
+            FROM vocab),
+    lw AS (SELECT token,
+             CAST(floor(ln((n_tgt + 0.5) / (ttgt + 0.5 * v))
+                        * 1000000.0) AS BIGINT)
+           - CAST(floor(ln((n_raw + 0.5) / (traw + 0.5 * v))
+                        * 1000000.0) AS BIGINT) AS lwq
+           FROM vocab, tot),
+    s AS (SELECT doc_id, count(*) AS n_tokens, SUM(lwq) AS slwq
+          FROM tok JOIN lw USING (token) GROUP BY 1)
+    SELECT doc_id, n_tokens,
+           floor((CAST(slwq AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS log_weight
+    FROM s ORDER BY slwq DESC, doc_id LIMIT 100
+    """,
+)
+def doc_dsir_select(spark, sf_dir):
+    # DSIR data selection (operators/dsir.py): importance-weight every
+    # raw doc by the smoothed unigram likelihood ratio of the lang='en'
+    # exemplar corpus vs the full corpus, take the top 100. Vocab-sized
+    # intermediates only (two token groupBys + one broadcastable ratio
+    # join); selection plans as TakeOrderedAndProject. Deterministic
+    # MAP mode (gumbel_seed=None) so DuckDB reproduces the exact set;
+    # the Gumbel-top-k sampling mode is pytest-pinned instead.
+    from finlogic_spark.operators.dsir import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    out = dsir_select(
+        d, d.filter(F.col("lang") == "en"), k=100,
+        text_col="text", id_col="doc_id",
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        rN(F.col("log_weight"), 6).alias("log_weight"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

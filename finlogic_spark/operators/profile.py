@@ -641,31 +641,31 @@ def winsorize_stats(
     )
 
 
-def _winsorize_compact(
-    base: DataFrame,
+def histogram_percentiles(
+    hist: DataFrame,
     key_cols: Sequence[str],
     value_col: str,
-    p_lo: float,
-    p_hi: float,
-    r6,
+    count_col: str,
+    probs: dict[str, float],
 ) -> DataFrame:
-    """Compact-histogram winsorize tier (see winsorize_stats): one
-    scan → value-frequency histogram → exact percentiles from
-    cumulative counts → count-weighted clipped stats, all on the
-    compacted frame."""
+    """EXACT interpolated percentiles from a per-group value-frequency
+    histogram (keys..., value, count) — the shared primitive behind
+    the compact winsorize tier and the KLL validation path: cumulative
+    counts over the sorted distinct values reproduce Spark
+    ``percentile``'s interpolation arithmetic step for step
+    (position = p·(n−1) in doubles; at a fractional position,
+    (higher−pos)·v_lo + (pos−lower)·v_hi), so the result is
+    bit-identical to the exact-buffer aggregate without any per-group
+    memory buffer — worst case (zero compaction) degrades to a
+    spillable n-row window sort.
+
+    ``probs`` maps output column name -> p. Returns one row per group:
+    (keys..., __n, <name> for each prob).
+    """
     from pyspark.sql import Window
-    from pyspark.storagelevel import StorageLevel
 
     keys = list(key_cols)
     v = F.col(value_col)
-    hist = (
-        base.groupBy(*keys, value_col)
-        .agg(F.count(F.lit(1)).alias("__c"))
-        # both the bounds branch and the stats branch hang off this
-        # frame; without materialization the full-table scan + partial
-        # agg would run twice
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
-    )
     w_cum = (
         Window.partitionBy(*keys)
         .orderBy(v)
@@ -678,64 +678,88 @@ def _winsorize_compact(
     ranked = hist.select(
         *keys,
         v.alias("__v"),
-        F.col("__c"),
-        F.sum("__c").over(w_cum).alias("__cum"),
-        F.sum("__c").over(w_all).alias("__n"),
+        F.col(count_col).alias("__c"),
+        F.sum(count_col).over(w_cum).alias("__cum"),
+        F.sum(count_col).over(w_all).alias("__n"),
     )
+    sel = ["*"]
+    for tag, p in probs.items():
+        pos = F.lit(float(p)) * (F.col("__n") - F.lit(1)).cast("double")
+        sel += [
+            F.floor(pos).cast("long").alias(f"__l_{tag}"),
+            F.ceil(pos).cast("long").alias(f"__h_{tag}"),
+            pos.alias(f"__pos_{tag}"),
+        ]
+    with_pos = ranked.select(*sel)
 
     def rank_value(pos):
-        """Conditional-max extraction of the value at 0-indexed rank
-        ``pos`` (a per-group Column): exactly one histogram row's rank
-        range covers it."""
+        # conditional-max extraction of the value at 0-indexed rank
+        # ``pos``: exactly one histogram row's rank range covers it
         lo = F.col("__cum") - F.col("__c")
         return F.max(
             F.when((lo <= pos) & (pos < F.col("__cum")), F.col("__v"))
         )
 
-    def percentile_interp(p: float, tag: str):
-        """Spark Percentile's interpolation, reproduced op for op on
-        the histogram ranks so the compact tier is bit-identical to
-        the exact tier: position = p·(n−1) (doubles); an integral
-        position returns that value, a fractional one returns
-        (higher−pos)·v_lo + (pos−lower)·v_hi."""
-        pos = F.lit(p) * (F.col("__n") - F.lit(1)).cast("double")
-        lower = F.floor(pos).cast("long")
-        higher = F.ceil(pos).cast("long")
-        return {
-            f"__l_{tag}": lower,
-            f"__h_{tag}": higher,
-            f"__pos_{tag}": pos,
-        }
-
-    lo_cols = percentile_interp(p_lo, "lo")
-    hi_cols = percentile_interp(p_hi, "hi")
-    with_pos = ranked.select(
-        "*", *[c.alias(a) for a, c in {**lo_cols, **hi_cols}.items()]
-    )
-    agg_bounds = with_pos.groupBy(*keys).agg(
-        rank_value(F.col("__l_lo")).alias("__v_ll"),
-        rank_value(F.col("__h_lo")).alias("__v_lh"),
-        rank_value(F.col("__l_hi")).alias("__v_hl"),
-        rank_value(F.col("__h_hi")).alias("__v_hh"),
-        F.max("__l_lo").alias("__l_lo"),
-        F.max("__h_lo").alias("__h_lo"),
-        F.max("__pos_lo").alias("__pos_lo"),
-        F.max("__l_hi").alias("__l_hi"),
-        F.max("__h_hi").alias("__h_hi"),
-        F.max("__pos_hi").alias("__pos_hi"),
-    )
-
-    def interp(tag: str):
-        l, h, pos = F.col(f"__l_{tag}"), F.col(f"__h_{tag}"), F.col(f"__pos_{tag}")
-        vl, vh = F.col(f"__v_{tag[0]}l"), F.col(f"__v_{tag[0]}h")
-        return F.when(l == h, vl).otherwise(
-            (h.cast("double") - pos) * vl + (pos - l.cast("double")) * vh
+    aggs = []
+    for tag in probs:
+        aggs += [
+            rank_value(F.col(f"__l_{tag}")).alias(f"__vl_{tag}"),
+            rank_value(F.col(f"__h_{tag}")).alias(f"__vh_{tag}"),
+            F.max(f"__l_{tag}").alias(f"__l_{tag}"),
+            F.max(f"__h_{tag}").alias(f"__h_{tag}"),
+            F.max(f"__pos_{tag}").alias(f"__pos_{tag}"),
+        ]
+    aggs.append(F.max("__n").alias("__n"))
+    agg = with_pos.groupBy(*keys).agg(*aggs)
+    out = [*keys, F.col("__n")]
+    for tag in probs:
+        l, h, pos = (
+            F.col(f"__l_{tag}"),
+            F.col(f"__h_{tag}"),
+            F.col(f"__pos_{tag}"),
         )
+        vl, vh = F.col(f"__vl_{tag}"), F.col(f"__vh_{tag}")
+        out.append(
+            F.when(l == h, vl)
+            .otherwise(
+                (h.cast("double") - pos) * vl + (pos - l.cast("double")) * vh
+            )
+            .alias(tag)
+        )
+    return agg.select(*out)
 
-    bounds = agg_bounds.select(
+
+def _winsorize_compact(
+    base: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    p_lo: float,
+    p_hi: float,
+    r6,
+) -> DataFrame:
+    """Compact-histogram winsorize tier (see winsorize_stats): one
+    scan → value-frequency histogram → exact percentiles from
+    cumulative counts → count-weighted clipped stats, all on the
+    compacted frame (percentile arithmetic shared via
+    histogram_percentiles)."""
+    from pyspark.storagelevel import StorageLevel
+
+    keys = list(key_cols)
+    hist = (
+        base.groupBy(*keys, value_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        # both the bounds branch and the stats branch hang off this
+        # frame; without materialization the full-table scan + partial
+        # agg would run twice
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    pct = histogram_percentiles(
+        hist, keys, value_col, "__c", {"lo": p_lo, "hi": p_hi}
+    )
+    bounds = pct.select(
         *keys,
-        r6(interp("lo")).alias("p_lo_val"),
-        r6(interp("hi")).alias("p_hi_val"),
+        r6(F.col("lo")).alias("p_lo_val"),
+        r6(F.col("hi")).alias("p_hi_val"),
     )
     # clipped stats from the SAME histogram: every row with value v
     # contributes identically, so per-row sums become count-weighted

@@ -83,6 +83,31 @@ class KLL:
         self.n += int(values.size)
         self._compress()
 
+    def extend_weighted(self, values: np.ndarray, weights: np.ndarray) -> None:
+        """Bulk insert of (value, count) pairs — the pre-compacted
+        path: a count w decomposes into powers of two, the item
+        entering level b once per set bit (items at level l carry
+        weight 2^l), identical in rank semantics to inserting w copies
+        at level 0 without ever materializing them. This is what makes
+        the sketch ride a value-frequency histogram: 100M rows whose
+        values quantize to ~280k distinct (key, value) pairs cost the
+        Python side ~280k inserts, not 100M."""
+        if values.size == 0:
+            return
+        weights = np.asarray(weights, dtype=np.int64)
+        if (weights <= 0).any():
+            raise ValueError("weights must be positive counts")
+        self.n += int(weights.sum())
+        for b in range(int(weights.max()).bit_length()):
+            mask = (weights >> b) & 1 == 1
+            if not mask.any():
+                continue
+            while len(self.levels) <= b:
+                self.levels.append(np.empty(0, dtype=np.float64))
+                self.parity.append(False)
+            self.levels[b] = np.concatenate([self.levels[b], values[mask]])
+        self._compress()
+
     def _compress(self) -> None:
         total_cap = sum(self._cap(l) for l in range(len(self.levels)))
         while sum(a.size for a in self.levels) > total_cap:
@@ -165,19 +190,41 @@ def kll_group_quantiles(
     value_col: str,
     probs: Sequence[float],
     k: int = 200,
+    weight_col: str | None = None,
+    pre_compact: bool = False,
 ) -> DataFrame:
     """Per-group quantile estimates via distributed KLL: map-side
     partial sketches (one per input partition per group), a
     sketch-only shuffle, reduce-side merge + extraction.
 
     Returns (keys..., prob, value) — one row per group per requested
-    prob. The raw rows shuffle NOWHERE: the only exchange carries
-    O(partitions·groups) sketch rows of O(k·log(n/k)) doubles each.
+    prob. In the default direct mode the raw rows shuffle NOWHERE: the
+    only exchange carries O(partitions·groups) sketch rows of
+    O(k·log(n/k)) doubles each — the right shape for continuous
+    values at any scale.
+
+    ``pre_compact=True`` first folds the input to a value-frequency
+    histogram (groupBy(keys, value) with map-side combine) and feeds
+    (value, count) pairs to the sketch via binary-weight insertion:
+    when values quantize (currency cents, sensor ticks — sf100's 100M
+    event rows compact to ~280k distinct pairs) the Python stage costs
+    |distinct|, not |rows|, at the price of one compacted shuffle.
+    ``weight_col`` feeds an ALREADY-aggregated (keys, value, count)
+    frame (e.g. a histogram a caller built and shares with other
+    consumers) straight into the weighted path.
     """
     keys = list(key_cols)
     probs = [float(p) for p in probs]
     v = F.col(value_col)
-    base = df.filter(v.isNotNull() & ~F.isnan(v)).select(*keys, value_col)
+    if weight_col is None:
+        base = df.filter(v.isNotNull() & ~F.isnan(v)).select(*keys, value_col)
+        if pre_compact:
+            weight_col = "__w"
+            base = base.groupBy(*keys, value_col).agg(
+                F.count(F.lit(1)).alias(weight_col)
+            )
+    else:
+        base = df.select(*keys, value_col, weight_col)
     types = {f.name: f.dataType.simpleString() for f in base.schema.fields}
     key_fields = ", ".join(f"`{name}` {types[name]}" for name in keys)
     sketch_schema = (
@@ -191,11 +238,20 @@ def kll_group_quantiles(
         sketches: dict[tuple, KLL] = {}
         for pdf in batches:
             vals = pdf[value_col].to_numpy(dtype=np.float64)
+            wts = (
+                pdf[weight_col].to_numpy(dtype=np.int64)
+                if weight_col is not None
+                else None
+            )
             grouped = pdf.groupby(keys, sort=False, dropna=False).indices
             for gkey, idx in grouped.items():
                 if not isinstance(gkey, tuple):
                     gkey = (gkey,)
-                sketches.setdefault(gkey, KLL(k)).extend(vals[idx])
+                s = sketches.setdefault(gkey, KLL(k))
+                if wts is None:
+                    s.extend(vals[idx])
+                else:
+                    s.extend_weighted(vals[idx], wts[idx])
         rows = []
         for gkey, s in sketches.items():
             kk, n, items, lvls = s.to_parts()

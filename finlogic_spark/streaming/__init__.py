@@ -21,6 +21,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -206,6 +208,70 @@ def run_to_memory_sink(
             "the in-memory table would be partial"
         )
     return q
+
+
+def drain_stream_to_df(
+    stream_df: DataFrame,
+    path: str | None = None,
+    output_mode: str = "update",
+    timeout: int = 600,
+    last_batch_only: bool | None = None,
+) -> DataFrame:
+    """Scale-safe drain of a bounded stream: ``run_to_parquet_sink``
+    (foreachBatch, one ``batch_id=<id>`` parquet directory per
+    micro-batch — distributed executor writes, NOTHING routes through
+    the driver) followed by a read-back of the result as a DataFrame.
+
+    This exists because the memory sink collects every emission into
+    driver memory: in update mode its table APPENDS each batch's
+    output, so a stateful query over a big source dies on
+    spark.driver.maxResultSize long before the state itself is a
+    problem (observed: stream_resample_ffill at sf100, 1 GiB of
+    serialized task results). The registry's streaming queries drain
+    through this; ``run_to_memory_sink`` stays a test/debug harness
+    for fixture-sized streams.
+
+    ``last_batch_only`` (default: ``output_mode == "complete"``):
+    complete mode re-emits the ENTIRE result every batch, so only the
+    final batch's directory is the answer — reading the union would
+    duplicate rows. Update/append read all batches (downstream
+    keep-last collapses tentative re-emissions exactly as with the
+    memory sink)."""
+    import tempfile
+
+    if path is None:
+        base = tempfile.mkdtemp(prefix="fl_stream_sink_")
+        path = os.path.join(base, "data")
+        checkpoint = os.path.join(base, "ckpt")
+    else:
+        checkpoint = path.rstrip("/") + "_ckpt"
+    if last_batch_only is None:
+        last_batch_only = output_mode == "complete"
+    q = run_to_parquet_sink(
+        stream_df, path, checkpoint, output_mode=output_mode, timeout=timeout
+    )
+    q.stop()
+    spark = stream_df.sparkSession
+    batch_ids = (
+        sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(path)
+            if d.startswith("batch_id=")
+        )
+        if os.path.isdir(path)
+        else []
+    )
+    if not batch_ids:  # empty bounded source: zero micro-batches ran
+        return spark.createDataFrame([], stream_df.schema)
+    if last_batch_only:
+        return spark.read.parquet(
+            os.path.join(path, f"batch_id={batch_ids[-1]}")
+        )
+    return (
+        spark.read.option("basePath", path)
+        .parquet(path)
+        .drop("batch_id")
+    )
 
 
 def foreach_batch_idempotent_writer(path: str):

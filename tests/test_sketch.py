@@ -83,6 +83,51 @@ def test_kll_deterministic_and_roundtrip():
     assert c.quantiles(PROBS) == a.quantiles(PROBS)
 
 
+def test_kll_weighted_insert_matches_band():
+    """extend_weighted (binary-weight insertion from a value-frequency
+    histogram) must satisfy the same rank bound as inserting the
+    expanded copies, including heavy and power-of-two weights."""
+    rng = np.random.RandomState(29)
+    vals = np.unique(rng.uniform(0, 100, 3000))
+    wts = rng.randint(1, 500, vals.size).astype(np.int64)
+    expanded = np.repeat(vals, wts)
+    s = KLL(200)
+    # feed in chunks like the Arrow batches would
+    for i in range(0, vals.size, 512):
+        s.extend_weighted(vals[i : i + 512], wts[i : i + 512])
+    assert s.n == expanded.size
+    for p, est in zip(PROBS, s.quantiles(PROBS)):
+        assert _rank_err(expanded, est, p) <= EPS, p
+
+
+def test_kll_weighted_rejects_nonpositive():
+    s = KLL(200)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        s.extend_weighted(np.array([1.0]), np.array([0]))
+
+
+def test_kll_group_quantiles_pre_compact_matches_band(spark):
+    rng = np.random.RandomState(31)
+    rows = []
+    for g in ("x", "y"):
+        # quantized values: the shape pre_compact exists for
+        vals = np.round(rng.lognormal(2.0, 1.0, 6000), 1)
+        rows += [(g, float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = kll_group_quantiles(
+        df, ["grp"], "value", [0.1, 0.5, 0.9], pre_compact=True
+    )
+    got = {(r["grp"], r["prob"]): r["value"] for r in out.collect()}
+    assert len(got) == 6
+    by_g = {
+        g: np.array([v for (gg, v) in rows if gg == g]) for g in ("x", "y")
+    }
+    for (g, p), est in got.items():
+        assert _rank_err(by_g[g], est, p) <= EPS, (g, p)
+
+
 def test_kll_size_stays_logarithmic():
     rng = np.random.RandomState(5)
     s = KLL(200)

@@ -734,3 +734,52 @@ def test_trend_stats_upsert_sink_crash_restart_exactly_once(spark, tmp_path):
     fg = sorted(map(tuple, ols_finish(snap, keys).collect()))
     fw = sorted(map(tuple, ols_finish(want, keys).collect()))
     assert fg == fw
+
+
+def test_parquet_sink_matches_memory_sink_update_mode(spark, sf_dir):
+    """drain_stream_to_df (the scale-safe registry drain — executor
+    parquet writes, nothing through the driver) must produce exactly
+    the rows the memory sink collects, update mode included."""
+    from finlogic_spark.streaming.stateful import user_profile_stream
+
+    via_mem = _drain(
+        spark,
+        user_profile_stream(st.read_events_stream(spark, sf_dir)),
+        "q_sink_parity_mem",
+        mode="update",
+    )
+    via_pq = st.drain_stream_to_df(
+        user_profile_stream(st.read_events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    assert via_pq.schema == via_mem.schema
+    assert sorted(map(tuple, via_pq.collect())) == sorted(
+        map(tuple, via_mem.collect())
+    )
+
+
+def test_parquet_sink_complete_mode_keeps_last_batch_only(spark, sf_dir):
+    via_mem = _drain(
+        spark,
+        st.tumbling_counts(st.read_events_stream(spark, sf_dir)),
+        "q_sink_parity_complete",
+        mode="complete",
+    )
+    via_pq = st.drain_stream_to_df(
+        st.tumbling_counts(st.read_events_stream(spark, sf_dir)),
+        output_mode="complete",
+    )
+    # complete mode: memory sink holds the final snapshot; the parquet
+    # sink must read back ONLY the final batch directory (the union
+    # would duplicate every earlier re-emission)
+    assert sorted(map(tuple, via_pq.collect())) == sorted(
+        map(tuple, via_mem.collect())
+    )
+
+
+def test_parquet_sink_empty_source_returns_empty_frame(spark, sf_dir):
+    stream = st.read_events_stream(spark, sf_dir).filter(F.lit(False))
+    out = st.drain_stream_to_df(
+        st.tumbling_counts(stream), output_mode="complete"
+    )
+    assert out.count() == 0
