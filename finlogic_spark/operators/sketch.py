@@ -213,8 +213,24 @@ def kll_group_quantiles(
     frame (e.g. a histogram a caller built and shares with other
     consumers) straight into the weighted path.
     """
+    partials, key_fields = _sketch_partials(
+        df, key_cols, value_col, k, weight_col, pre_compact
+    )
+    return kll_table_quantiles(partials, key_cols, probs, key_fields=key_fields)
+
+
+def _sketch_partials(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    k: int,
+    weight_col: str | None,
+    pre_compact: bool,
+):
+    """Map-side partial sketches (one per Arrow-task per group) as a
+    DataFrame of sketch rows, plus the key-fields DDL string shared by
+    every sketch-row schema."""
     keys = list(key_cols)
-    probs = [float(p) for p in probs]
     v = F.col(value_col)
     if weight_col is None:
         base = df.filter(v.isNotNull() & ~F.isnan(v)).select(*keys, value_col)
@@ -259,17 +275,80 @@ def kll_group_quantiles(
         cols = keys + ["__k", "__n", "__items", "__lvls"]
         yield pd.DataFrame(rows, columns=cols)
 
-    partials = base.mapInPandas(build_partials, schema=sketch_schema)
+    return base.mapInPandas(build_partials, schema=sketch_schema), key_fields
 
+
+def _key_fields_of(sketch_df: DataFrame, keys: list[str]) -> str:
+    types = {f.name: f.dataType.simpleString() for f in sketch_df.schema.fields}
+    return ", ".join(f"`{name}` {types[name]}" for name in keys)
+
+
+def kll_sketch_table(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    k: int = 200,
+    weight_col: str | None = None,
+    pre_compact: bool = False,
+) -> DataFrame:
+    """ONE merged sketch row per group — the persistable artifact of
+    the rollup pipeline: write this table per day/partition, and the
+    week's (or year's) percentiles are a merge of the stored sketch
+    tables via ``kll_table_quantiles`` — KBs per group read back,
+    ZERO raw rows re-scanned. Schema: (keys..., __k, __n, __items,
+    __lvls) — exactly what ``KLL.from_parts`` consumes."""
+    keys = list(key_cols)
+    partials, key_fields = _sketch_partials(
+        df, key_cols, value_col, k, weight_col, pre_compact
+    )
+    sketch_schema = (
+        f"{key_fields}, __k int, __n bigint, "
+        "__items array<double>, __lvls array<int>"
+    )
+
+    def merge_rows(pdf):
+        import pandas as pd
+
+        merged = _merge_pdf(pdf)
+        gkey = [pdf.iloc[0][c] for c in keys]
+        kk, n, items, lvls = merged.to_parts()
+        return pd.DataFrame(
+            [(*gkey, kk, n, items, lvls)],
+            columns=keys + ["__k", "__n", "__items", "__lvls"],
+        )
+
+    return partials.groupBy(*keys).applyInPandas(merge_rows, schema=sketch_schema)
+
+
+def _merge_pdf(pdf) -> KLL:
+    merged: KLL | None = None
+    for _, row in pdf.iterrows():
+        s = KLL.from_parts(row["__k"], row["__n"], row["__items"], row["__lvls"])
+        merged = s if merged is None else merged.merge(s)
+    return merged
+
+
+def kll_table_quantiles(
+    sketch_df: DataFrame,
+    key_cols: Sequence[str],
+    probs: Sequence[float],
+    key_fields: str | None = None,
+) -> DataFrame:
+    """Quantiles from sketch rows — partials fresh off the map side,
+    one stored table, or a UNION of stored tables across days: rows
+    sharing a key merge level-wise (the KLL merge is associative and
+    commutative), then each requested prob is read out. Input is
+    sketch-sized, so this costs O(groups·tables), never O(rows)."""
+    keys = list(key_cols)
+    probs = [float(p) for p in probs]
+    if key_fields is None:
+        key_fields = _key_fields_of(sketch_df, keys)
     out_fields = key_fields + ", prob double, value double"
 
     def merge_extract(pdf):
         import pandas as pd
 
-        merged: KLL | None = None
-        for _, row in pdf.iterrows():
-            s = KLL.from_parts(row["__k"], row["__n"], row["__items"], row["__lvls"])
-            merged = s if merged is None else merged.merge(s)
+        merged = _merge_pdf(pdf)
         gkey = [pdf.iloc[0][c] for c in keys]
         qs = merged.quantiles(probs)
         return pd.DataFrame(
@@ -277,4 +356,4 @@ def kll_group_quantiles(
             columns=keys + ["prob", "value"],
         )
 
-    return partials.groupBy(*keys).applyInPandas(merge_extract, schema=out_fields)
+    return sketch_df.groupBy(*keys).applyInPandas(merge_extract, schema=out_fields)

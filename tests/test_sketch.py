@@ -158,6 +158,45 @@ def test_kll_group_quantiles_spark(spark):
         assert _rank_err(by_g[g], est, p) <= EPS, (g, p)
 
 
+def test_kll_sketch_table_rollup_across_days(spark, tmp_path):
+    """The 100TB rollup contract: per-day sketch tables persisted to
+    parquet, read back, unioned, and merged must give band-valid
+    quantiles for the WHOLE period without re-reading any raw rows."""
+    from finlogic_spark.operators.sketch import (
+        kll_sketch_table,
+        kll_table_quantiles,
+    )
+
+    rng = np.random.RandomState(41)
+    days = []
+    for d in range(5):
+        rows = [
+            ("g1", float(x)) for x in rng.lognormal(1.0 + 0.3 * d, 1.0, 4000)
+        ] + [("g2", float(x)) for x in rng.uniform(d, d + 50, 3000)]
+        days.append(rows)
+    all_rows = [r for day in days for r in day]
+    paths = []
+    for d, rows in enumerate(days):
+        df = spark.createDataFrame(rows, "grp string, value double")
+        p = str(tmp_path / f"day_{d}")
+        kll_sketch_table(df, ["grp"], "value").write.parquet(p)
+        paths.append(p)
+    union = spark.read.parquet(*paths)
+    got = {
+        (r["grp"], r["prob"]): r["value"]
+        for r in kll_table_quantiles(union, ["grp"], [0.25, 0.5, 0.9]).collect()
+    }
+    assert len(got) == 6
+    by_g = {
+        g: np.array([v for (gg, v) in all_rows if gg == g])
+        for g in ("g1", "g2")
+    }
+    for (g, p), est in got.items():
+        assert _rank_err(by_g[g], est, p) <= EPS, (g, p)
+    # the persisted artifact stays sketch-sized: one row per group/day
+    assert union.count() == 10
+
+
 def test_kll_group_quantiles_registry_query(spark, sf_dir):
     from finlogic_spark.driver_queries import QUERIES
 
