@@ -6274,7 +6274,6 @@ def events_kll_quantiles(spark, sf_dir):
     from finlogic_spark.operators.profile import histogram_percentiles
     from finlogic_spark.operators.sketch import kll_group_quantiles
 
-    eps = 0.02
     e = _t(spark, sf_dir, "events")
     v = F.col("value")
     base = e.filter(v.isNotNull() & ~F.isnan(v)).select("event_type", "value")
@@ -6291,6 +6290,18 @@ def events_kll_quantiles(spark, sf_dir):
         F.max(F.when(F.col("prob") == 0.5, F.col("value"))).alias("kll_p50"),
         F.max(F.when(F.col("prob") == 0.99, F.col("value"))).alias("kll_p99"),
     )
+    return _kll_band_report(est_w, hist)
+
+
+def _kll_band_report(est_w, hist, eps: float = 0.02):
+    """Validation half of the KLL registry queries: given per-group
+    estimates (event_type, kll_p50, kll_p99) and the value-frequency
+    histogram, report exact interpolated percentiles, group counts,
+    and the exact rank-band flags. Shared by the batch query and the
+    streaming twin so both pin the identical contract."""
+    from finlogic_spark.operators.profile import histogram_percentiles
+
+    v = F.col("value")
     pct = histogram_percentiles(
         hist, ["event_type"], "value", "__c",
         {"exact_median": 0.5, "exact_p99": 0.99},
@@ -6323,6 +6334,43 @@ def events_kll_quantiles(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@q("stream_kll_quantiles", None)
+def stream_kll_quantiles(spark, sf_dir):
+    # Streaming twin of events_kll_quantiles: the KLL sketch as keyed
+    # streaming state (a few KB per key at ANY stream length — exact
+    # streaming percentiles would hold every value ever seen). Each
+    # micro-batch folds into the key's sketch and re-emits estimates;
+    # keep_last over the monotone n takes the final ones, validated
+    # against the same exact rank bands as the batch query (the band
+    # holds for any insertion order, so the result is micro-batch-
+    # boundary independent). Oracle attached below (same SQL as the
+    # batch twin).
+    from pyspark.storagelevel import StorageLevel
+
+    from finlogic_spark.streaming import drain_stream_to_df, read_events_stream
+    from finlogic_spark.streaming.stateful import kll_quantiles_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    drained = drain_stream_to_df(
+        kll_quantiles_stream(stream), output_mode="update"
+    )
+    est_w = keep_last(drained, ["event_type"], ["n"]).select(
+        "event_type", "kll_p50", "kll_p99"
+    )
+    e = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    base = e.filter(v.isNotNull() & ~F.isnan(v)).select("event_type", "value")
+    hist = (
+        base.groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    return _kll_band_report(est_w, hist)
+
+
+ORACLES["stream_kll_quantiles"] = ORACLES["events_kll_quantiles"]
 
 
 @q(

@@ -317,3 +317,92 @@ def resample_ffill_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KLL quantiles: the sketch as keyed streaming state
+# ---------------------------------------------------------------------------
+
+# The state IS the sketch's wire format (operators/sketch.py
+# to_parts/from_parts): O(k log n/k) doubles per key — a few KB —
+# regardless of how many events the key has absorbed. Treat any edit
+# as a checkpoint-format change (same contract as RESAMPLE_STATE_SCHEMA).
+KLL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("items", T.ArrayType(T.DoubleType())),
+        T.StructField("lvls", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+KLL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("kll_p50", T.DoubleType()),
+        T.StructField("kll_p99", T.DoubleType()),
+    ]
+)
+
+KLL_STREAM_PROBS = (0.5, 0.99)
+
+
+def _kll_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    from finlogic_spark.operators.sketch import KLL
+
+    (event_type,) = key
+    if state.exists:
+        k, n, items, lvls = state.get
+        s = KLL.from_parts(k, n, items, lvls)
+    else:
+        s = KLL(200)
+    for pdf in pdfs:
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        s.extend(vals[~np.isnan(vals)])
+    k, n, items, lvls = s.to_parts()
+    state.update((k, n, list(items), list(lvls)))
+    p50, p99 = s.quantiles(list(KLL_STREAM_PROBS))
+    yield pd.DataFrame(
+        [
+            {
+                "event_type": event_type,
+                "n": n,
+                "kll_p50": p50,
+                "kll_p99": p99,
+            }
+        ]
+    )
+
+
+def kll_quantiles_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-key quantiles with the KLL sketch as keyed state
+    (streaming twin of events_kll_quantiles): each micro-batch folds
+    its rows into the key's sketch and emits the updated p50/p99
+    estimate — a live percentile dashboard with a few KB of state per
+    key, where exact streaming percentiles would need every value ever
+    seen in state.
+
+    The emitted ``n`` is monotone per key, so a downstream keep-last
+    over n yields the final estimates — which equal a single-stream
+    batch KLL build over the same data in micro-batch order (the
+    sketch is a deterministic function of insertion order; the rank
+    band the oracle checks holds for ANY order)."""
+    from finlogic_spark.streaming import with_event_time
+
+    return (
+        with_event_time(events)
+        .select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _kll_update,
+            outputStructType=KLL_OUTPUT_SCHEMA,
+            stateStructType=KLL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

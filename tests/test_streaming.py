@@ -783,3 +783,62 @@ def test_parquet_sink_empty_source_returns_empty_frame(spark, sf_dir):
         st.tumbling_counts(stream), output_mode="complete"
     )
     assert out.count() == 0
+
+
+def test_stream_kll_state_carries_across_batches(spark, tmp_path):
+    """KLL sketch as keyed streaming state: three files -> three
+    micro-batches; the final emission per key must reflect ALL rows
+    (state round-trips the compactor arrays through the state store)
+    and land inside the exact rank band."""
+    import numpy as np
+
+    from finlogic_spark.streaming import drain_stream_to_df
+    from finlogic_spark.streaming.stateful import kll_quantiles_stream
+
+    rng = np.random.RandomState(53)
+    src = tmp_path / "stream_src"
+    all_vals: dict[str, list[float]] = {"a": [], "b": []}
+    eid = 0
+    for part in range(3):
+        rows = []
+        for g in ("a", "b"):
+            vals = rng.lognormal(1.0, 1.0, 2000)
+            all_vals[g].extend(float(v) for v in vals)
+            for v in vals:
+                rows.append((eid, 1700000000000000000 + eid, 1, g, float(v), "{}"))
+                eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.parquet(str(src / f"part{part}"))
+    import glob as _glob
+    import shutil as _shutil
+
+    for i, f in enumerate(sorted(_glob.glob(str(src / "part*" / "*.parquet")))):
+        _shutil.copy(f, str(src / f"events_{i}.parquet"))
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(src / "part0")).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events_*.parquet")
+        .parquet(str(src))
+    )
+    out = drain_stream_to_df(kll_quantiles_stream(stream), output_mode="update")
+    rows = out.collect()
+    # 3 batches x 2 keys = up to 6 emissions; final per key has n=6000
+    finals = {}
+    for r in rows:
+        if r["event_type"] not in finals or r["n"] > finals[r["event_type"]]["n"]:
+            finals[r["event_type"]] = r
+    assert set(finals) == {"a", "b"}
+    for g, r in finals.items():
+        vals = np.array(all_vals[g])
+        assert r["n"] == vals.size  # state survived every batch boundary
+        for p, est in ((0.5, r["kll_p50"]), (0.99, r["kll_p99"])):
+            n = vals.size
+            lo = np.sum(vals < est) / n
+            hi = np.sum(vals <= est) / n
+            assert lo <= p + 0.02 and hi >= p - 0.02, (g, p)
+    assert len(rows) > len(finals)  # genuinely multiple emissions per key
