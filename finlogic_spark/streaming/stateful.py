@@ -363,7 +363,14 @@ def _kll_update(
         s = KLL(200)
     for pdf in pdfs:
         vals = pdf["value"].to_numpy(dtype=np.float64)
-        s.extend(vals[~np.isnan(vals)])
+        vals = vals[~np.isnan(vals)]
+        if vals.size:
+            # in-batch value compaction (the batch twin's pre_compact
+            # trick): quantized measurement values repeat heavily, so
+            # the sketch sees |distinct| weighted inserts per batch,
+            # not |rows|
+            uniq, counts = np.unique(vals, return_counts=True)
+            s.extend_weighted(uniq, counts)
     k, n, items, lvls = s.to_parts()
     state.update((k, n, list(items), list(lvls)))
     p50, p99 = s.quantiles(list(KLL_STREAM_PROBS))
