@@ -60,6 +60,18 @@ def dsir_log_weights(
     Both unigram models are add-alpha smoothed over the UNION vocab:
     p(t) = (n_t + alpha) / (N + alpha * |V|), so target-unseen tokens
     get a finite penalty instead of -inf.
+
+    Determinism caveat: micro-nat flooring makes the summed log_weight
+    order-independent WITHIN an engine, not ACROSS engines — each
+    engine computes log() with its own libm, and a 1-ulp difference
+    landing exactly on a floor boundary shifts that token's integer
+    ratio by 1 micro-nat, which can flip log_weight ties (and thus a
+    top-k cut) between Spark and an external oracle. The flooring
+    therefore guarantees order-independence, while cross-engine
+    equality is empirical (it holds on the tested corpora because no
+    token ratio lands within 1 ulp of a floor boundary); a strict
+    cross-engine contract should compare with a ±1-micro-nat-per-token
+    tolerance instead of exact equality.
     """
     from finlogic_spark.functions.text import tokens as _tokens
 

@@ -143,7 +143,14 @@ class KLL:
     def quantiles(self, probs: Sequence[float]) -> list[float]:
         """Estimate each prob's quantile: smallest sketch item whose
         cumulative weight reaches prob·n (rank convention shared with
-        the validation band; within ε any convention is equivalent)."""
+        the validation band; within ε any convention is equivalent).
+
+        An empty sketch (n=0, or one deserialized from a persisted row
+        whose group absorbed no values) has no defined quantiles —
+        return NaN per prob rather than raising an opaque executor-side
+        error from the empty concatenate."""
+        if not any(a.size for a in self.levels):
+            return [float("nan")] * len(probs)
         items = np.concatenate([a for a in self.levels if a.size])
         weights = np.concatenate(
             [
@@ -162,25 +169,40 @@ class KLL:
             out.append(float(items[min(idx, items.size - 1)]))
         return out
 
-    # --- interchange with Spark rows: (k, n, items, lvls) ---
+    # --- interchange with Spark rows: (k, n, items, lvls, par) ---
+    #
+    # ``par`` is the compaction-parity bitmask (bit l set ⇔ level l's
+    # next compaction keeps odd indices). Parity is the deterministic
+    # variant's anti-bias mechanism — each level alternates which half
+    # it keeps — so it must survive the round-trip: without it every
+    # reduce-side merge and every streaming micro-batch (state
+    # round-trips through from_parts) would restart at off=0 and
+    # systematically keep even-index items, biasing rank estimates on
+    # structured data. log2-level counts stay far below 64 bits for
+    # any physical n (level count ≈ log_{3/2}(n/k)).
 
-    def to_parts(self) -> tuple[int, int, list[float], list[int]]:
+    def to_parts(self) -> tuple[int, int, list[float], list[int], int]:
         items: list[float] = []
         lvls: list[int] = []
         for l, a in enumerate(self.levels):
             items.extend(float(x) for x in a)
             lvls.extend([l] * a.size)
-        return self.k, self.n, items, lvls
+        par = 0
+        for l, p in enumerate(self.parity):
+            if p:
+                par |= 1 << l
+        return self.k, self.n, items, lvls, par
 
     @classmethod
-    def from_parts(cls, k: int, n: int, items, lvls) -> "KLL":
+    def from_parts(cls, k: int, n: int, items, lvls, par: int = 0) -> "KLL":
         s = cls(k)
         s.n = int(n)
         items = np.asarray(items, dtype=np.float64)
         lvls = np.asarray(lvls, dtype=np.int64)
         top = int(lvls.max()) if lvls.size else 0
         s.levels = [items[lvls == l] for l in range(top + 1)]
-        s.parity = [False] * (top + 1)
+        par = int(par or 0)
+        s.parity = [bool((par >> l) & 1) for l in range(top + 1)]
         return s
 
 
@@ -240,12 +262,17 @@ def _sketch_partials(
                 F.count(F.lit(1)).alias(weight_col)
             )
     else:
-        base = df.select(*keys, value_col, weight_col)
+        # same value hygiene as the unweighted path: a NaN or null in a
+        # caller-supplied histogram would otherwise enter the sketch and
+        # (NaN sorting last) silently poison high-quantile estimates
+        base = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+            *keys, value_col, weight_col
+        )
     types = {f.name: f.dataType.simpleString() for f in base.schema.fields}
     key_fields = ", ".join(f"`{name}` {types[name]}" for name in keys)
     sketch_schema = (
         f"{key_fields}, __k int, __n bigint, "
-        "__items array<double>, __lvls array<int>"
+        "__items array<double>, __lvls array<int>, __par bigint"
     )
 
     def build_partials(batches):
@@ -270,9 +297,9 @@ def _sketch_partials(
                     s.extend_weighted(vals[idx], wts[idx])
         rows = []
         for gkey, s in sketches.items():
-            kk, n, items, lvls = s.to_parts()
-            rows.append((*gkey, kk, n, items, lvls))
-        cols = keys + ["__k", "__n", "__items", "__lvls"]
+            kk, n, items, lvls, par = s.to_parts()
+            rows.append((*gkey, kk, n, items, lvls, par))
+        cols = keys + ["__k", "__n", "__items", "__lvls", "__par"]
         yield pd.DataFrame(rows, columns=cols)
 
     return base.mapInPandas(build_partials, schema=sketch_schema), key_fields
@@ -296,14 +323,14 @@ def kll_sketch_table(
     week's (or year's) percentiles are a merge of the stored sketch
     tables via ``kll_table_quantiles`` — KBs per group read back,
     ZERO raw rows re-scanned. Schema: (keys..., __k, __n, __items,
-    __lvls) — exactly what ``KLL.from_parts`` consumes."""
+    __lvls, __par) — exactly what ``KLL.from_parts`` consumes."""
     keys = list(key_cols)
     partials, key_fields = _sketch_partials(
         df, key_cols, value_col, k, weight_col, pre_compact
     )
     sketch_schema = (
         f"{key_fields}, __k int, __n bigint, "
-        "__items array<double>, __lvls array<int>"
+        "__items array<double>, __lvls array<int>, __par bigint"
     )
 
     def merge_rows(pdf):
@@ -311,10 +338,10 @@ def kll_sketch_table(
 
         merged = _merge_pdf(pdf)
         gkey = [pdf.iloc[0][c] for c in keys]
-        kk, n, items, lvls = merged.to_parts()
+        kk, n, items, lvls, par = merged.to_parts()
         return pd.DataFrame(
-            [(*gkey, kk, n, items, lvls)],
-            columns=keys + ["__k", "__n", "__items", "__lvls"],
+            [(*gkey, kk, n, items, lvls, par)],
+            columns=keys + ["__k", "__n", "__items", "__lvls", "__par"],
         )
 
     return partials.groupBy(*keys).applyInPandas(merge_rows, schema=sketch_schema)
@@ -322,8 +349,15 @@ def kll_sketch_table(
 
 def _merge_pdf(pdf) -> KLL:
     merged: KLL | None = None
+    has_par = "__par" in pdf.columns  # read pre-__par persisted tables
     for _, row in pdf.iterrows():
-        s = KLL.from_parts(row["__k"], row["__n"], row["__items"], row["__lvls"])
+        s = KLL.from_parts(
+            row["__k"],
+            row["__n"],
+            row["__items"],
+            row["__lvls"],
+            row["__par"] if has_par else 0,
+        )
         merged = s if merged is None else merged.merge(s)
     return merged
 

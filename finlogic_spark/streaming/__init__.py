@@ -236,15 +236,39 @@ def drain_stream_to_df(
     final batch's directory is the answer — reading the union would
     duplicate rows. Update/append read all batches (downstream
     keep-last collapses tentative re-emissions exactly as with the
-    memory sink)."""
+    memory sink).
+
+    An explicit ``path`` must be FRESH: reusing one resumes from the
+    old run's checkpoint offsets and the read-back unions the stale
+    ``batch_id=`` directories, silently returning duplicated/stale
+    rows — so pre-existing batch output raises instead. ``path=None``
+    temp dirs are removed at interpreter exit (the returned DataFrame
+    reads the files lazily, so they must outlive this call); persist
+    to a real ``path`` for results that must outlive the process."""
+    import atexit
+    import shutil
     import tempfile
 
     if path is None:
         base = tempfile.mkdtemp(prefix="fl_stream_sink_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
         path = os.path.join(base, "data")
         checkpoint = os.path.join(base, "ckpt")
     else:
         checkpoint = path.rstrip("/") + "_ckpt"
+        stale = (
+            [d for d in os.listdir(path) if d.startswith("batch_id=")]
+            if os.path.isdir(path)
+            else []
+        )
+        if stale or os.path.isdir(checkpoint):
+            raise ValueError(
+                f"drain_stream_to_df path {path!r} holds output/checkpoint "
+                f"state from a previous run ({len(stale)} batch_id dirs; "
+                f"checkpoint={os.path.isdir(checkpoint)}); draining into it "
+                "would resume stale offsets and union stale batches — "
+                "clear both or pass a fresh path"
+            )
     if last_batch_only is None:
         last_batch_only = output_mode == "complete"
     q = run_to_parquet_sink(

@@ -333,6 +333,10 @@ KLL_STATE_SCHEMA = T.StructType(
         T.StructField("n", T.LongType()),
         T.StructField("items", T.ArrayType(T.DoubleType())),
         T.StructField("lvls", T.ArrayType(T.IntegerType())),
+        # compaction-parity bitmask — must round-trip with the sketch or
+        # every micro-batch restarts compaction at off=0 (even-index
+        # bias); see KLL.to_parts
+        T.StructField("par", T.LongType()),
     ]
 )
 
@@ -357,8 +361,8 @@ def _kll_update(
 
     (event_type,) = key
     if state.exists:
-        k, n, items, lvls = state.get
-        s = KLL.from_parts(k, n, items, lvls)
+        k, n, items, lvls, par = state.get
+        s = KLL.from_parts(k, n, items, lvls, par)
     else:
         s = KLL(200)
     for pdf in pdfs:
@@ -371,8 +375,8 @@ def _kll_update(
             # not |rows|
             uniq, counts = np.unique(vals, return_counts=True)
             s.extend_weighted(uniq, counts)
-    k, n, items, lvls = s.to_parts()
-    state.update((k, n, list(items), list(lvls)))
+    k, n, items, lvls, par = s.to_parts()
+    state.update((k, n, list(items), list(lvls), par))
     p50, p99 = s.quantiles(list(KLL_STREAM_PROBS))
     yield pd.DataFrame(
         [

@@ -77,10 +77,26 @@ def test_kll_deterministic_and_roundtrip():
         a.extend(vals[i : i + 4096])
         b.extend(vals[i : i + 4096])
     assert a.to_parts() == b.to_parts()
-    k, n, items, lvls = a.to_parts()
-    c = KLL.from_parts(k, n, items, lvls)
+    k, n, items, lvls, par = a.to_parts()
+    c = KLL.from_parts(k, n, items, lvls, par)
     assert c.n == a.n
+    assert c.parity == a.parity  # compaction parity survives the wire
     assert c.quantiles(PROBS) == a.quantiles(PROBS)
+    # the round-tripped sketch keeps evolving identically to the
+    # original — the bias the parity bitmask exists to prevent
+    more = np.random.RandomState(4).uniform(-5, 5, 30_000)
+    for i in range(0, more.size, 4096):
+        a.extend(more[i : i + 4096])
+        c.extend(more[i : i + 4096])
+    assert a.to_parts() == c.to_parts()
+
+
+def test_kll_empty_sketch_quantiles_nan():
+    s = KLL(200)
+    assert all(np.isnan(q) for q in s.quantiles(PROBS))
+    k, n, items, lvls, par = s.to_parts()
+    r = KLL.from_parts(k, n, items, lvls, par)
+    assert all(np.isnan(q) for q in r.quantiles(PROBS))
 
 
 def test_kll_weighted_insert_matches_band():

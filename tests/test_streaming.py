@@ -785,6 +785,25 @@ def test_parquet_sink_empty_source_returns_empty_frame(spark, sf_dir):
     assert out.count() == 0
 
 
+def test_parquet_sink_refuses_stale_path(spark, sf_dir, tmp_path):
+    """Reusing an explicit drain path would resume the old checkpoint
+    offsets AND union the old run's batch_id dirs into the read-back —
+    silent duplicated/stale rows. The drain must refuse up front."""
+    import pytest
+
+    stream = st.tumbling_counts(st.read_events_stream(spark, sf_dir))
+    sink = tmp_path / "drain_out"
+    (sink / "batch_id=0").mkdir(parents=True)
+    with pytest.raises(ValueError, match="previous run"):
+        st.drain_stream_to_df(stream, path=str(sink))
+    # a leftover checkpoint alone (output cleared, offsets not) is just
+    # as unsafe: the resumed query would skip the source entirely
+    sink2 = tmp_path / "drain_out2"
+    (tmp_path / "drain_out2_ckpt").mkdir()
+    with pytest.raises(ValueError, match="previous run"):
+        st.drain_stream_to_df(stream, path=str(sink2))
+
+
 def test_stream_kll_state_carries_across_batches(spark, tmp_path):
     """KLL sketch as keyed streaming state: three files -> three
     micro-batches; the final emission per key must reflect ALL rows
