@@ -1415,6 +1415,15 @@ def _emb_corpus(spark, sf_dir):
 # the exact baseline.
 _ANN_INDEX: dict[tuple[str, str], object] = {}
 
+# sf_dir -> catalog table written through sources.write_fact_layout
+# (keys=[event_type], time_col=ts, grain=day, tiebreaks=[event_id]).
+# Registered by scale tooling (tools/probe_twap_bucketed.py) after the
+# one-time layout build; events_twap rides it when present so the
+# measured registry query IS the layout-assisted plan. Empty in the
+# driver's correctness gates — the flat path stays the semantics
+# reference there.
+TWAP_LAYOUTS: dict[str, str] = {}
+
 _SCRATCH_ROOT: str | None = None
 
 
@@ -2686,7 +2695,14 @@ def emb_scalar_quantize(spark, sf_dir):
     # The query verifies the full encode->decode loop: per-vector scale,
     # worst-component reconstruction error (bounded by scale/254 + FP),
     # and cosine(original, reconstruction) — the metric ANN serving
-    # actually cares about. Narrow map, zero exchanges.
+    # actually cares about. Narrow map, zero exchanges. The metrics
+    # deliberately stay as separate primitive folds: a fused
+    # one-fold-with-struct-accumulator variant measured SLOWER (2.13 s
+    # vs 1.82 s at sf10) — interpreted HOF cost is per-lambda-eval
+    # struct allocation, not array passes. The corpus arrives from
+    # _emb_corpus pre-cast to array<double>: re-deriving the cast per
+    # consumer expression is the actual scale killer (13 s vs 1.8 s at
+    # sf10 measured without the pre-cast projection).
     from finlogic_spark.operators.quantize import scalar_dequantize, scalar_quantize
 
     corpus = _emb_corpus(spark, sf_dir)
@@ -6166,12 +6182,30 @@ def events_twap(spark, sf_dir):
     # covered duration. One lead() window + one partial-agg groupBy —
     # the shuffle carries group keys only; the integral is exact
     # integer cents x seconds, so aggregation order can't move it.
+    # When tooling has registered a write_fact_layout table for this
+    # sf_dir (TWAP_LAYOUTS), the window and groupBy ride the stored
+    # bucket+sort instead — the ENTIRE plan's data-sized exchanges and
+    # sorts disappear (sf100: 0.25x vs DuckDB, flat 1.99x; plan pinned
+    # in tests/test_storage.py::test_fact_layout_twap_rides_api).
     from finlogic_spark.operators.windows import time_weighted_avg
 
-    e = _t(spark, sf_dir, "events")
-    out = time_weighted_avg(
-        e, ["event_type"], "ts", "value", tiebreak_cols=["event_id"]
-    )
+    table = TWAP_LAYOUTS.get(sf_dir)
+    if table and spark.catalog.tableExists(table):
+        from finlogic_spark.sources import read_fact_layout
+
+        out = time_weighted_avg(
+            read_fact_layout(spark, table),
+            ["event_type"],
+            "ts",
+            "value",
+            tiebreak_cols=["event_id"],
+            bucket_col="bkt_day",
+        )
+    else:
+        e = _t(spark, sf_dir, "events")
+        out = time_weighted_avg(
+            e, ["event_type"], "ts", "value", tiebreak_cols=["event_id"]
+        )
     return out.select(
         "event_type",
         "bucket_start",
@@ -6426,6 +6460,53 @@ def doc_dsir_select(spark, sf_dir):
         "n_tokens",
         rN(F.col("log_weight"), 6).alias("log_weight"),
     ).orderBy("doc_id")
+
+
+@q("events_kll_rollup", None)  # oracle attached below (batch twin's SQL)
+def events_kll_rollup(spark, sf_dir):
+    # The KLL rollup pipeline end-to-end (operators/sketch.py
+    # kll_sketch_table -> kll_table_quantiles): ONE pass over the raw
+    # events builds a per-(day, event_type) sketch table — the
+    # persistable daily artifact, one O(k log n/k) row per group — and
+    # the 30-day window's percentiles then come from merging the ~30
+    # sketch rows per event_type, KBs of input, ZERO raw rows
+    # re-scanned. This is the 100 TB percentile shape: store a sketch
+    # table per day partition; any window is a merge of stored rows.
+    # Validation: the merged estimates must land in the same exact
+    # rank bands as the batch/streaming twins (the KLL merge preserves
+    # the sketch's rank-error bound — that's what mergeability means),
+    # so the oracle is identical.
+    from pyspark.storagelevel import StorageLevel
+
+    from finlogic_spark.operators.sketch import (
+        kll_sketch_table,
+        kll_table_quantiles,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    base = e.filter(v.isNotNull() & ~F.isnan(v)).select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    daily = kll_sketch_table(
+        base, ["day", "event_type"], "value", pre_compact=True
+    )
+    est = kll_table_quantiles(
+        daily.drop("day"), ["event_type"], [0.5, 0.99]
+    )
+    est_w = est.groupBy("event_type").agg(
+        F.max(F.when(F.col("prob") == 0.5, F.col("value"))).alias("kll_p50"),
+        F.max(F.when(F.col("prob") == 0.99, F.col("value"))).alias("kll_p99"),
+    )
+    hist = (
+        base.groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    return _kll_band_report(est_w, hist)
+
+
+ORACLES["events_kll_rollup"] = ORACLES["events_kll_quantiles"]
 
 
 # ---------------------------------------------------------------------------

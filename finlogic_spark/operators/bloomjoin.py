@@ -90,6 +90,16 @@ def build_bloom_filter(
             ]
         )
     ).alias("pos")
+    # Union a zero row per word so the groupBy emits EVERY word index:
+    # the dense array then falls straight out of one array_sort over
+    # the collected (w, word) structs — O(n_words log n_words) — where
+    # the previous map_from_entries + per-index element_at densify was
+    # O(n_words^2) map scans (fine at 2^17 bits, minutes at the 2^22
+    # an auto-sized sf100 build wants).
+    zeros = build.sparkSession.range(n_words).select(
+        F.col("id").cast("int").alias("w"),
+        F.lit(0).cast("long").alias("bit"),
+    )
     words = (
         build.filter(F.col(key_col).isNotNull())
         .select(pos)
@@ -98,22 +108,16 @@ def build_bloom_filter(
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
             .alias("bit"),
         )
+        .unionByName(zeros)
         .groupBy("w")
         .agg(F.expr("bit_or(bit)").alias("word"))
     )
-    # Densify in the 1-row build plan (n_words map lookups, once) so
-    # every probe-row lookup is O(1) array indexing, not a map scan.
     return words.agg(
-        F.map_from_entries(
+        F.array_sort(
             F.collect_list(F.struct(F.col("w"), F.col("word")))
-        ).alias("m")
+        ).alias("e")
     ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(
-                F.element_at(F.col("m"), i), F.lit(0).cast("long")
-            ),
-        ).alias("__bloom_words")
+        F.transform(F.col("e"), lambda s: s["word"]).alias("__bloom_words")
     )
 
 
@@ -153,14 +157,26 @@ def bloom_pruned_join(
     build: DataFrame,
     probe_key: str,
     build_key: str,
-    num_bits: int = 1 << 17,
+    num_bits: int | None = None,
     num_hashes: int = 5,
+    bits_per_key: int = 10,
 ) -> DataFrame:
     """Inner equi-join with the probe side bloom-reduced first. Result
     is identical to the plain inner join — the filter only removes rows
     the join would drop anyway. Same-named keys join by name (one
     merged key column, like ``probe.join(build, key)``); distinct names
     keep both columns.
+
+    ``num_bits=None`` (default) AUTO-SIZES the filter to the build
+    side: the build is localCheckpointed once (it is dim-sized by this
+    operator's contract — the big side goes in ``probe``), counted,
+    and m is the next power of two ≥ bits_per_key·n (10 bits/key at
+    k=5 ≈ 1% false positives). A fixed m is a scale bug in disguise:
+    2^17 bits saturate around ~30k build keys, after which the filter
+    passes everything and the probe pays the hash cost for zero
+    pruning. The checkpoint also means the build side is SCANNED ONCE
+    — the same materialized rows feed the bit-set build and the final
+    exact join — instead of once per consumer.
 
     Raises on probe/build key dtype mismatch: xxhash64 is
     type-sensitive, so hashing e.g. an int probe key against a bigint
@@ -176,6 +192,10 @@ def bloom_pruned_join(
             "so this would silently produce false negatives — cast one "
             "side to the other's type first"
         )
+    if num_bits is None:
+        build = build.localCheckpoint(eager=True)
+        n = build.count()  # one fast job over the checkpointed dim
+        num_bits = 1 << max(10, (bits_per_key * max(n, 1) - 1).bit_length())
     bloom = build_bloom_filter(build, build_key, num_bits, num_hashes)
     pruned = bloom_prune(probe, probe_key, bloom, num_bits, num_hashes)
     if probe_key == build_key:

@@ -79,18 +79,20 @@ def scalar_quantize(
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(v, F.abs))
+    # null code only when scale = 0 → encode as 0 (exact reconstruction);
+    # the coalesce lives INSIDE the one transform — higher-order array
+    # functions evaluate interpreted (outside whole-stage codegen), so
+    # every extra array pass is a real per-element cost at corpus scale
     code = F.transform(
         v,
-        lambda x: F.floor(F.try_divide(x * 127.0, F.col(scale_col)) + 0.5).cast(
-            "tinyint"
+        lambda x: F.coalesce(
+            F.floor(F.try_divide(x * 127.0, F.col(scale_col)) + 0.5).cast(
+                "tinyint"
+            ),
+            F.lit(0).cast("tinyint"),
         ),
     )
-    out = df.withColumn(scale_col, scale).withColumn(code_col, code)
-    # null codes only when scale = 0 → encode as 0 (exact reconstruction)
-    return out.withColumn(
-        code_col,
-        F.transform(F.col(code_col), lambda c: F.coalesce(c, F.lit(0).cast("tinyint"))),
-    )
+    return df.withColumn(scale_col, scale).withColumn(code_col, code)
 
 
 def scalar_dequantize(

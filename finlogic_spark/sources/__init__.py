@@ -89,6 +89,72 @@ def register_views(
 
 
 def write_fact_layout(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    time_col: str,
+    num_buckets: int = 128,
+    grain: str = "day",
+    tiebreak_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Materialize a time-series fact table in the layout every
+    keyed-window/agg/join over it can ride exchange-free: the truncated
+    timestamp stored as a column ``bkt_<grain>``, ONE file per bucket,
+    bucketed AND sorted by (keys..., bkt, time_col, tiebreaks...).
+    Returns the bucket column's name.
+
+    This is the measured sf100 recipe behind the zero-exchange TWAP
+    plan (0.25x vs DuckDB where the flat layout sits at 1.99x — the
+    window's hash exchange and 100M-row sort both disappear into the
+    write) and the bucketed TPC-H join wins: pay one shuffle at write
+    time, amortized across every downstream plan keyed the same way.
+    Why each piece matters:
+
+    - stored ``bkt_<grain>`` column: a derived date_trunc(ts) is opaque
+      to the planner; a stored column participates in bucket pruning
+      and lets HashPartitioning(keys..., bkt) be PROVEN satisfied.
+    - repartition before write: exactly one file per bucket, so the
+      bucket's sortBy order is the file's physical order and
+      ``read_fact_layout`` may report it (multi-file buckets would need
+      a merge, which is why the reporting conf is off by default).
+    - sort (keys..., bkt, time, tiebreaks): the exact required ordering
+      of per-(key, bucket) windows — lead/lag, keep-last, resample.
+
+    Use for fact tables re-read many times (the 100 TB norm); for
+    one-shot scans the write cost doesn't amortize. The plan proof is
+    pinned in tests/test_storage.py::test_fact_layout_twap_rides_api.
+    """
+    tiebreaks = list(tiebreak_cols or [])
+    bkt = f"bkt_{grain}"
+    bucket_keys = [*keys, bkt]
+    write_bucketed(
+        df.withColumn(bkt, F.date_trunc(grain, F.col(time_col))).repartition(
+            num_buckets, *[F.col(c) for c in bucket_keys]
+        ),
+        table,
+        bucket_keys,
+        num_buckets,
+        sort_cols=[*bucket_keys, time_col, *tiebreaks],
+        mode=mode,
+    )
+    return bkt
+
+
+def read_fact_layout(spark: SparkSession, table: str) -> DataFrame:
+    """Read back a ``write_fact_layout`` table with sort-order
+    reporting enabled (spark.sql.legacy.bucketedTableScan.
+    outputOrdering): the layout's one-file-per-bucket writes are
+    exactly the case the conf exists for, and without it the planner
+    re-sorts what the files already guarantee. Session-wide conf — set
+    here rather than per-plan because Spark has no narrower knob."""
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+    return spark.table(table)
+
+
+def write_financials_layout(
     financials: DataFrame,
     path: str,
     mode: str = "overwrite",

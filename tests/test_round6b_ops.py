@@ -90,6 +90,40 @@ def test_bloom_prune_probe_with_bloom_column(spark):
     assert kept[7] == "user_bloom_7"  # caller's column untouched
 
 
+def test_bloom_auto_size_prunes_at_scale(spark):
+    """num_bits=None sizes the filter to the build cardinality: a
+    40k-key build (which SATURATES a fixed 2^17-bit filter at 5 hashes
+    and prunes nothing) must still drop the vast majority of a
+    disjoint-key probe — the scale bug the auto-size exists to kill —
+    while the join result stays exact."""
+    build = spark.range(40_000).select(
+        F.col("id").alias("bk"), (F.col("id") % 7).alias("dval")
+    )
+    # probe keys disjoint from the build except a known 1k overlap
+    probe = spark.range(200_000).select(
+        (F.col("id") + 39_000).alias("pk"), F.lit(1).alias("pval")
+    )
+    from finlogic_spark.operators.bloomjoin import build_bloom_filter
+
+    auto = bloom_pruned_join(probe, build, "pk", "bk")
+    assert auto.count() == 1_000  # exact join result
+    # the auto-sized filter (>= 10 bits/key -> 2^19) prunes the
+    # disjoint tail; the fixed 2^17 filter is saturated and cannot
+    sized = bloom_prune(
+        probe, "pk", build_bloom_filter(build, "bk", num_bits=1 << 19),
+        num_bits=1 << 19,
+    )
+    saturated = bloom_prune(
+        probe, "pk", build_bloom_filter(build, "bk", num_bits=1 << 17),
+        num_bits=1 << 17,
+    )
+    n_sized, n_sat = sized.count(), saturated.count()
+    assert n_sized < 0.05 * 200_000  # ~1% FP target + 1k true matches
+    # overloaded fixed filter: 5*40k/2^17 ~ 1.5 bits-set load ->
+    # (1-e^-1.5)^5 ~ 29% false positives, an order of magnitude worse
+    assert n_sat > 10 * n_sized
+
+
 def test_bloom_filter_is_one_bounded_row(spark):
     _, build = _sides(spark)
     num_bits = 1 << 10

@@ -190,13 +190,66 @@ def test_bucketed_twap_no_exchange_no_sort(spark, sf_dir):
         spark.conf.set(conf_key, prev)
 
 
+def test_fact_layout_twap_rides_api(spark, sf_dir):
+    """write_fact_layout/read_fact_layout — the first-class API over
+    the bucketed+sorted recipe — must produce the SAME zero-exchange,
+    zero-sort TWAP plan the hand-built layout does (the sf100 0.25x
+    recipe), and the registry's events_twap must ride it when the
+    layout is registered for its sf_dir."""
+    import re
+
+    from finlogic_spark import driver_queries as dq
+    from finlogic_spark.operators.windows import time_weighted_avg
+    from finlogic_spark.sources import read_fact_layout, write_fact_layout
+
+    e = _t(spark, sf_dir, "events")
+    bkt = write_fact_layout(
+        e, "t_events_fact_api", ["event_type"], "ts",
+        num_buckets=8, grain="day", tiebreak_cols=["event_id"],
+    )
+    assert bkt == "bkt_day"
+    conf_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    prev = spark.conf.get(conf_key, "false")
+    try:
+        eb = read_fact_layout(spark, "t_events_fact_api")
+        assert spark.conf.get(conf_key) == "true"  # read enables reporting
+        out = time_weighted_avg(
+            eb, ["event_type"], "ts", "value",
+            tiebreak_cols=["event_id"], bucket_col=bkt,
+        )
+        assert plans.count_shuffles(out) == 0
+        sorts = [
+            line
+            for line in plans.formatted_plan(out).splitlines()
+            if re.match(r"^\(\d+\) Sort\b", line.strip())
+        ]
+        assert not sorts, f"window should ride the layout sort: {sorts}"
+        # registry integration: with the layout registered for this
+        # sf_dir, events_twap itself plans exchange-free and returns
+        # the same rows as the flat path
+        flat = dq.QUERIES["events_twap"](spark, sf_dir)
+        flat_rows = sorted(map(tuple, flat.collect()))
+        dq.TWAP_LAYOUTS[sf_dir] = "t_events_fact_api"
+        try:
+            laid = dq.QUERIES["events_twap"](spark, sf_dir)
+            # the window's exchange AND the groupBy's are gone; the one
+            # left is the query's output ORDER BY over the group-sized
+            # (~|event_type|·days) result — data-sized shuffles: zero
+            assert plans.count_shuffles(laid) == 1
+            assert sorted(map(tuple, laid.collect())) == flat_rows
+        finally:
+            dq.TWAP_LAYOUTS.pop(sf_dir, None)
+    finally:
+        spark.conf.set(conf_key, prev)
+
+
 def test_fact_layout_partition_pruning(spark, fixture_dir, tmp_path):
     from finlogic_spark import plans
-    from finlogic_spark.sources import write_fact_layout
+    from finlogic_spark.sources import write_financials_layout
 
     fin = spark.read.parquet(f"{fixture_dir}/financials.parquet")
     out = str(tmp_path / "fact_layout")
-    write_fact_layout(fin, out)
+    write_financials_layout(fin, out)
 
     laid = spark.read.parquet(out)
     # Same data back (layout is a storage projection, not a transform).

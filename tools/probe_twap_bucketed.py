@@ -94,24 +94,27 @@ def main() -> int:
     from finlogic_spark import plans
     from finlogic_spark.driver_queries import ORACLES, QUERIES
     from finlogic_spark.session import get_spark
-    from finlogic_spark.sources import write_bucketed
+    from finlogic_spark.sources import write_fact_layout
 
     spark = get_spark("probe-twap-bucketed")
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
 
     out: dict = {"sf_dir": sf_dir, "runs": runs, "buckets": buckets}
 
-    # one-time layout build (the amortized cost)
+    # one-time layout build through the first-class API (the amortized
+    # cost); registering it in TWAP_LAYOUTS makes the REGISTRY query
+    # ride the layout, so bucketed_s measures exactly what the driver
+    # would measure with the layout present.
     e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     t0 = time.perf_counter()
-    write_bucketed(
-        e.withColumn("bkt_day", F.date_trunc("day", F.col("ts"))).repartition(
-            buckets, F.col("event_type"), F.col("bkt_day")
-        ),
+    write_fact_layout(
+        e,
         "events_twap_layout",
-        ["event_type", "bkt_day"],
-        buckets,
-        sort_cols=["event_type", "bkt_day", "ts", "event_id"],
+        ["event_type"],
+        "ts",
+        num_buckets=buckets,
+        grain="day",
+        tiebreak_cols=["event_id"],
     )
     out["build_s"] = round(time.perf_counter() - t0, 2)
 
@@ -131,10 +134,16 @@ def main() -> int:
         print("FAIL: bucketed plan still has exchange/sort", file=sys.stderr)
         return 1
 
+    import finlogic_spark.driver_queries as dq
+
     out["flat_s"] = median_noop(
         lambda: QUERIES["events_twap"](spark, sf_dir), runs
     )
-    out["bucketed_s"] = median_noop(lambda: bucketed_twap(spark), runs)
+    dq.TWAP_LAYOUTS[sf_dir] = "events_twap_layout"
+    out["bucketed_s"] = median_noop(
+        lambda: QUERIES["events_twap"](spark, sf_dir), runs
+    )
+    dq.TWAP_LAYOUTS.pop(sf_dir, None)
 
     # same-run DuckDB baseline on the oracle SQL
     import duckdb
