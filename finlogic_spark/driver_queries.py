@@ -6462,6 +6462,72 @@ def doc_dsir_select(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _lsh_append_index(spark, sf_dir):
+    """Persisted LSH index built over HALF the corpus then extended to
+    the full corpus via ``append_to_lsh_index`` — build-once lifecycle
+    like _lsh_index, but exercising the hourly-ingest maintenance path
+    (parameters ride the _stats sidecar; appended files land in the
+    same __tbl partitions; nothing existing is re-read or rewritten)."""
+    key = ("lsh_append", sf_dir)
+    if _ann_cached(key, spark) is None:
+        from finlogic_spark.operators.similarity import (
+            append_to_lsh_index,
+            build_lsh_index_table,
+        )
+
+        safe = "".join(c if c.isalnum() else "_" for c in sf_dir)
+        path = os.path.join(_scratch_root(), f"lshappend{safe}", "idx")
+        corpus = _emb_corpus(spark, sf_dir)
+        build_lsh_index_table(
+            corpus.filter(F.col("vec_id") % 2 == 0),
+            path,
+            dim=64,
+            num_planes=_LSH_PLANES,
+            num_tables=_LSH_TABLES,
+        )
+        idx = append_to_lsh_index(
+            corpus.filter(F.col("vec_id") % 2 == 1), path
+        )
+        df = idx.df.persist()
+        df.count()
+        _ANN_INDEX[key] = df
+    return _ANN_INDEX[key]
+
+
+@q("emb_lsh_append_topk", None)  # oracle attached below (rebuild twin's)
+def emb_lsh_append_topk(spark, sf_dir):
+    # Same serve as emb_lsh_topk, but against an index built over half
+    # the corpus and INCREMENTALLY EXTENDED to the rest with
+    # append_to_lsh_index (operators/similarity.py): a sign-pattern
+    # bucket is a pure per-vector function of the sidecar's stored
+    # plane parameters, so append == rebuild row-for-row
+    # (tests/test_ann_append.py) and this query shares the rebuild
+    # twin's oracle VERBATIM — the gate itself certifies the appended
+    # index serves identical top-k.
+    corpus = _lsh_append_index(spark, sf_dir)
+    queries = _emb_corpus(spark, sf_dir).filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = lsh_cosine_topk(
+        corpus,
+        queries,
+        k=5,
+        dim=64,
+        num_planes=_LSH_PLANES,
+        num_tables=_LSH_TABLES,
+        probe_radius=_LSH_RADIUS,
+        corpus_bucketed=True,
+        local_query_probes=True,
+    )
+    return out.select(
+        "query_id", "vec_id", rN(F.col("cos_sim"), 6).alias("cos_sim"), "rk"
+    ).orderBy("query_id", "rk")
+
+
+ORACLES["emb_lsh_append_topk"] = ORACLES["emb_lsh_topk"]
+
+
 @q("events_kll_rollup", None)  # oracle attached below (batch twin's SQL)
 def events_kll_rollup(spark, sf_dir):
     # The KLL rollup pipeline end-to-end (operators/sketch.py

@@ -260,6 +260,174 @@ def lsh_index_multi(
     return out
 
 
+class LshIndex:
+    """Handle on a persisted multi-table LSH index: the serving frame
+    plus the build parameters from the ``_stats`` sidecar (so serving
+    and appends can never drift from the stored layout)."""
+
+    __slots__ = ("df", "dim", "num_planes", "num_tables")
+
+    def __init__(self, df: DataFrame, dim: int, num_planes: int, num_tables: int):
+        self.df = df
+        self.dim = dim
+        self.num_planes = num_planes
+        self.num_tables = num_tables
+
+
+def build_lsh_index_table(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    num_planes: int,
+    num_tables: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> LshIndex:
+    """Build and PERSIST the multi-table LSH index: parquet partitioned
+    by ``__tbl`` with rows sorted by ``__bucket`` inside each file
+    (row-group min/max skipping for bucket-selective reads), plus a
+    ``_stats`` sidecar pinning (dim, num_planes, num_tables) — the
+    exact lifecycle ``search.build_positional_postings_table`` gives
+    the text side. Underscore-prefixed sidecars are invisible to the
+    parquet scan, so ``spark.read.parquet(path)`` is the serving frame.
+    """
+    import os
+
+    spark = corpus.sparkSession
+    idx = lsh_index_multi(
+        corpus, vec_col, dim, num_planes, num_tables, id_col=id_col
+    )
+    (
+        idx.repartition(num_tables, F.col("__tbl"))
+        .sortWithinPartitions("__tbl", "__bucket")
+        .write.partitionBy("__tbl")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    spark.createDataFrame(
+        [(dim, num_planes, num_tables)],
+        "dim int, num_planes int, num_tables int",
+    ).write.mode("overwrite").parquet(os.path.join(path, "_stats"))
+    return read_lsh_index(spark, path)
+
+
+def read_lsh_index(spark, path: str) -> LshIndex:
+    import os
+
+    r = spark.read.parquet(os.path.join(path, "_stats")).first()
+    return LshIndex(
+        df=spark.read.parquet(path),
+        dim=int(r["dim"]),
+        num_planes=int(r["num_planes"]),
+        num_tables=int(r["num_tables"]),
+    )
+
+
+def append_to_lsh_index(
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> LshIndex:
+    """Incrementally extend a persisted LSH index with NEW vectors —
+    no rebuild, no read of the existing index rows. Sound for this
+    index because a sign-pattern bucket is a PURE per-vector function
+    of the stored plane parameters: no corpus-global statistic exists
+    to go stale (contrast BM25's df/total_dl, which rebuild). The
+    appended table is row-for-row identical to a from-scratch build
+    over the union — pinned by tests/test_ann_append.py. This is the
+    hourly-ingest path at 100 TB: hash the new batch against the
+    sidecar's parameters, one partitioned append, serve.
+
+    Caller contract: ``new_vecs`` must not already be in the index
+    (a re-appended id would surface twice per table); dedup upstream.
+    Parameters always come from the sidecar, never the caller — a
+    mismatched plane count would silently split the corpus across
+    incompatible bucket spaces."""
+    spark = new_vecs.sparkSession
+    idx = read_lsh_index(spark, path)
+    rows = lsh_index_multi(
+        new_vecs, vec_col, idx.dim, idx.num_planes, idx.num_tables,
+        id_col=id_col,
+    )
+    (
+        rows.repartition(idx.num_tables, F.col("__tbl"))
+        .sortWithinPartitions("__tbl", "__bucket")
+        .write.partitionBy("__tbl")
+        .mode("append")
+        .parquet(path)
+    )
+    return read_lsh_index(spark, path)
+
+
+class IvfIndex:
+    """Handle on a persisted IVF index: the (id, vec, __cell) serving
+    frame plus the frozen centroid table from the ``_stats`` sidecar."""
+
+    __slots__ = ("df", "cents")
+
+    def __init__(self, df: DataFrame, cents: list):
+        self.df = df
+        self.cents = cents
+
+
+def build_ivf_index_table(
+    corpus: DataFrame,
+    cents: Sequence[tuple[int, Sequence[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Build and PERSIST the IVF cell index partitioned by ``__cell``
+    (a query probe becomes a partition-pruned scan), with the centroid
+    table in the ``_stats`` sidecar: the centroids are part of the
+    INDEX, not the caller's state — appends must assign against the
+    exact centroids the existing rows used."""
+    import os
+
+    spark = corpus.sparkSession
+    cells = ivf_assign(
+        corpus.select(id_col, vec_col), list(cents), vec_col, "__cell"
+    )
+    cells.write.partitionBy("__cell").mode("overwrite").parquet(path)
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents],
+        "cid int, cv array<double>",
+    ).write.mode("overwrite").parquet(os.path.join(path, "_stats"))
+    return read_ivf_index(spark, path)
+
+
+def read_ivf_index(spark, path: str) -> IvfIndex:
+    import os
+
+    rows = spark.read.parquet(os.path.join(path, "_stats")).collect()
+    cents = [(int(r["cid"]), list(map(float, r["cv"]))) for r in rows]
+    cents.sort()
+    return IvfIndex(df=spark.read.parquet(path), cents=cents)
+
+
+def append_to_ivf_index(
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Incrementally extend a persisted IVF index: assign the new
+    vectors against the SIDECAR's frozen centroids and append into the
+    same ``__cell`` partitions — existing files untouched, zero corpus
+    re-read, rebuild ≡ append (cell assignment is a pure per-vector
+    argmin over the stored centroid table; pinned by
+    tests/test_ann_append.py). Centroid DRIFT is a rebuild decision,
+    not an append one: fold-in never re-clusters."""
+    spark = new_vecs.sparkSession
+    idx = read_ivf_index(spark, path)
+    cells = ivf_assign(
+        new_vecs.select(id_col, vec_col), idx.cents, vec_col, "__cell"
+    )
+    cells.write.partitionBy("__cell").mode("append").parquet(path)
+    return read_ivf_index(spark, path)
+
+
 def lsh_query_probes_local(
     queries: DataFrame,
     dim: int,
