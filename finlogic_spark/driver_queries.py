@@ -2695,32 +2695,23 @@ def emb_scalar_quantize(spark, sf_dir):
     # The query verifies the full encode->decode loop: per-vector scale,
     # worst-component reconstruction error (bounded by scale/254 + FP),
     # and cosine(original, reconstruction) — the metric ANN serving
-    # actually cares about. Narrow map, zero exchanges. The metrics
-    # deliberately stay as separate primitive folds: a fused
-    # one-fold-with-struct-accumulator variant measured SLOWER (2.13 s
-    # vs 1.82 s at sf10) — interpreted HOF cost is per-lambda-eval
-    # struct allocation, not array passes. The corpus arrives from
-    # _emb_corpus pre-cast to array<double>: re-deriving the cast per
-    # consumer expression is the actual scale killer (13 s vs 1.8 s at
-    # sf10 measured without the pre-cast projection).
-    from finlogic_spark.operators.quantize import scalar_dequantize, scalar_quantize
+    # actually cares about. Served by the Arrow/numpy report tier:
+    # the expression formulation (scalar_quantize + scalar_dequantize +
+    # cosine) is ~10 interpreted HOF passes per row and measured 7.94 s
+    # / 4.05x DuckDB at sf100 (BENCH_sf100.json r11); the numpy tier is
+    # bit-identical by construction (every IEEE op + fold order
+    # reproduced — pinned in tests/test_quantize_parity.py) and one
+    # vectorized kernel per metric. Still a narrow map, zero exchanges.
+    from finlogic_spark.operators.quantize import quantize_report
 
     corpus = _emb_corpus(spark, sf_dir)
-    sq = scalar_quantize(corpus, "embedding", "q_code", "q_scale")
-    rec = scalar_dequantize("q_code", "q_scale")
-    v = F.col("embedding")
     return (
-        sq.withColumn("__rec", rec)
+        quantize_report(corpus, "vec_id", "embedding")
         .select(
             "vec_id",
             rN(F.col("q_scale"), 6).alias("q_scale"),
-            rN(
-                F.array_max(
-                    F.zip_with(v, F.col("__rec"), lambda a, b: F.abs(a - b))
-                ),
-                6,
-            ).alias("max_abs_err"),
-            rN(cosine(v, F.col("__rec")), 6).alias("cos_recon"),
+            rN(F.col("max_abs_err"), 6).alias("max_abs_err"),
+            rN(F.col("cos_recon"), 6).alias("cos_recon"),
         )
         .orderBy("vec_id")
     )

@@ -105,6 +105,93 @@ def scalar_dequantize(
     )
 
 
+def quantize_report(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Column | DataFrame:
+    """Arrow-batched numpy tier of the encode→decode quality report:
+    (id, q_scale, max_abs_err, cos_recon) — bit-identical to the
+    expression path (``scalar_quantize`` + ``scalar_dequantize`` +
+    ``similarity.cosine``), pinned in tests/test_quantize_parity.py.
+
+    Why a Pandas path exists here at all: the expression formulation
+    is ~10 higher-order array passes per row, and HOF lambdas evaluate
+    INTERPRETED (outside whole-stage codegen) — at sf100 (2M × 64-dim)
+    that measured 7.94 s / 4.05× DuckDB (BENCH_sf100.json r11). The
+    same arithmetic vectorized over an Arrow batch is one numpy kernel
+    per metric. Bit-identity holds because every IEEE operation and
+    its order is reproduced exactly:
+
+    - scale   = max(|x_i|)                       (elementwise abs, max)
+    - code    = floor(x*127.0 / scale + 0.5)     (mul, div, add, floor —
+      the try_divide(…)=NULL→0 guard becomes an explicit scale==0 mask)
+    - rec     = code * scale / 127.0
+    - err     = max(|x - rec|)
+    - cosine  = dot/(|v||rec|) with all three folds accumulated
+      left-to-right over dims (the numpy loop adds dim i's term for
+      every row before dim i+1 — per row that IS the fold order of
+      ``F.aggregate``), try_divide's zero-denominator NULL preserved
+      via a nullable Float64 output (NaN would hash differently).
+
+    Still a narrow map: zero shuffles, scan-shaped parallelism; the
+    only new cost is the Arrow transfer of the vector column.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("q_scale", T.DoubleType()),
+            T.StructField("max_abs_err", T.DoubleType()),
+            T.StructField("cos_recon", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n, d = V.shape
+            scale = np.abs(V).max(axis=1)
+            zero = scale == 0.0
+            safe = np.where(zero, 1.0, scale)
+            code = np.floor((V * 127.0) / safe[:, None] + 0.5)
+            code[zero, :] = 0.0
+            rec = code * scale[:, None] / 127.0
+            err = np.abs(V - rec).max(axis=1)
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for i in range(d):
+                dot += V[:, i] * rec[:, i]
+                na += V[:, i] * V[:, i]
+                nb += rec[:, i] * rec[:, i]
+            denom = np.sqrt(na) * np.sqrt(nb)
+            cos = pd.array(
+                np.divide(
+                    dot, denom, out=np.full(n, np.nan), where=denom != 0.0
+                ),
+                dtype="Float64",
+            )
+            cos[denom == 0.0] = pd.NA
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "q_scale": scale,
+                    "max_abs_err": err,
+                    "cos_recon": cos,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(batches, out_schema)
+
+
 def _codebooks_sql(codebooks: Sequence[Sequence[Sequence[float]]]) -> str:
     """ONE literal ``array<array<array<double>>>``: CB[s][c][j]. A single
     3-deep array literal keeps the expression tree small — the previous
