@@ -6545,8 +6545,21 @@ def events_kll_rollup(spark, sf_dir):
     base = e.filter(v.isNotNull() & ~F.isnan(v)).select(
         F.to_date("ts").alias("day"), "event_type", "value"
     )
+    # ONE scan of the raw events: the per-(day, type) value-frequency
+    # histogram feeds BOTH the sketch build (weighted insert — same
+    # arithmetic as pre_compact) and, re-aggregated over days, the
+    # band-report's exact histogram. The previous formulation scanned
+    # and shuffled the 100M raw rows twice (pre_compact inside
+    # kll_sketch_table + a separate band hist): 7.0 s vs 3.8 s at
+    # sf100, 3.16x -> 1.7x vs the exact-percentile baseline
+    # (BENCH_r12_probes.json sf100:events_kll_rollup).
+    h_day = (
+        base.groupBy("day", "event_type", "value")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
     daily = kll_sketch_table(
-        base, ["day", "event_type"], "value", pre_compact=True
+        h_day, ["day", "event_type"], "value", weight_col="__c"
     )
     est = kll_table_quantiles(
         daily.drop("day"), ["event_type"], [0.5, 0.99]
@@ -6556,8 +6569,8 @@ def events_kll_rollup(spark, sf_dir):
         F.max(F.when(F.col("prob") == 0.99, F.col("value"))).alias("kll_p99"),
     )
     hist = (
-        base.groupBy("event_type", "value")
-        .agg(F.count(F.lit(1)).alias("__c"))
+        h_day.groupBy("event_type", "value")
+        .agg(F.sum("__c").alias("__c"))
         .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     return _kll_band_report(est_w, hist)
