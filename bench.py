@@ -132,6 +132,9 @@ BENCH_QUERIES = [
     "events_winsorize",
     "events_kll_quantiles",
     "doc_dsir_select",
+    # round 12: cross-day sketch rollup, incremental-ANN serve
+    "events_kll_rollup",
+    "emb_lsh_append_topk",
 ]
 
 
@@ -251,6 +254,24 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
+    # Spark's fixed per-query job floor on this host (scheduler +
+    # noop-sink round trip on an empty plan): measured here so the
+    # headline ratio carries a floor-adjusted companion. Rationale:
+    # every sub-second registry query added to the bench pays ~this
+    # floor against DuckDB's milliseconds, so ratio_total drifts
+    # toward the floor as the query set grows even when no plan
+    # changed (0.688 -> 0.756 r10 -> r11 on ~flat real performance).
+    # The companion subtracts ONE floor per query — conservative for
+    # multi-job queries — making round-over-round totals comparable
+    # across registry growth.
+    floor_df = spark.range(1)
+    floor_df.write.format("noop").mode("overwrite").save()  # warm
+    floor_samples = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        floor_df.write.format("noop").mode("overwrite").save()
+        floor_samples.append(time.perf_counter() - t0)
+    job_floor = statistics.median(floor_samples)
     baseline_runs = int(os.environ.get("SPARK_GRAFT_BASELINE_RUNS", "3"))
     try:
         base, base_timeouts = duckdb_baseline(sf_dir, runs=baseline_runs)
@@ -300,6 +321,20 @@ def main() -> None:
                 "ratio_vs_duckdb": ratios,
                 "ratio_total": (
                     round(spark_on_base / base_total, 3) if base_total else None
+                ),
+                # companion metric: the same total with one measured
+                # job floor subtracted per query (see job-floor note
+                # above) — compares plans across rounds without the
+                # registry-growth drift
+                "job_floor_s": round(job_floor, 3),
+                "ratio_total_floor_adjusted": (
+                    round(
+                        max(0.0, spark_on_base - job_floor * len(base))
+                        / base_total,
+                        3,
+                    )
+                    if base_total
+                    else None
                 ),
             }
         )
