@@ -6579,6 +6579,59 @@ def events_kll_rollup(spark, sf_dir):
 ORACLES["events_kll_rollup"] = ORACLES["events_kll_quantiles"]
 
 
+def _minhash_append_index(spark, sf_dir):
+    """Persisted MinHash-LSH bucket index built over HALF the corpus
+    then extended to the full corpus via ``append_to_minhash_index``
+    (text twin of ``_lsh_append_index``): parameters ride the _stats
+    sidecar, appended files land in the same band partitions, nothing
+    existing is re-read or rewritten."""
+    key = ("minhash_append", sf_dir)
+    if _ann_cached(key, spark) is None:
+        from finlogic_spark.operators.text_dedup import (
+            append_to_minhash_index,
+            build_minhash_index_table,
+        )
+
+        safe = "".join(c if c.isalnum() else "_" for c in sf_dir)
+        path = os.path.join(_scratch_root(), f"mhappend{safe}", "idx")
+        d = _t(spark, sf_dir, "documents")
+        build_minhash_index_table(
+            d.filter(F.col("doc_id") % 2 == 0),
+            path,
+            k=3,
+            num_hashes=6,
+            bands=2,
+        )
+        idx = append_to_minhash_index(
+            d.filter(F.col("doc_id") % 2 == 1), path
+        )
+        df = idx.df.persist()
+        df.count()
+        _ANN_INDEX[key] = df
+    return _ANN_INDEX[key]
+
+
+@q("doc_lsh_append_pairs", None)  # oracle attached below (rebuild twin's)
+def doc_lsh_append_pairs(spark, sf_dir):
+    # Same candidate pairs as doc_lsh_pairs, but generated from a
+    # PERSISTED bucket index built over half the corpus and
+    # INCREMENTALLY EXTENDED with the other half
+    # (operators/text_dedup.py append_to_minhash_index): a doc's
+    # (band, band_hash) rows are a pure per-doc function of the
+    # sidecar's parameters, so append == rebuild row-for-row
+    # (tests/test_minhash_index.py) and this query shares the direct
+    # twin's oracle VERBATIM — the gate certifies that near-dup
+    # fingerprints maintained incrementally (the hourly-ingest path at
+    # 100 TB) yield identical candidates to recomputing from raw text.
+    from finlogic_spark.operators.text_dedup import bucket_pairs
+
+    buckets = _minhash_append_index(spark, sf_dir)
+    return bucket_pairs(buckets, "doc_id").orderBy("id_a", "id_b")
+
+
+ORACLES["doc_lsh_append_pairs"] = ORACLES["doc_lsh_pairs"]
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------

@@ -181,6 +181,17 @@ def minhash_lsh_pairs(
     quadratic expansion."""
     sig = minhash_signature(df, text_col, id_col, k, num_hashes)
     buckets = lsh_buckets(sig, id_col, num_hashes, bands)
+    return bucket_pairs(buckets, id_col, max_bucket_size)
+
+
+def bucket_pairs(
+    buckets: DataFrame,
+    id_col: str,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs from (band, band_hash, id) bucket
+    rows — the shared tail of minhash_lsh_pairs and the persisted-index
+    path (the index stores exactly these rows)."""
     grouped = buckets.groupBy("band", "band_hash").agg(
         F.sort_array(F.collect_list(id_col)).alias("__ids")
     )
@@ -190,6 +201,146 @@ def minhash_lsh_pairs(
         grouped.filter(F.size("__ids") >= 2)
         .select(F.explode(_pairs_within(F.col("__ids"))).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+
+
+class MinhashIndex:
+    """Handle on a persisted MinHash-LSH bucket index: the serving
+    frame plus the sidecar parameters every lookup must reuse."""
+
+    def __init__(self, df: DataFrame, k: int, num_hashes: int, bands: int):
+        self.df = df
+        self.k = k
+        self.num_hashes = num_hashes
+        self.bands = bands
+
+
+def build_minhash_index_table(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> MinhashIndex:
+    """Build and PERSIST the corpus's MinHash-LSH bucket index:
+    (id, band, band_hash) rows, parquet partitioned by ``band`` and
+    sorted by ``band_hash`` inside each file (row-group min/max
+    skipping for hash-selective lookups), plus a ``_stats`` sidecar
+    pinning (k, num_hashes, bands) — the text-dedup twin of
+    ``similarity.build_lsh_index_table``. At 100 TB the corpus's
+    near-dup fingerprints are an ASSET you maintain, not a derivation
+    you re-run: pair generation, clustering, and new-batch screening
+    all serve from these rows without touching document text again.
+    """
+    import os
+
+    spark = docs.sparkSession
+    buckets = lsh_buckets(
+        minhash_signature(docs, text_col, id_col, k, num_hashes),
+        id_col,
+        num_hashes,
+        bands,
+    )
+    (
+        buckets.repartition(bands, F.col("band"))
+        .sortWithinPartitions("band", "band_hash")
+        .write.partitionBy("band")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    spark.createDataFrame(
+        [(k, num_hashes, bands)], "k int, num_hashes int, bands int"
+    ).write.mode("overwrite").parquet(os.path.join(path, "_stats"))
+    return read_minhash_index(spark, path)
+
+
+def read_minhash_index(spark, path: str) -> MinhashIndex:
+    import os
+
+    r = spark.read.parquet(os.path.join(path, "_stats")).first()
+    return MinhashIndex(
+        df=spark.read.parquet(path),
+        k=int(r["k"]),
+        num_hashes=int(r["num_hashes"]),
+        bands=int(r["bands"]),
+    )
+
+
+def append_to_minhash_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> MinhashIndex:
+    """Incrementally extend a persisted MinHash index with NEW
+    documents — no rebuild, no read of the existing bucket rows.
+    Sound for the same reason the vector-LSH append is: a document's
+    (band, band_hash) rows are a PURE per-doc function of the
+    sidecar's (k, num_hashes, bands) — the md5 hash family is
+    positional constants, no corpus-global statistic exists to go
+    stale (contrast BM25's df/total_dl, which rebuild). The appended
+    index is row-for-row identical to a from-scratch build over the
+    union — pinned by tests/test_minhash_index.py, and the registry's
+    ``doc_lsh_append_pairs`` shares ``doc_lsh_pairs``' oracle verbatim
+    so the correctness gate certifies it too.
+
+    Caller contract: ``new_docs`` must not already be in the index (a
+    re-appended id would pair with itself through every band); dedup
+    upstream. Parameters come from the sidecar, never the caller.
+    """
+    spark = new_docs.sparkSession
+    idx = read_minhash_index(spark, path)
+    rows = lsh_buckets(
+        minhash_signature(new_docs, text_col, id_col, idx.k, idx.num_hashes),
+        id_col,
+        idx.num_hashes,
+        idx.bands,
+    )
+    (
+        rows.repartition(idx.bands, F.col("band"))
+        .sortWithinPartitions("band", "band_hash")
+        .write.partitionBy("band")
+        .mode("append")
+        .parquet(path)
+    )
+    return read_minhash_index(spark, path)
+
+
+def screen_against_index(
+    new_docs: DataFrame,
+    index: MinhashIndex,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(new_id, corpus_id) candidate near-dup pairs of an ARRIVING
+    batch against the persisted corpus index — the ingest-time screen:
+    hash the batch with the sidecar's parameters and join its bucket
+    rows against the stored ones. Work is O(|batch| · bands) plus the
+    bucket-row join; the corpus's documents are never re-read. The
+    batch side is broadcast when small (the common case: an hourly
+    slice against a corpus-sized index).
+
+    Returns distinct (new_id, corpus_id) with corpus_id from the
+    index; screen → exact-verify on the candidates (a point lookup of
+    candidate texts) is the standard two-step. A batch id colliding
+    with a corpus id is the caller's upstream key bug, not detectable
+    here."""
+    new_buckets = lsh_buckets(
+        minhash_signature(new_docs, text_col, id_col, index.k, index.num_hashes),
+        id_col,
+        index.num_hashes,
+        index.bands,
+    ).select(
+        F.col(id_col).alias("new_id"), "band", "band_hash"
+    )
+    return (
+        index.df.join(
+            F.broadcast(new_buckets), ["band", "band_hash"]
+        )
+        .select("new_id", F.col(id_col).alias("corpus_id"))
         .distinct()
     )
 
