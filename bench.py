@@ -132,9 +132,11 @@ BENCH_QUERIES = [
     "events_winsorize",
     "events_kll_quantiles",
     "doc_dsir_select",
-    # round 12: cross-day sketch rollup, incremental-ANN serve
+    # round 12: cross-day sketch rollup, incremental-ANN serve,
+    # incremental text-dedup index serve
     "events_kll_rollup",
     "emb_lsh_append_topk",
+    "doc_lsh_append_pairs",
 ]
 
 

@@ -291,6 +291,124 @@ def probe_incremental(spark, out, sf100, runs, timeout):
     shutil.rmtree(scratch, ignore_errors=True)
 
 
+def probe_bloom(spark, out, sf100, runs, timeout):
+    """join_bloom_pruned adjudication at sf100.
+
+    The registry query's dim (selective customer filter) is
+    BROADCAST-SIZED, so Spark's plain broadcast-hash join already drops
+    non-matching fact rows inside the scan stage — in that regime the
+    bloom filter is pure added work, and the row measures Spark's
+    scan+join floor plus that overhead, not a plan defect. Decompose:
+
+    - plain_broadcast_s — the oracle's join shape in Spark, no bloom
+      (floor: same scan, broadcast join, same agg)
+    - full_s — the registry query (bloom build + probe + exact join)
+    - the SHUFFLE regime the operator exists for: broadcast disabled
+      (both planner and AQE thresholds), plain shuffle join vs
+      bloom-pruned shuffle join — the bloom drops ~98% of fact rows
+      before the exchange, which is the 100 TB story (a dim over the
+      broadcast threshold still prunes the fact scan).
+    """
+    from pyspark.sql import functions as F
+
+    from finlogic_spark import driver_queries as dq
+    from finlogic_spark.operators.bloomjoin import bloom_pruned_join
+
+    def dim():
+        return (
+            spark.read.parquet(f"{sf100}/customer.parquet")
+            .filter(
+                (F.col("c_mktsegment") == "MACHINERY")
+                & (F.col("c_acctbal") > 9000.0)
+            )
+            .select("c_custkey", "c_nationkey")
+        )
+
+    def orders():
+        return spark.read.parquet(f"{sf100}/orders.parquet").select(
+            "o_custkey", "o_totalprice"
+        )
+
+    def agg(joined):
+        return (
+            joined.groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dq.dsum(F.col("o_totalprice"), "total_price"),
+            )
+            .orderBy("c_nationkey")
+        )
+
+    def plain():
+        noop(
+            agg(
+                orders().join(
+                    F.broadcast(dim()),
+                    F.col("o_custkey") == F.col("c_custkey"),
+                )
+            )
+        )
+
+    row = {
+        "plain_broadcast_s": timed(plain, runs),
+        "full_s": spark_time(spark, "join_bloom_pruned", sf100, runs)[
+            "spark_s"
+        ],
+    }
+    row.update(duckdb_time("join_bloom_pruned", sf100, runs, timeout))
+    row["bloom_overhead_s"] = round(row["full_s"] - row["plain_broadcast_s"], 2)
+    if row.get("duckdb_s"):
+        row["ratio_plain"] = round(
+            row["plain_broadcast_s"] / row["duckdb_s"], 2
+        )
+
+    # shuffle regime: what the filter exists for
+    no_bc = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in no_bc}
+    for k, v in no_bc.items():
+        spark.conf.set(k, v)
+    try:
+        def shuffle_plain():
+            noop(
+                agg(
+                    orders().join(
+                        dim(), F.col("o_custkey") == F.col("c_custkey")
+                    )
+                )
+            )
+
+        def shuffle_bloom():
+            noop(
+                agg(
+                    bloom_pruned_join(
+                        orders(), dim(), "o_custkey", "c_custkey"
+                    )
+                )
+            )
+
+        row["shuffle_plain_s"] = timed(shuffle_plain, runs)
+        row["shuffle_bloom_s"] = timed(shuffle_bloom, runs)
+        row["bloom_speedup_in_shuffle_regime"] = round(
+            row["shuffle_plain_s"] / row["shuffle_bloom_s"], 2
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    row["note"] = (
+        "registry dim is broadcast-sized, so the plain broadcast join "
+        "already prunes in the scan stage and the bloom is overhead "
+        "there; the shuffle rows show the regime the operator is for"
+    )
+    out["sf100:join_bloom_pruned_decomposition"] = row
+    print("sf100:join_bloom_pruned_decomposition", row, flush=True)
+
+
 def probe_birth(spark, out, sf10, sf100, runs, timeout):
     """At-birth scale rows for the round-12 registry newcomers."""
     # KLL rollup: sketch-table build + 30-day merge, rank-band oracle
@@ -313,6 +431,88 @@ def probe_birth(spark, out, sf10, sf100, runs, timeout):
     row = spark_time(spark, "emb_lsh_append_topk", sf100, runs)
     out["sf100:emb_lsh_append_topk"] = row
     print("sf100:emb_lsh_append_topk", row, flush=True)
+
+
+def probe_rollup(spark, out, sf100, runs, timeout):
+    """events_kll_rollup decomposition at sf100. The registry query
+    deliberately packages THREE things the baseline's one-shot exact
+    percentile does not: (a) building the persistable per-(day, type)
+    sketch table, (b) the 30-day merge, (c) the exact-band validation
+    (itself ~the whole batch-twin query). Decompose so the ~2x row is
+    attributable — and measure the SERVING path the artifact exists
+    for: percentiles of a window from an already-persisted daily
+    table, zero raw rows re-read. At 100 TB the build amortizes
+    (1/30th per day, incremental); every window query pays only the
+    merge."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from finlogic_spark.operators.sketch import (
+        kll_sketch_table,
+        kll_table_quantiles,
+    )
+
+    e = spark.read.parquet(f"{sf100}/events.parquet")
+    v = F.col("value")
+    base = e.filter(v.isNotNull() & ~F.isnan(v)).select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+
+    def h_day():
+        return base.groupBy("day", "event_type", "value").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+
+    def build_daily():
+        noop(kll_sketch_table(h_day(), ["day", "event_type"], "value",
+                              weight_col="__c"))
+
+    def validation_only():
+        # the band report fed by exact values — the part of the query
+        # that REPEATS the baseline's work for validation
+        hist = h_day().groupBy("event_type", "value").agg(
+            F.sum("__c").alias("__c")
+        )
+        noop(hist.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")))
+
+    daily_path = tempfile.mkdtemp(prefix="kllrollup_") + "/daily"
+    kll_sketch_table(
+        h_day(), ["day", "event_type"], "value", weight_col="__c"
+    ).write.mode("overwrite").parquet(daily_path)
+
+    def serve_window():
+        stored = spark.read.parquet(daily_path)
+        noop(
+            kll_table_quantiles(
+                stored.drop("day"), ["event_type"], [0.5, 0.99]
+            )
+        )
+
+    row = {
+        "sketch_build_s": timed(build_daily, runs),
+        "validation_histogram_s": timed(validation_only, runs),
+        "serve_window_from_stored_s": timed(serve_window, runs),
+        "full_s": spark_time(spark, "events_kll_rollup", sf100, runs)[
+            "spark_s"
+        ],
+    }
+    row.update(duckdb_time("events_kll_rollup", sf100, runs, timeout))
+    if row.get("duckdb_s"):
+        row["ratio_full"] = round(row["full_s"] / row["duckdb_s"], 2)
+        row["ratio_serve"] = round(
+            row["serve_window_from_stored_s"] / row["duckdb_s"], 2
+        )
+    row["note"] = (
+        "full = daily-sketch-table build + merge + exact-band "
+        "validation; the baseline computes the percentile once and "
+        "persists nothing. serve_window_from_stored_s is the path the "
+        "artifact exists for - any window's percentiles from stored "
+        "sketch rows, zero raw rows re-read"
+    )
+    out["sf100:events_kll_rollup_decomposition"] = row
+    print("sf100:events_kll_rollup_decomposition", row, flush=True)
 
 
 def probe_twap_layout(spark, out, sf100, runs, timeout):
@@ -379,6 +579,8 @@ def main() -> int:
     out: dict = {"runs": runs, "sf10": sf10, "sf100": sf100}
     if which in ("fixed", "all"):
         probe_fixed(spark, out, sf10, sf100, runs, timeout)
+    if which in ("bloom", "all"):
+        probe_bloom(spark, out, sf100, runs, timeout)
     if which in ("profile", "all"):
         probe_profile(spark, out, sf100, runs, timeout)
     if which in ("histogram", "all"):
@@ -387,6 +589,8 @@ def main() -> int:
         probe_incremental(spark, out, sf100, runs, timeout)
     if which in ("birth", "all"):
         probe_birth(spark, out, sf10, sf100, runs, timeout)
+    if which in ("rollup", "all"):
+        probe_rollup(spark, out, sf100, runs, timeout)
     if which in ("twap", "all"):
         probe_twap_layout(spark, out, sf100, runs, timeout)
     print(json.dumps(out))
