@@ -6633,6 +6633,159 @@ ORACLES["doc_lsh_append_pairs"] = ORACLES["doc_lsh_pairs"]
 
 
 # ---------------------------------------------------------------------------
+# Distinct-count sketches: persisted HLL tables + streaming state
+# ---------------------------------------------------------------------------
+
+_HLL_BAND_SQL = """
+    -- Property-style oracle (same pattern as approx_distinct /
+    -- events_kll_rollup): the HLL estimate is sketch-specific by
+    -- design, but the sketch's documented error bound is checkable —
+    -- est_ok asserts |approx - exact| / exact <= 6% on the Spark side
+    -- (>= 3.7 sigma at lgk=12's RSE of 1.63%; gate-scale groups sit in
+    -- the linear-counting regime and land near-exact). The estimate is
+    -- deterministic for fixed input, so the flag is stable; a sketch
+    -- regression flips it and fails the value hash. Exact counts
+    -- compare directly."""
+
+
+@q(
+    "events_hll_rollup",
+    f"""
+    {_HLL_BAND_SQL}
+    SELECT event_type,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_ok
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1 ORDER BY event_type
+    """,
+)
+def events_hll_rollup(spark, sf_dir):
+    # The distinct-count rollup pipeline end-to-end
+    # (operators/distinct_sketch.py): ONE pass over the raw events
+    # builds a per-(day, event_type) Datasketches-HLL table — the
+    # persistable daily artifact, one 2^lgk-byte binary per group,
+    # WRITTEN TO PARQUET AND READ BACK here so the gate certifies the
+    # full store→merge round trip — and the 30-day distinct-user count
+    # then comes from unioning the ~30 stored sketch rows per
+    # event_type: KBs of input, ZERO raw rows re-scanned. This is the
+    # 100 TB distinct-count shape ("distinct users this month", asked
+    # daily); the sibling of events_kll_rollup for percentiles.
+    # Register union is lossless w.r.t. the sketch's error bound, so
+    # the rolled-up estimate carries the same guarantee as a direct
+    # single-pass build. Validation: est_ok checks the band against
+    # the exact count (exact branch exists only to validate).
+    from finlogic_spark.operators.distinct_sketch import (
+        hll_sketch_table,
+        hll_table_estimate,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    base = e.select(F.to_date("ts").alias("day"), "event_type", "user_id")
+    daily = hll_sketch_table(base, ["day", "event_type"], "user_id", lgk=12)
+    safe = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    path = os.path.join(_scratch_root(), f"hllroll{safe}")
+    daily.write.mode("overwrite").parquet(path)
+    est = hll_table_estimate(
+        spark.read.parquet(path), ["event_type"], "approx_users"
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct(F.to_date("ts")).alias("n_days"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    band_ok = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+        <= 0.06
+    )
+    return (
+        exact.join(est, "event_type")
+        .select("event_type", "n_days", "exact_users", band_ok.alias("est_ok"))
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "stream_hll_distinct",
+    f"""
+    {_HLL_BAND_SQL}
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_ok
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1 ORDER BY event_type
+    """,
+)
+def stream_hll_distinct(spark, sf_dir):
+    # Streaming twin of events_hll_rollup: per-event_type distinct
+    # users with HLL registers as keyed streaming state
+    # (streaming/stateful.py hll_distinct_stream) — 8 KiB of state per
+    # key at ANY stream length, where exact streaming distinct holds
+    # every id ever seen. HLL state is a per-register max (commutative,
+    # idempotent), so the final streaming estimate EQUALS a batch build
+    # over the same rows — micro-batch boundaries can't move it — and
+    # the band check is inherited from the batch contract (lgk=13 here:
+    # RSE 1.15%, 6% band is >= 5 sigma). keep_last over the monotone n
+    # takes each key's final emission.
+    from finlogic_spark.streaming import drain_stream_to_df, read_events_stream
+    from finlogic_spark.streaming.stateful import hll_distinct_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    drained = drain_stream_to_df(
+        hll_distinct_stream(stream), output_mode="update"
+    )
+    est = keep_last(drained, ["event_type"], ["n"]).select(
+        "event_type", "approx_users"
+    )
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    band_ok = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+        <= 0.06
+    )
+    return (
+        exact.join(est, "event_type")
+        .select("event_type", "exact_users", band_ok.alias("est_ok"))
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "doc_heavy_tokens",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS_SQL}) AS token FROM documents
+                  WHERE text IS NOT NULL),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT token, count(*) AS cnt FROM toks CROSS JOIN tot
+    GROUP BY token, tot.n HAVING count(*) >= 0.001 * tot.n
+    ORDER BY cnt DESC, token ASC
+    """,
+)
+def doc_heavy_tokens(spark, sf_dir):
+    # Exact phi-heavy-hitter tokens (phi = 0.1% of all occurrences)
+    # WITHOUT shuffling the token distribution (operators/freq.py):
+    # a map-only per-partition frequency screen emits <= 2/phi
+    # candidates per partition (provable superset — an item below
+    # phi/2 locally everywhere is below phi globally), then the exact
+    # count touches only candidate occurrences (broadcast semi-join
+    # BEFORE the shuffle). Contrast doc_topk_tokens, whose exchange
+    # carries one row per distinct token per map task — the full
+    # vocabulary at corpus scale. Output counts are exact, so the
+    # oracle is plain GROUP BY / HAVING; the phi*n threshold is a
+    # broadcast scalar from the screen's total rows, not a driver
+    # count.
+    from finlogic_spark.operators.freq import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    occ = d.select(F.explode(tokens("text")).alias("token"))
+    out = heavy_hitters(occ, "token", 0.001, out_count="cnt")
+    return out.orderBy(F.col("cnt").desc(), F.col("token").asc())
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------
 

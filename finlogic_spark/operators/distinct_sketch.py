@@ -1,0 +1,170 @@
+"""Persistable distinct-count (HLL) sketch tables + a pure-Python HLL
+for streaming state.
+
+The 100 TB distinct-count shape (sibling of operators/sketch.py's KLL
+quantile tables): store ONE sketch row per (partition key, group) —
+e.g. per (day, event_type) — and any window's distinct count is a
+re-merge of the stored rows, KBs of input, ZERO raw rows re-scanned.
+Reference parity: the reference's n_unique (SURVEY §2.4 A4) done the
+only way that works when the raw data is 100 TB and the question is
+"distinct users this month" asked daily.
+
+Batch path is Spark-first: the native Datasketches HLL aggregates
+(``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``) —
+JVM-side, map-side-combining partial aggregation, binary-mergeable,
+and the sketch binary round-trips through parquet unchanged (pinned in
+tests/test_distinct_sketch.py).
+
+The streaming path can't use the JVM sketches (keyed state lives in
+Python under ``applyInPandasWithState``), so :class:`PyHLL` is a
+minimal classic HyperLogLog (Flajolet et al. 2007, with the standard
+small-range linear-counting correction): dense uint8 registers, a
+splitmix64 hash, vectorized inserts. Unlike the KLL sketch, HLL state
+is a per-register MAX — insertion-order independent — so the streaming
+estimate is EXACTLY the batch estimate over the same rows, not merely
+band-equivalent; micro-batch boundaries cannot move it.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hll_sketch_table", "hll_table_estimate", "PyHLL"]
+
+
+def hll_sketch_table(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """ONE Datasketches-HLL binary per group — the persistable daily
+    artifact. Schema: (keys..., __hll binary). Write this per
+    day/partition; distinct counts over any key subset then come from
+    :func:`hll_table_estimate` over the stored rows. Plan: a single
+    hash aggregate with map-side sketch partials (each map task ships
+    one ~2^lgk-byte sketch per group, never its raw values)."""
+    return df.groupBy(*key_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("__hll")
+    )
+
+
+def hll_table_estimate(
+    sketch_df: DataFrame,
+    key_cols: Sequence[str],
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Re-merge stored sketch rows down to ``key_cols`` and estimate:
+    e.g. daily (day, event_type) rows → per-event_type distinct over
+    the whole stored range. Union of HLL registers is lossless w.r.t.
+    the sketch's error bound (RSE ≈ 1.04/√2^lgk), so the rollup
+    estimate carries the same guarantee as a direct single-pass build
+    over the raw rows."""
+    return sketch_df.groupBy(*key_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__hll")).alias(out_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python HLL for streaming keyed state
+# ---------------------------------------------------------------------------
+
+_SPLITMIX_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SPLITMIX_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: a full-avalanche 64-bit mix, vectorized
+    over a uint64 array. Deterministic across runs/partitions (no RNG,
+    no Python hash seed)."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + _SPLITMIX_GAMMA
+        z = (z ^ (z >> np.uint64(30))) * _SPLITMIX_M1
+        z = (z ^ (z >> np.uint64(27))) * _SPLITMIX_M2
+        return z ^ (z >> np.uint64(31))
+
+
+def _clz64(w: np.ndarray) -> np.ndarray:
+    """Exact leading-zero count of uint64 values (binary-search shifts,
+    fully vectorized — no float log2, whose rounding misplaces the top
+    bit near powers of two). w == 0 maps to 64."""
+    n = np.zeros(w.shape, dtype=np.int64)
+    x = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = x < (np.uint64(1) << np.uint64(64 - shift))
+        n[mask] += shift
+        x[mask] <<= np.uint64(shift)
+    return n
+
+
+class PyHLL:
+    """Classic dense HyperLogLog over 64-bit-hashed int64 keys.
+
+    State is ``m = 2^lgk`` uint8 registers (8 KiB at the default
+    lgk=13) — bounded per streaming key at ANY stream length, where an
+    exact streaming distinct would hold every id ever seen. Register
+    updates are max(), so the structure is a commutative idempotent
+    monoid: merge order, insert order, and micro-batch boundaries are
+    all invisible in the estimate.
+
+    Standard error 1.04/√m ≈ 1.15% at lgk=13; the registry band check
+    asserts 6% (≈5σ) against the exact count. Small cardinalities use
+    the linear-counting correction (E ≤ 2.5m with empty registers), so
+    gate-scale groups (10²–10³ distinct) are near-exact.
+    """
+
+    __slots__ = ("lgk", "regs")
+
+    def __init__(self, lgk: int = 13, regs: np.ndarray | None = None):
+        self.lgk = lgk
+        m = 1 << lgk
+        if regs is None:
+            regs = np.zeros(m, dtype=np.uint8)
+        else:
+            regs = np.asarray(regs, dtype=np.uint8)
+            if regs.shape != (m,):
+                raise ValueError(
+                    f"register blob has {regs.size} bytes, lgk={lgk} needs {m}"
+                )
+        self.regs = regs
+
+    def add_ints(self, values: np.ndarray) -> None:
+        """Fold int64 keys in (vectorized). NaN-free by construction —
+        callers pass integer id columns; nulls are filtered upstream."""
+        if values.size == 0:
+            return
+        h = _mix64(values.astype(np.int64).view(np.uint64))
+        lgk = np.uint64(self.lgk)
+        idx = (h >> (np.uint64(64) - lgk)).astype(np.int64)
+        w = h << lgk  # remaining 64-lgk bits, left-aligned
+        rho = (_clz64(w) + 1).clip(max=64 - self.lgk + 1).astype(np.uint8)
+        np.maximum.at(self.regs, idx, rho)
+
+    def merge(self, other: "PyHLL") -> "PyHLL":
+        if other.lgk != self.lgk:
+            raise ValueError("cannot merge HLLs with different lgk")
+        np.maximum(self.regs, other.regs, out=self.regs)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.regs.size)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / float(np.sum(np.exp2(-self.regs.astype(np.float64))))
+        if est <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.regs == 0))
+            if zeros:
+                return m * math.log(m / zeros)
+        return est
+
+    def to_bytes(self) -> bytes:
+        return self.regs.tobytes()
+
+    @classmethod
+    def from_bytes(cls, lgk: int, blob: bytes) -> "PyHLL":
+        return cls(lgk, np.frombuffer(blob, dtype=np.uint8).copy())

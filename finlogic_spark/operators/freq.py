@@ -1,0 +1,100 @@
+"""Exact φ-heavy-hitters without shuffling the full item distribution.
+
+The 100 TB frequent-items shape: a straight ``groupBy(item).count()``
+over token occurrences shuffles one row per DISTINCT item per map task
+— at corpus scale that is the full vocabulary (10⁸⁺ keys) crossing the
+wire to answer a question whose output is a handful of rows. This
+operator answers it EXACTLY in two scans, neither of which shuffles
+the distribution:
+
+1. **Screen** (map-only): each partition computes its exact local item
+   counts (a per-partition dict — bounded by the partition's own
+   vocabulary, the same memory shape as the map-side hash aggregate
+   Spark would build anyway) and emits only items with LOCAL frequency
+   ≥ φ/2, plus one row carrying the partition's total. This is a
+   provable superset of the global φ-heavy-hitters with NO balance
+   assumptions: if an item's local count were < (φ/2)·n_p in every
+   partition p, its global count would be < (φ/2)·Σn_p = (φ/2)·n < φ·n.
+   Candidate volume is ≤ 2/φ per partition (the Misra-Gries bound with
+   k = ⌈2/φ⌉ counters) — a few thousand rows total, never the vocab.
+2. **Verify** (exact): count ONLY the candidates — a broadcast
+   semi-join prunes the explode before the shuffle, so the exchange
+   carries candidate occurrences, not the distribution — and keep
+   items with exact global count ≥ φ·n. The output is exact and
+   deterministic: the screen can only add candidates, never lose a
+   true heavy hitter, and the final counts are true counts.
+
+(The reference has no frequent-items operator; this is engine scope —
+SURVEY §2.10 — motivated by vocab/stopword extraction over a training
+corpus where the distribution itself is too heavy to shuffle.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["frequency_screen", "heavy_hitters"]
+
+
+def frequency_screen(items: DataFrame, item_col: str, phi: float) -> DataFrame:
+    """Map-only candidate screen: rows ``(item, local_cnt)`` for items
+    with local frequency ≥ φ/2, plus one ``(NULL, n_p)`` total row per
+    partition. Output is ≤ ⌈2/φ⌉ + 1 rows per partition."""
+    if not (0.0 < phi < 1.0):
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    half = phi / 2.0
+    schema = f"`{item_col}` string, __cnt bigint"
+
+    def screen(batches):
+        import pandas as pd
+
+        counts: dict[str, int] = {}
+        total = 0
+        for pdf in batches:
+            col = pdf[item_col].dropna()
+            total += len(col)
+            # vectorized per Arrow batch; the dict holds the partition's
+            # exact local distribution (same footprint as the map-side
+            # hash aggregate a plain groupBy would build here)
+            for item, c in col.value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+        thresh = half * total
+        rows = [(it, c) for it, c in counts.items() if c >= thresh]
+        rows.append((None, total))  # partition-total marker row
+        yield pd.DataFrame(rows, columns=[item_col, "__cnt"])
+
+    return items.mapInPandas(screen, schema=schema)
+
+
+def heavy_hitters(
+    items: DataFrame,
+    item_col: str | Column,
+    phi: float,
+    out_count: str = "cnt",
+) -> DataFrame:
+    """Items whose global frequency is ≥ φ, with EXACT counts.
+
+    ``items`` is the occurrence frame (one row per occurrence, e.g. an
+    exploded token column). Two scans of it: the screen (map-only, no
+    shuffle of the distribution) and the candidate-filtered exact
+    count. The φ·n threshold is applied inside the plan from the
+    screen's total rows — no driver-side count, no collect."""
+    if isinstance(item_col, Column):
+        items = items.select(item_col.alias("__item"))
+        item_col = "__item"
+    scr = frequency_screen(items, item_col, phi).localCheckpoint(eager=False)
+    total = scr.filter(F.col(item_col).isNull()).agg(
+        F.sum("__cnt").alias("__n")
+    )
+    cand = scr.filter(F.col(item_col).isNotNull()).select(item_col).distinct()
+    exact = (
+        items.join(F.broadcast(cand), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias(out_count))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col(out_count) >= F.lit(phi) * F.col("__n"))
+        .drop("__n")
+    )

@@ -428,3 +428,88 @@ def kll_quantiles_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming distinct count: HLL registers as keyed streaming state
+# ---------------------------------------------------------------------------
+
+# State is the PyHLL register array (operators/distinct_sketch.py):
+# 2^lgk bytes per key — 8 KiB at the default lgk=13 — at ANY stream
+# length, where exact streaming distinct would hold every id ever seen.
+# Treat any edit as a checkpoint-format change (same contract as
+# KLL_STATE_SCHEMA).
+HLL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("lgk", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("regs", T.BinaryType()),
+    ]
+)
+
+HLL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("approx_users", T.DoubleType()),
+    ]
+)
+
+
+def _hll_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    from finlogic_spark.operators.distinct_sketch import PyHLL
+
+    (event_type,) = key
+    if state.exists:
+        lgk, n, regs = state.get
+        h = PyHLL.from_bytes(lgk, regs)
+    else:
+        lgk, n = 13, 0
+        h = PyHLL(lgk)
+    for pdf in pdfs:
+        ids = pdf["user_id"].dropna().to_numpy(dtype=np.int64)
+        n += ids.size
+        h.add_ints(ids)
+    state.update((lgk, n, h.to_bytes()))
+    yield pd.DataFrame(
+        [{"event_type": event_type, "n": n, "approx_users": h.estimate()}]
+    )
+
+
+def hll_distinct_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-key distinct-user count with HLL registers as
+    keyed state (streaming twin of the events_hll_rollup batch
+    pipeline): each micro-batch folds its ids into the key's registers
+    and re-emits the updated estimate — a live cardinality dashboard
+    with 8 KiB of state per key.
+
+    Stronger contract than the KLL twin: HLL registers accumulate by
+    per-register max — a commutative idempotent monoid — so the final
+    streaming estimate EQUALS a single batch PyHLL build over the same
+    rows, not merely lands in the same error band. Micro-batch
+    boundaries, insert order, and restarts cannot move it (re-inserting
+    an id after a replay is a no-op, which also makes the operator
+    naturally idempotent under at-least-once delivery).
+
+    The emitted ``n`` (rows absorbed) is monotone per key, so a
+    downstream keep-last over n takes the final estimates. Validated in
+    the registry against the exact distinct count with the sketch's
+    published error band (stream_hll_distinct)."""
+    from finlogic_spark.streaming import with_event_time
+
+    return (
+        with_event_time(events)
+        .select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _hll_update,
+            outputStructType=HLL_OUTPUT_SCHEMA,
+            stateStructType=HLL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

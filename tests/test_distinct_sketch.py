@@ -1,0 +1,228 @@
+"""Distinct-count sketches (operators/distinct_sketch.py), the exact
+heavy-hitters screen (operators/freq.py), and the streaming HLL state
+op (streaming/stateful.py hll_distinct_stream)."""
+
+import glob as _glob
+import shutil as _shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from finlogic_spark.operators.distinct_sketch import (
+    PyHLL,
+    hll_sketch_table,
+    hll_table_estimate,
+)
+from finlogic_spark.operators.freq import frequency_screen, heavy_hitters
+
+
+# ---------------------------------------------------------------------------
+# PyHLL
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [1, 30, 150, 1500, 20_000, 100_000])
+def test_pyhll_error_band(n):
+    h = PyHLL(13)
+    h.add_ints(np.arange(n, dtype=np.int64) * 7919 + 3)
+    est = h.estimate()
+    # registry band is 6%; pin tighter here (worst measured: 2.9% at
+    # the linear-counting crossover ~2.5m)
+    assert abs(est - n) / n <= 0.04, (n, est)
+
+
+def test_pyhll_order_and_batching_invariant():
+    """Register updates are max() — insert order, chunking, and
+    duplicate re-insertion must not move the estimate AT ALL (this is
+    the property that makes the streaming estimate equal the batch
+    one)."""
+    v = np.arange(5000, dtype=np.int64)
+    a = PyHLL(13)
+    a.add_ints(v)
+    b = PyHLL(13)
+    perm = np.random.default_rng(7).permutation(v)
+    for chunk in np.array_split(perm, 11):
+        b.add_ints(chunk)
+        b.add_ints(chunk)  # at-least-once replay is a no-op
+    assert a.estimate() == b.estimate()
+
+
+def test_pyhll_merge_equals_union_build():
+    lo = np.arange(0, 3000, dtype=np.int64)
+    hi = np.arange(2000, 6000, dtype=np.int64)  # overlapping
+    a = PyHLL(13)
+    a.add_ints(lo)
+    b = PyHLL(13)
+    b.add_ints(hi)
+    both = PyHLL(13)
+    both.add_ints(np.concatenate([lo, hi]))
+    assert a.merge(b).estimate() == both.estimate()
+
+
+def test_pyhll_wire_roundtrip_and_guards():
+    h = PyHLL(13)
+    h.add_ints(np.arange(1234, dtype=np.int64))
+    back = PyHLL.from_bytes(13, h.to_bytes())
+    assert back.estimate() == h.estimate()
+    with pytest.raises(ValueError, match="bytes"):
+        PyHLL.from_bytes(12, h.to_bytes())  # wrong lgk for blob size
+    with pytest.raises(ValueError, match="merge"):
+        PyHLL(12).merge(PyHLL(13))
+    assert PyHLL(13).estimate() == 0.0  # empty sketch is 0, not NaN
+
+
+# ---------------------------------------------------------------------------
+# JVM HLL sketch tables (Datasketches) + parquet round trip
+# ---------------------------------------------------------------------------
+
+
+def test_hll_sketch_table_rollup_roundtrip(spark, tmp_path):
+    """Daily sketch rows written to parquet, read back, merged across
+    days: the estimate over the union must land within the lgk=12 band
+    of the exact distinct — certifying the binary survives the
+    parquet round trip (a corrupted sketch misses by orders of
+    magnitude, not percent)."""
+    rng = np.random.RandomState(11)
+    rows = [
+        (int(day), "g" + str(int(g)), int(uid))
+        for day, g, uid in zip(
+            rng.randint(0, 7, 20_000),
+            rng.randint(0, 3, 20_000),
+            rng.randint(0, 4000, 20_000),
+        )
+    ]
+    df = spark.createDataFrame(rows, "day int, grp string, uid long")
+    daily = hll_sketch_table(df, ["day", "grp"], "uid", lgk=12)
+    p = str(tmp_path / "hll")
+    daily.write.parquet(p)
+    est = {
+        r["grp"]: r["approx"]
+        for r in hll_table_estimate(
+            spark.read.parquet(p), ["grp"], "approx"
+        ).collect()
+    }
+    exact = {
+        r["grp"]: r["x"]
+        for r in df.groupBy("grp")
+        .agg(F.count_distinct("uid").alias("x"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for g in exact:
+        assert abs(est[g] - exact[g]) / exact[g] <= 0.06, (g, est[g], exact[g])
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _zipf_items(spark, n_rows=60_000, n_parts=8, seed=3):
+    rng = np.random.RandomState(seed)
+    # skewed discrete distribution: a few very heavy items + long tail
+    items = np.where(
+        rng.rand(n_rows) < 0.5,
+        rng.randint(0, 12, n_rows),  # 12 heavy items share half the mass
+        rng.zipf(1.5, n_rows) + 12,
+    )
+    return spark.createDataFrame(
+        [("it" + str(int(i)),) for i in items], "item string"
+    ).repartition(n_parts)
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    """The two-scan screen+verify result must equal the brute-force
+    groupBy/HAVING answer exactly — same items, same counts."""
+    df = _zipf_items(spark)
+    phi = 0.01
+    got = {
+        r["item"]: r["cnt"]
+        for r in heavy_hitters(df, "item", phi).collect()
+    }
+    n = df.count()
+    want = {
+        r["item"]: r["cnt"]
+        for r in df.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= phi * n)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_frequency_screen_is_superset_and_bounded(spark):
+    """Screen guarantee: every true phi-heavy item appears among the
+    candidates (no-miss), and the candidate volume per partition is
+    bounded by 2/phi (the Misra-Gries k)."""
+    df = _zipf_items(spark, n_parts=6, seed=9)
+    phi = 0.02
+    scr = frequency_screen(df, "item", phi).collect()
+    cand = {r["item"] for r in scr if r["item"] is not None}
+    totals = [r["__cnt"] for r in scr if r["item"] is None]
+    n = sum(totals)
+    assert len(totals) == 6  # one total row per partition
+    exact = df.groupBy("item").count().collect()
+    true_hh = {r["item"] for r in exact if r["count"] >= phi * n}
+    assert true_hh <= cand
+    assert len(cand) <= 6 * (2 / phi)
+
+
+def test_heavy_hitters_rejects_bad_phi(spark):
+    df = _zipf_items(spark, n_rows=100, n_parts=1)
+    with pytest.raises(ValueError, match="phi"):
+        heavy_hitters(df, "item", 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL state
+# ---------------------------------------------------------------------------
+
+
+def test_stream_hll_state_equals_batch_build(spark, tmp_path):
+    """Three micro-batches of ids folded through keyed state must give
+    EXACTLY the single-shot PyHLL estimate over all ids (order
+    independence), and land inside the band of the true distinct."""
+    from finlogic_spark.streaming import drain_stream_to_df
+    from finlogic_spark.streaming.stateful import hll_distinct_stream
+
+    rng = np.random.RandomState(31)
+    src = tmp_path / "src"
+    all_ids: dict[str, list[int]] = {"a": [], "b": []}
+    eid = 0
+    for part in range(3):
+        rows = []
+        for g in ("a", "b"):
+            ids = rng.randint(0, 2500, 3000)
+            all_ids[g].extend(int(u) for u in ids)
+            for u in ids:
+                rows.append(
+                    (eid, 1700000000000000000 + eid, int(u), g, 1.0, "{}")
+                )
+                eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.parquet(str(src / f"part{part}"))
+    for i, f in enumerate(sorted(_glob.glob(str(src / "part*" / "*.parquet")))):
+        _shutil.copy(f, str(src / f"events_{i}.parquet"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src / "part0")).schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events_*.parquet")
+        .parquet(str(src))
+    )
+    out = drain_stream_to_df(hll_distinct_stream(stream), output_mode="update")
+    finals = {}
+    for r in out.collect():
+        if r["event_type"] not in finals or r["n"] > finals[r["event_type"]]["n"]:
+            finals[r["event_type"]] = r
+    assert set(finals) == {"a", "b"}
+    for g, r in finals.items():
+        assert r["n"] == len(all_ids[g])
+        batch = PyHLL(13)
+        batch.add_ints(np.array(all_ids[g], dtype=np.int64))
+        assert r["approx_users"] == batch.estimate()
+        exact = len(set(all_ids[g]))
+        assert abs(r["approx_users"] - exact) / exact <= 0.06
