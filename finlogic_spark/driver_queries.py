@@ -6785,6 +6785,128 @@ def doc_heavy_tokens(spark, sf_dir):
     return out.orderBy(F.col("cnt").desc(), F.col("token").asc())
 
 
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    """Unrolled-CTE integer PageRank (oracle of orders_supplier_pagerank):
+    one CTE per iteration, generated, not hand-copied, so the Spark
+    loop and the SQL stay structurally identical. All arithmetic is
+    int64 (// floor-division on positive values == Spark's DIV), so
+    both engines produce bit-identical ranks — a full value-hash
+    oracle for an ITERATIVE algorithm, no error band needed."""
+    s = """
+    WITH edges AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    bi AS (SELECT src, dst FROM edges
+           UNION ALL SELECT dst AS src, src AS dst FROM edges),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM bi GROUP BY 1),
+    r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg)"""
+    for i in range(1, iters + 1):
+        s += f""",
+    r{i} AS (SELECT b.dst AS node,
+             CAST(150000 + sum((CAST(85 AS BIGINT) * r.r)
+                  // (CAST(100 AS BIGINT) * deg.d)) AS BIGINT) AS r
+             FROM bi b JOIN r{i - 1} r ON r.node = b.src
+             JOIN deg ON deg.src = b.src
+             GROUP BY 1)"""
+    s += f"""
+    SELECT node, r AS rank_micro FROM r{iters}
+    WHERE node LIKE 's%' ORDER BY rank_micro DESC, node ASC LIMIT 20"""
+    return s
+
+
+@q("orders_supplier_pagerank", _pagerank_oracle_sql(5))
+def orders_supplier_pagerank(spark, sf_dir):
+    # Iterative graph analytics beyond connected components
+    # (operators/graph.py pagerank): supplier importance on the
+    # symmetrized customer<->supplier order graph, 5 power-iteration
+    # rounds in EXACT int64 micro-units — integer sums are
+    # order-independent, so Spark's parallel partial aggregation and
+    # DuckDB's unrolled CTEs produce bit-identical ranks (full value
+    # hash, not a band; same determinism discipline as DSIR's
+    # micro-nats). Per round: one shuffle keyed by src + one
+    # partial-agg sum keyed by dst, lineage checkpointed — the minimal
+    # distributed PageRank round at any scale.
+    from finlogic_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(bi, iterations=5)
+    return (
+        ranks.filter(F.col("node").startswith("s"))
+        .select("node", F.col("rank").alias("rank_micro"))
+        .orderBy(F.col("rank_micro").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
+@q(
+    "events_kll_bucketize",
+    """
+    -- Property-style oracle (the KLL band pattern): bucket BOUNDARIES
+    -- are sketch estimates, but equi-depth binning inherits the rank
+    -- guarantee — every bucket must hold n/4 +- 2*eps*n rows (eps
+    -- 0.02 at k=200; asserted at 0.05 with slack). count_ok checks
+    -- that exactly on the Spark side; group/bucket identity compares
+    -- directly.
+    SELECT event_type, CAST(b AS INT) AS bucket, TRUE AS count_ok
+    FROM (SELECT DISTINCT event_type FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value))
+    CROSS JOIN range(4) r(b)
+    ORDER BY event_type, bucket
+    """,
+)
+def events_kll_bucketize(spark, sf_dir):
+    # Sketch-driven equi-depth binning (operators/sketch.py
+    # kll_bucketize): ONE sketch-only shuffle yields per-group quartile
+    # boundaries, which broadcast back and assign every row's bucket as
+    # a map-side expression — the raw rows shuffle NOWHERE. The exact
+    # alternative (ntile over a global sort) is a full-data
+    # range-exchange + sort; at 100 TB that is the difference between
+    # a feature-bucketizer you can run per training batch and one you
+    # can't. Validation: per-bucket populations against the rank band
+    # (the value-frequency histogram feeds both the weighted sketch
+    # and the band counts — one data-sized pass, the
+    # events_kll_quantiles trick).
+    from pyspark.storagelevel import StorageLevel
+
+    from finlogic_spark.operators.sketch import kll_bucketize
+
+    e = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    base = e.filter(v.isNotNull() & ~F.isnan(v)).select("event_type", "value")
+    hist = (
+        base.groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    bucketed = kll_bucketize(
+        hist, ["event_type"], "value", num_buckets=4, weight_col="__c"
+    )
+    nb = bucketed.groupBy("event_type", "bucket").agg(F.sum("__c").alias("__nb"))
+    tot = hist.groupBy("event_type").agg(F.sum("__c").alias("__n"))
+    return (
+        nb.join(tot, "event_type")
+        .select(
+            "event_type",
+            F.col("bucket").cast("int").alias("bucket"),
+            (
+                F.abs(F.col("__nb") - F.col("__n") / 4.0)
+                <= 0.05 * F.col("__n")
+            ).alias("count_ok"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------

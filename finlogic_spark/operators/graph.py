@@ -347,3 +347,67 @@ def _star_labels(
         .agg(F.min("label").alias("label"))
     )
     return labels, converged
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    scale: int = 1_000_000,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank in exact integer micro-units (engine-scope addition:
+    iterative graph analytics beyond connected components — e.g.
+    supplier/customer importance on the order graph, or doc centrality
+    on a near-dup/link graph).
+
+    All arithmetic is int64: every node starts at ``scale`` micro-units
+    and each round receives ``floor(0.15*scale)`` teleport mass plus
+    ``(damping_num * r(u)) DIV (damping_den * deg(u))`` from each
+    in-neighbour. Integer sums are exact and order-independent, so the
+    result is BIT-IDENTICAL across engines, partitionings, and runs —
+    a full value-hash oracle (unrolled-CTE SQL), not an error band.
+    The DIV flooring loses < 1 micro-unit per edge per round — at
+    scale=1e6 that is < 1e-4 relative, far below anything a float
+    implementation can promise about cross-engine equality.
+
+    Plan shape per round: one shuffle keyed by src (rank join onto the
+    out-edge list, degree pre-joined once) + one partial-agg sum keyed
+    by dst — the minimal PageRank round. ``localCheckpoint`` truncates
+    per-round lineage (same discipline as connected_components; at
+    100 TB each round's ranks would persist to a table instead).
+    Dangling nodes (no out-edges) are the CALLER's contract to avoid —
+    pass a symmetrized edge list for undirected graphs; mass is
+    otherwise dropped, as in the classic formulation."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # out-edges with degree attached: built once, reused every round
+    ed = (
+        e.join(deg, "src")
+        .persist(_SPILL)
+    )
+    nodes = ed.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("long"))
+    teleport = int(damping_num * 0 + (damping_den - damping_num) * scale // damping_den)
+    for _ in range(iterations):
+        contrib = ed.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr(
+                f"CAST({damping_num} AS BIGINT) * rank "
+                f"DIV (CAST({damping_den} AS BIGINT) * __deg)"
+            ).alias("__c"),
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg((F.lit(teleport) + F.sum("__c")).cast("long").alias("rank"))
+            .localCheckpoint(eager=False, storageLevel=_SPILL)
+        )
+    return ranks

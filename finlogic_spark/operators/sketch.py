@@ -391,3 +391,51 @@ def kll_table_quantiles(
         )
 
     return sketch_df.groupBy(*keys).applyInPandas(merge_extract, schema=out_fields)
+
+
+def kll_bucketize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    num_buckets: int = 4,
+    k: int = 200,
+    weight_col: str | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Equi-depth feature binning at scale: per-group KLL sketches
+    yield the ``num_buckets - 1`` boundary values, which BROADCAST back
+    onto the input; every row's bucket is then a map-side codegen'd
+    expression (count of boundaries below the value). The raw rows
+    shuffle NOWHERE — the one exchange carries sketch partials — which
+    is the only viable shape for binning a 100 TB feature column (the
+    exact alternative, ntile() over a global sort, is a full-data
+    range-exchange + sort).
+
+    Bucket populations inherit the sketch's rank guarantee: boundary
+    i's exact rank is within eps*n of i*n/num_buckets (eps ~= 2.3/k),
+    so every bucket holds n/num_buckets +- 2*eps*n rows — the property
+    the registry query (events_kll_bucketize) asserts exactly.
+
+    Returns ``df`` plus an integer ``bucket_col`` in
+    [0, num_buckets). Nulls/NaNs in ``value_col`` must be filtered
+    upstream (same contract as kll_group_quantiles)."""
+    if num_buckets < 2:
+        raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
+    keys = list(key_cols)
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    est = kll_group_quantiles(
+        df, keys, value_col, probs, k=k, weight_col=weight_col
+    )
+    # per-group sorted boundary array (estimates are monotone in prob
+    # for a single merged sketch; sort_array pins it against ties)
+    bounds = est.groupBy(*keys).agg(
+        F.sort_array(F.collect_list("value")).alias("__bs")
+    )
+    out = df.join(F.broadcast(bounds), keys, "inner")
+    v = F.col(value_col)
+    bucket = F.aggregate(
+        "__bs",
+        F.lit(0),
+        lambda acc, b: acc + F.when(v > b, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return out.withColumn(bucket_col, bucket).drop("__bs")

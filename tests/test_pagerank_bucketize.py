@@ -1,0 +1,83 @@
+"""Integer PageRank (operators/graph.py) and sketch-driven equi-depth
+binning (operators/sketch.py kll_bucketize)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from finlogic_spark.operators.graph import pagerank
+from finlogic_spark.operators.sketch import kll_bucketize
+
+
+def _reference_pagerank(edges, iterations, scale=1_000_000):
+    """Driver-side integer PageRank on a plain dict graph — the
+    independent implementation the distributed one must match
+    bit-for-bit (exact integer arithmetic has ONE correct answer)."""
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    deg = defaultdict(int)
+    for s, d in edges:
+        out[s].append(d)
+        deg[s] += 1
+    ranks = {n: scale for n in out}
+    teleport = 15 * scale // 100
+    for _ in range(iterations):
+        nxt = defaultdict(int)
+        for s, ds in out.items():
+            c = (85 * ranks[s]) // (100 * deg[s])
+            for d in ds:
+                nxt[d] += c
+        ranks = {n: teleport + v for n, v in nxt.items()}
+    return ranks
+
+
+def test_pagerank_matches_reference_bitwise(spark):
+    rng = np.random.RandomState(5)
+    raw = {(int(a), int(b)) for a, b in rng.randint(0, 60, (400, 2)) if a != b}
+    sym = sorted(raw | {(b, a) for a, b in raw})
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=4).collect()}
+    want = _reference_pagerank(sym, 4)
+    assert got == want
+
+
+def test_pagerank_mass_shape_and_guard(spark):
+    # a star graph: the hub must outrank every leaf; total mass stays
+    # near N*scale (floor losses only shrink it, bounded by edges*iters)
+    edges = [(0, i) for i in range(1, 9)] + [(i, 0) for i in range(1, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = {r["node"]: r["rank"] for r in pagerank(df, iterations=6).collect()}
+    assert rows[0] > max(v for n, v in rows.items() if n != 0)
+    total = sum(rows.values())
+    assert 9 * 1_000_000 >= total > 9 * 1_000_000 - 16 * 6  # <=1 unit/edge/round
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(df, iterations=0)
+
+
+def test_kll_bucketize_band_and_range(spark):
+    rng = np.random.RandomState(17)
+    rows = [
+        ("g" + str(int(g)), float(v))
+        for g, v in zip(rng.randint(0, 3, 30_000), rng.lognormal(0, 1, 30_000))
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = kll_bucketize(df, ["grp"], "value", num_buckets=4)
+    counts = (
+        out.groupBy("grp", "bucket").count().collect()
+    )
+    per_grp = {}
+    for r in counts:
+        assert 0 <= r["bucket"] <= 3
+        per_grp.setdefault(r["grp"], {})[r["bucket"]] = r["count"]
+    for g, bs in per_grp.items():
+        n = sum(bs.values())
+        assert set(bs) == {0, 1, 2, 3}
+        for b, c in bs.items():
+            assert abs(c - n / 4) <= 0.05 * n, (g, b, c, n)
+
+
+def test_kll_bucketize_rejects_bad_buckets(spark):
+    df = spark.createDataFrame([("a", 1.0)], "grp string, value double")
+    with pytest.raises(ValueError, match="num_buckets"):
+        kll_bucketize(df, ["grp"], "value", num_buckets=1)
