@@ -6907,6 +6907,51 @@ def events_kll_bucketize(spark, sf_dir):
     )
 
 
+@q("stream_heavy_tokens", None)  # oracle attached below (batch twin's SQL)
+def stream_heavy_tokens(spark, sf_dir):
+    # Streaming twin of doc_heavy_tokens: sharded Misra-Gries summaries
+    # as keyed streaming state (streaming/stateful.py
+    # heavy_tokens_stream) — <= 2000 counters per shard at ANY stream
+    # length, where exact streaming token counts hold the whole
+    # vocabulary. The MG no-miss bound (counter >= n*(phi - 1/(k+1)))
+    # makes the drained candidate set a provable superset of the
+    # phi=0.001 heavy tokens at any shard imbalance; a batch-side
+    # exact count of JUST the candidates (broadcast semi-join before
+    # the shuffle — the screen+verify shape) then produces exact
+    # counts, so this shares the batch twin's plain GROUP BY/HAVING
+    # oracle verbatim. The threshold n comes from the summaries' exact
+    # absorbed-row totals, not a second full count.
+    from finlogic_spark.streaming import (
+        drain_stream_to_df,
+        read_documents_stream,
+    )
+    from finlogic_spark.streaming.stateful import heavy_tokens_stream
+
+    stream = read_documents_stream(spark, sf_dir)
+    drained = drain_stream_to_df(
+        heavy_tokens_stream(stream), output_mode="update"
+    )
+    final = keep_last(drained, ["shard"], ["n"])
+    total = final.agg(F.sum("n").alias("__n"))
+    cand = final.select(F.explode("items").alias("token")).distinct()
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    occ = d.select(F.explode(tokens("text")).alias("token"))
+    exact = (
+        occ.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= 0.001 * F.col("__n"))
+        .drop("__n")
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+    )
+
+
+ORACLES["stream_heavy_tokens"] = ORACLES["doc_heavy_tokens"]
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["frequency_screen", "heavy_hitters"]
+__all__ = ["MisraGries", "frequency_screen", "heavy_hitters"]
 
 
 def frequency_screen(items: DataFrame, item_col: str, phi: float) -> DataFrame:
@@ -98,3 +98,59 @@ def heavy_hitters(
         .filter(F.col(out_count) >= F.lit(phi) * F.col("__n"))
         .drop("__n")
     )
+
+
+class MisraGries:
+    """Mergeable Misra-Gries frequent-items summary [Misra & Gries
+    1982; mergeability per Agarwal et al., "Mergeable Summaries",
+    PODS'12]: at most ``k`` (item, counter) pairs; every item's true
+    count c satisfies counter <= c <= counter + err, with the total
+    undercount ``err`` bounded by n/(k+1) for n items absorbed.
+
+    Batch decrement: when the table exceeds k entries, subtract the
+    (k+1)-th largest counter from ALL entries and drop the non-positive
+    — each such event removes >= (k+1)*delta of stored mass, which is
+    what gives the n/(k+1) bound. Any item with frequency > 1/(k+1)
+    therefore always survives with a positive counter — the no-miss
+    screen guarantee the streaming twin (stream_heavy_tokens) relies
+    on with k = ceil(2/phi).
+
+    Wire format mirrors the KLL sketch's to_parts/from_parts so it can
+    ride an applyInPandasWithState state row (arrays of items and
+    counters)."""
+
+    __slots__ = ("k", "n", "counts")
+
+    def __init__(self, k: int):
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        self.k = k
+        self.n = 0
+        self.counts: dict[str, int] = {}
+
+    def extend_weighted(self, items, weights) -> None:
+        """Fold (item, count) pairs in (e.g. a pandas value_counts) —
+        equivalent to inserting each item `count` times."""
+        import numpy as np
+
+        d = self.counts
+        for it, w in zip(items, weights):
+            w = int(w)
+            self.n += w
+            d[it] = d.get(it, 0) + w
+        if len(d) > self.k:
+            vals = np.fromiter(d.values(), dtype=np.int64, count=len(d))
+            # (k+1)-th largest = ascending index len-k-1
+            delta = int(np.partition(vals, len(d) - self.k - 1)[len(d) - self.k - 1])
+            self.counts = {it: c - delta for it, c in d.items() if c > delta}
+
+    def to_parts(self) -> tuple[int, int, list[str], list[int]]:
+        items = sorted(self.counts)  # deterministic state bytes
+        return self.k, self.n, items, [self.counts[i] for i in items]
+
+    @classmethod
+    def from_parts(cls, k: int, n: int, items, counters) -> "MisraGries":
+        s = cls(k)
+        s.n = n
+        s.counts = dict(zip(items, counters))
+        return s

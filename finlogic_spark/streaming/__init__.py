@@ -596,3 +596,21 @@ def trend_stats_stream(events: DataFrame) -> DataFrame:
         F.lit("2024-01-01 00:00:00").cast("timestamp")
     )
     return trend_stats(e, ["user_id", "event_type"], x, F.col("value"), wide=True)
+
+
+def read_documents_stream(
+    spark, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the documents parquet (each file is one
+    micro-batch) — the ingest shape of a continuously-arriving corpus.
+    Schema comes from a batch peek, same contract as
+    read_events_stream."""
+    raw_schema = spark.read.parquet(
+        sf_dir.rstrip("/") + "/documents.parquet"
+    ).schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )

@@ -24,6 +24,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -512,4 +513,90 @@ def hll_distinct_stream(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming frequent items: sharded Misra-Gries as keyed streaming state
+# ---------------------------------------------------------------------------
+
+# State is the MG summary's wire format (operators/freq.py
+# to_parts/from_parts): <= k (item, counter) pairs per shard — tens of
+# KB — at ANY stream length. Treat any edit as a checkpoint-format
+# change (same contract as KLL_STATE_SCHEMA).
+MG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("counters", T.ArrayType(T.LongType())),
+    ]
+)
+
+MG_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("counters", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _mg_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    from finlogic_spark.operators.freq import MisraGries
+
+    (shard,) = key
+    if state.exists:
+        k, n, items, counters = state.get
+        s = MisraGries.from_parts(k, n, items, counters)
+    else:
+        s = MisraGries(2000)
+    for pdf in pdfs:
+        vc = pdf["token"].dropna().value_counts()
+        if len(vc):
+            s.extend_weighted(list(vc.index), vc.to_numpy())
+    k, n, items, counters = s.to_parts()
+    state.update((k, n, items, counters))
+    yield pd.DataFrame(
+        [{"shard": shard, "n": n, "items": items, "counters": counters}]
+    )
+
+
+def heavy_tokens_stream(docs: DataFrame, num_shards: int = 32) -> DataFrame:
+    """Streaming frequent tokens with sharded Misra-Gries summaries as
+    keyed state (streaming twin of operators/freq.py heavy_hitters):
+    tokens shard by hash — every occurrence of a token lands on ONE
+    shard — and each shard folds its micro-batch value_counts into an
+    MG(k=2000) summary, re-emitting (n, candidates) per batch.
+
+    No-miss guarantee at any shard imbalance: a token with global
+    frequency >= phi*n has shard counter >= phi*n - n_shard/(k+1)
+    >= n*(phi - 1/(k+1)) > 0 for phi > 1/(k+1) (k=2000 covers
+    phi >= 0.001 with 2x margin), so the final candidate set is a
+    provable superset of the phi-heavy tokens; a batch-side exact count
+    of the candidates then yields exact counts (the registry query
+    stream_heavy_tokens — same oracle as the batch twin). State is
+    <= k counters per shard — bounded where an exact streaming count
+    would hold the whole vocabulary.
+
+    The emitted ``n`` is monotone per shard, so keep-last over n takes
+    each shard's final summary."""
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), "\\s+"), lambda t: t != "")
+        ).alias("token")
+    ).withColumn(
+        "shard", F.pmod(F.xxhash64("token"), F.lit(num_shards)).cast("int")
+    )
+    return toks.groupBy("shard").applyInPandasWithState(
+        _mg_update,
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -226,3 +226,67 @@ def test_stream_hll_state_equals_batch_build(spark, tmp_path):
         assert r["approx_users"] == batch.estimate()
         exact = len(set(all_ids[g]))
         assert abs(r["approx_users"] - exact) / exact <= 0.06
+
+
+# ---------------------------------------------------------------------------
+# Streaming sharded Misra-Gries heavy tokens
+# ---------------------------------------------------------------------------
+
+
+def test_stream_heavy_tokens_superset_and_exact_verify(spark, tmp_path):
+    """Three micro-batches of documents through the sharded-MG state
+    op: the drained candidate set must contain every true phi-heavy
+    token (the MG no-miss bound), totals must be exact, and the
+    batch-side verify must reproduce the brute-force answer."""
+    from collections import Counter
+
+    from finlogic_spark.streaming import drain_stream_to_df
+    from finlogic_spark.streaming.stateful import heavy_tokens_stream
+
+    rng = np.random.RandomState(23)
+    vocab = ["hot%d" % i for i in range(5)] + [
+        "tail%d" % i for i in range(2000)
+    ]
+    weights = np.array([200.0] * 5 + [1.0] * 2000)
+    weights /= weights.sum()
+    src = tmp_path / "src"
+    truth: Counter = Counter()
+    did = 0
+    for part in range(3):
+        rows = []
+        for _ in range(300):
+            toks = rng.choice(vocab, size=40, p=weights)
+            truth.update(toks)
+            rows.append((did, " ".join(toks), "en", "s", 40))
+            did += 1
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(str(src / f"part{part}"))
+    for i, f in enumerate(sorted(_glob.glob(str(src / "part*" / "*.parquet")))):
+        _shutil.copy(f, str(src / f"documents_{i}.parquet"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src / "part0")).schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents_*.parquet")
+        .parquet(str(src))
+    )
+    drained = drain_stream_to_df(
+        heavy_tokens_stream(stream, num_shards=8), output_mode="update"
+    )
+    finals = {}
+    for r in drained.collect():
+        if r["shard"] not in finals or r["n"] > finals[r["shard"]]["n"]:
+            finals[r["shard"]] = r
+    n = sum(r["n"] for r in finals.values())
+    assert n == sum(truth.values())
+    cand = set()
+    for r in finals.values():
+        cand.update(r["items"])
+    phi = 0.01
+    true_hh = {t for t, c in truth.items() if c >= phi * n}
+    assert true_hh  # the 5 hot tokens qualify
+    assert true_hh <= cand
+    # exact verify on candidates reproduces brute force
+    exact = {t: truth[t] for t in cand if truth[t] >= phi * n}
+    assert exact == {t: c for t, c in truth.items() if c >= phi * n}

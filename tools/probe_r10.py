@@ -89,7 +89,11 @@ def duckdb_time(name: str, sf_dir: str, runs: int, timeout: float) -> dict:
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={os.cpu_count()}")
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # probe sf dirs are built per-table-subset (make_sf1.py 4th
+        # arg); only register what exists — a probe only reads its own
+        # query's tables
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     sql = dq.ORACLES[name]
 
     def timed_run() -> float | None:

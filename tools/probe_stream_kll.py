@@ -103,13 +103,19 @@ def main() -> int:
 
     json_out = opt("--json", None, str)
     n_batches = opt("--batches", 50, int)
+    # --op hll probes hll_distinct_stream on the same contract (its
+    # JVM comparison is approx_count_distinct update-mode state)
+    op = opt("--op", "kll", str)
     sf_dir = argv[0] if argv else "/root/repo/testdata/sf100"
 
     from pyspark.sql import functions as F
 
     from finlogic_spark.session import get_spark
     from finlogic_spark.streaming import with_event_time
-    from finlogic_spark.streaming.stateful import kll_quantiles_stream
+    from finlogic_spark.streaming.stateful import (
+        hll_distinct_stream,
+        kll_quantiles_stream,
+    )
 
     spark = get_spark("probe-stream-kll")
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -128,29 +134,54 @@ def main() -> int:
         "rows_per_batch": n_events // n_batches,
     }
 
-    out["kll_sketch_state"] = _run_stream(
-        spark, src, schema, kll_quantiles_stream
-    )
-    print("kll_sketch_state", out["kll_sketch_state"], flush=True)
-
-    def jvm_approx(stream):
-        return (
-            with_event_time(stream)
-            .select("event_type", "value")
-            .groupBy("event_type")
-            .agg(
-                F.count("value").alias("n"),
-                F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias(
-                    "p50"
-                ),
-                F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias(
-                    "p99"
-                ),
-            )
+    if op == "hll":
+        out["hll_register_state"] = _run_stream(
+            spark, src, schema, hll_distinct_stream
         )
+        print("hll_register_state", out["hll_register_state"], flush=True)
 
-    out["jvm_approx_percentile"] = _run_stream(spark, src, schema, jvm_approx)
-    print("jvm_approx_percentile", out["jvm_approx_percentile"], flush=True)
+        def jvm_approx(stream):
+            return (
+                with_event_time(stream)
+                .select("event_type", "user_id")
+                .groupBy("event_type")
+                .agg(
+                    F.count("user_id").alias("n"),
+                    F.approx_count_distinct("user_id", 0.0115).alias(
+                        "approx_users"
+                    ),
+                )
+            )
+
+        out["jvm_approx_count_distinct"] = _run_stream(
+            spark, src, schema, jvm_approx
+        )
+        print("jvm_approx_count_distinct",
+              out["jvm_approx_count_distinct"], flush=True)
+    else:
+        out["kll_sketch_state"] = _run_stream(
+            spark, src, schema, kll_quantiles_stream
+        )
+        print("kll_sketch_state", out["kll_sketch_state"], flush=True)
+
+        def jvm_approx(stream):
+            return (
+                with_event_time(stream)
+                .select("event_type", "value")
+                .groupBy("event_type")
+                .agg(
+                    F.count("value").alias("n"),
+                    F.approx_percentile(
+                        "value", F.lit(0.5), F.lit(10000)
+                    ).alias("p50"),
+                    F.approx_percentile(
+                        "value", F.lit(0.99), F.lit(10000)
+                    ).alias("p99"),
+                )
+            )
+
+        out["jvm_approx_percentile"] = _run_stream(spark, src, schema, jvm_approx)
+        print("jvm_approx_percentile", out["jvm_approx_percentile"], flush=True)
 
     shutil.rmtree(src, ignore_errors=True)
     print(json.dumps(out))
