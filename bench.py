@@ -137,6 +137,14 @@ BENCH_QUERIES = [
     "events_kll_rollup",
     "emb_lsh_append_topk",
     "doc_lsh_append_pairs",
+    # round 12b: persisted-HLL distinct rollup, screen+verify heavy
+    # hitters, integer PageRank, sketch-driven equi-depth binning.
+    # stream_hll_distinct / stream_heavy_tokens are measured on the
+    # streaming contract (BENCH_r12_stream_kll.json pattern), not here.
+    "events_hll_rollup",
+    "doc_heavy_tokens",
+    "orders_supplier_pagerank",
+    "events_kll_bucketize",
 ]
 
 

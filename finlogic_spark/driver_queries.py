@@ -6686,12 +6686,22 @@ def events_hll_rollup(spark, sf_dir):
     safe = "".join(c if c.isalnum() else "_" for c in sf_dir)
     path = os.path.join(_scratch_root(), f"hllroll{safe}")
     daily.write.mode("overwrite").parquet(path)
-    est = hll_table_estimate(
-        spark.read.parquet(path), ["event_type"], "approx_users"
+    stored = spark.read.parquet(path)
+    est = hll_table_estimate(stored, ["event_type"], "approx_users")
+    # n_days is a property of the STORED table (one row per (day,type))
+    # — no raw re-scan; exact_users as a single distinct pipeline
+    # (groupBy-distinct then count), NOT a multi-count_distinct agg,
+    # whose Expand would push 2x the raw rows through the partial agg
+    # (the Expand formulation measured 30.7 s full-query at sf100
+    # against a 2.8 s production path; BENCH_r12b_probes.json)
+    n_days = stored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days")
     )
-    exact = e.groupBy("event_type").agg(
-        F.count_distinct(F.to_date("ts")).alias("n_days"),
-        F.count_distinct("user_id").alias("exact_users"),
+    exact = (
+        base.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_users"))
     )
     band_ok = (
         F.abs(F.col("approx_users") - F.col("exact_users"))
@@ -6700,6 +6710,7 @@ def events_hll_rollup(spark, sf_dir):
     )
     return (
         exact.join(est, "event_type")
+        .join(n_days, "event_type")
         .select("event_type", "n_days", "exact_users", band_ok.alias("est_ok"))
         .orderBy("event_type")
     )
@@ -6767,21 +6778,23 @@ def stream_hll_distinct(spark, sf_dir):
 def doc_heavy_tokens(spark, sf_dir):
     # Exact phi-heavy-hitter tokens (phi = 0.1% of all occurrences)
     # WITHOUT shuffling the token distribution (operators/freq.py):
-    # a map-only per-partition frequency screen emits <= 2/phi
-    # candidates per partition (provable superset — an item below
-    # phi/2 locally everywhere is below phi globally), then the exact
-    # count touches only candidate occurrences (broadcast semi-join
-    # BEFORE the shuffle). Contrast doc_topk_tokens, whose exchange
-    # carries one row per distinct token per map task — the full
-    # vocabulary at corpus scale. Output counts are exact, so the
-    # oracle is plain GROUP BY / HAVING; the phi*n threshold is a
-    # broadcast scalar from the screen's total rows, not a driver
-    # count.
-    from finlogic_spark.operators.freq import heavy_hitters
+    # a map-only frequency screen emits <= 2/phi candidates per
+    # partition (provable superset — an item below phi/2 locally
+    # everywhere is below phi globally), then the exact count touches
+    # only candidate occurrences (broadcast semi-join BEFORE the
+    # shuffle). Contrast doc_topk_tokens, whose exchange carries one
+    # row per distinct token per map task — the full vocabulary at
+    # corpus scale. The screen tokenizes INSIDE pandas (heavy_tokens):
+    # 5M document strings cross Arrow, not 430M exploded token rows
+    # (the exploded formulation measured 85.6 s at sf100;
+    # BENCH_r12b_probes.json carries the shipped plan's number).
+    # Output counts are exact (JVM tokenizer), so the oracle is plain
+    # GROUP BY / HAVING; the phi*n threshold is a broadcast scalar
+    # from the screen's total rows, not a driver count.
+    from finlogic_spark.operators.freq import heavy_tokens
 
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    occ = d.select(F.explode(tokens("text")).alias("token"))
-    out = heavy_hitters(occ, "token", 0.001, out_count="cnt")
+    out = heavy_tokens(d, "text", 0.001)
     return out.orderBy(F.col("cnt").desc(), F.col("token").asc())
 
 

@@ -34,7 +34,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["MisraGries", "frequency_screen", "heavy_hitters"]
+__all__ = [
+    "MisraGries",
+    "frequency_screen",
+    "heavy_hitters",
+    "heavy_tokens",
+    "token_frequency_screen",
+]
 
 
 def frequency_screen(items: DataFrame, item_col: str, phi: float) -> DataFrame:
@@ -154,3 +160,83 @@ class MisraGries:
         s.n = n
         s.counts = dict(zip(items, counters))
         return s
+
+
+# Java's \s (non-UNICODE_CHARACTER_CLASS) — the exact splitter
+# functions/text.py tokens() uses JVM-side. The pandas screen must
+# tokenize identically or a heavy token containing an exotic space
+# could be screened out (the verify pass always uses the JVM
+# tokenizer, so correctness of COUNTS never depends on this — only
+# screen recall does).
+_JAVA_WS = "[ \\t\\n\\x0b\\f\\r]+"
+
+
+def token_frequency_screen(
+    docs: DataFrame, text_col: str, phi: float
+) -> DataFrame:
+    """The frequency screen specialized for token streams: tokenize
+    INSIDE pandas so only the document strings cross Arrow, not one
+    row per token occurrence. Measured at sf100 (5M docs, 430M
+    occurrences): the generic screen over a Spark-side explode ships
+    430M single-token rows into Python (~70 s); this ships 5M strings
+    and does the split + value_counts vectorized per batch.
+
+    Emits the same contract as frequency_screen: (token, local_cnt)
+    for tokens with local frequency >= phi/2 plus one (NULL, n_p)
+    total row per partition."""
+    import numpy as np
+
+    if not (0.0 < phi < 1.0):
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    half = phi / 2.0
+
+    def screen(batches):
+        import pandas as pd
+
+        counts: dict[str, int] = {}
+        total = 0
+        for pdf in batches:
+            texts = pdf[text_col].dropna()
+            if not len(texts):
+                continue
+            toks = texts.str.lower().str.split(_JAVA_WS, regex=True)
+            flat = np.concatenate([t for t in toks if t])
+            flat = flat[flat != ""]  # split keeps leading empties
+            total += flat.size
+            for item, c in pd.Series(flat).value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+        thresh = half * total
+        rows = [(it, c) for it, c in counts.items() if c >= thresh]
+        rows.append((None, total))
+        yield pd.DataFrame(rows, columns=["token", "__cnt"])
+
+    return docs.select(text_col).mapInPandas(
+        screen, schema="token string, __cnt bigint"
+    )
+
+
+def heavy_tokens(docs: DataFrame, text_col: str, phi: float) -> DataFrame:
+    """phi-heavy tokens over a document corpus with EXACT counts: the
+    pandas-tokenizing screen (one scan of the document strings, map
+    only) + the JVM-tokenized exact verify (explode pruned by a
+    broadcast semi-join BEFORE its shuffle). Same two-scan shape and
+    guarantees as heavy_hitters, with the screen's Arrow traffic cut
+    from one row per occurrence to one per document."""
+    from finlogic_spark.functions.text import tokens
+
+    scr = token_frequency_screen(docs, text_col, phi).localCheckpoint(
+        eager=False
+    )
+    total = scr.filter(F.col("token").isNull()).agg(F.sum("__cnt").alias("__n"))
+    cand = scr.filter(F.col("token").isNotNull()).select("token").distinct()
+    occ = docs.select(F.explode(tokens(text_col)).alias("token"))
+    exact = (
+        occ.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(phi) * F.col("__n"))
+        .drop("__n")
+    )

@@ -81,3 +81,35 @@ def test_kll_bucketize_rejects_bad_buckets(spark):
     df = spark.createDataFrame([("a", 1.0)], "grp string, value double")
     with pytest.raises(ValueError, match="num_buckets"):
         kll_bucketize(df, ["grp"], "value", num_buckets=1)
+
+
+def test_heavy_tokens_matches_brute_force(spark):
+    """The pandas-tokenizing screen + JVM verify (heavy_tokens) must
+    reproduce the brute-force explode+groupBy answer exactly."""
+    import numpy as np
+
+    from finlogic_spark.functions.text import tokens as jvm_tokens
+    from finlogic_spark.operators.freq import heavy_tokens
+
+    rng = np.random.RandomState(41)
+    vocab = ["hot%d" % i for i in range(4)] + ["t%d" % i for i in range(800)]
+    w = np.array([120.0] * 4 + [1.0] * 800)
+    w /= w.sum()
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=30, p=w)))
+        for i in range(500)
+    ] + [(9999, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(5)
+    phi = 0.01
+    docs = df.filter(F.col("text").isNotNull())
+    got = {r["token"]: r["cnt"] for r in heavy_tokens(docs, "text", phi).collect()}
+    occ = docs.select(F.explode(jvm_tokens("text")).alias("token"))
+    n = occ.count()
+    want = {
+        r["token"]: r["cnt"]
+        for r in occ.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= phi * n)
+        .collect()
+    }
+    assert got == want and len(want) >= 4

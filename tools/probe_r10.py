@@ -88,6 +88,10 @@ def duckdb_time(name: str, sf_dir: str, runs: int, timeout: float) -> dict:
 
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={os.cpu_count()}")
+    # fail fast instead of filling the disk: an oracle that needs more
+    # spill than this is a DNF finding, not a hang (the pagerank
+    # unrolled-CTE at sf10 spilled >70 GB before this cap existed)
+    con.execute("SET max_temp_directory_size='30GiB'")
     for t in TABLES:
         # probe sf dirs are built per-table-subset (make_sf1.py 4th
         # arg); only register what exists — a probe only reads its own

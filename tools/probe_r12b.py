@@ -210,15 +210,36 @@ def probe_bucketize(spark, out, sf_dirs, runs, timeout):
         print(f"{label}:events_kll_bucketize", row, flush=True)
 
 
-def probe_pagerank(spark, out, sf10, runs, timeout):
+def probe_pagerank(spark, out, sf1, sf10, runs, timeout):
+    """Spark at sf10 (60M lineitem); the DuckDB unrolled-CTE oracle is
+    measured at sf1 only — at sf10 it spilled >70 GB of temp and
+    filled this host's disk (each CTE level materializes the full
+    rank×edge join), which is recorded as the finding it is. The
+    integer-arithmetic contract is already hash-verified at sf0.01 and
+    sf0.1 by the gate."""
     if not os.path.exists(f"{sf10}/orders.parquet"):
         print("pagerank probe skipped: no orders/lineitem at", sf10)
         return
-    out["sf10:orders_supplier_pagerank"] = _row(
-        spark, "orders_supplier_pagerank", sf10, runs, timeout
+    row = spark_time(spark, "orders_supplier_pagerank", sf10, runs)
+    row["duckdb_s"] = None
+    row["duckdb_note"] = (
+        "DNF at sf10: unrolled-CTE recursion spilled >70 GB temp and "
+        "exhausted the disk; sf1 point below"
     )
-    print("sf10:orders_supplier_pagerank",
-          out["sf10:orders_supplier_pagerank"], flush=True)
+    out["sf10:orders_supplier_pagerank"] = row
+    print("sf10:orders_supplier_pagerank", row, flush=True)
+    if os.path.exists(f"{sf1}/orders.parquet"):
+        try:
+            out["sf1:orders_supplier_pagerank"] = _row(
+                spark, "orders_supplier_pagerank", sf1, runs, timeout
+            )
+        except Exception as exc:  # duckdb temp-spill / OOM — record it
+            out["sf1:orders_supplier_pagerank"] = {
+                "duckdb_s": None,
+                "duckdb_note": f"DNF: {exc}"[:200],
+            }
+        print("sf1:orders_supplier_pagerank",
+              out["sf1:orders_supplier_pagerank"], flush=True)
 
 
 def main() -> int:
@@ -238,6 +259,7 @@ def main() -> int:
         argv = argv[:i] + argv[i + 2:]
     sf10 = argv[0] if argv else "/root/repo/testdata/sf10"
     sf100 = argv[1] if len(argv) > 1 else "/root/repo/testdata/sf100"
+    sf1 = os.path.join(os.path.dirname(sf10.rstrip("/")), "sf1")
 
     from finlogic_spark.session import get_spark
 
@@ -247,7 +269,7 @@ def main() -> int:
     probe_hll_rollup(spark, out, sf_dirs, runs, timeout)
     probe_heavy_tokens(spark, out, sf_dirs, runs, timeout)
     probe_bucketize(spark, out, sf_dirs, runs, timeout)
-    probe_pagerank(spark, out, sf10, runs, timeout)
+    probe_pagerank(spark, out, sf1, sf10, runs, timeout)
     if json_out:
         with open(json_out, "w") as f:
             json.dump(out, f, indent=1)
