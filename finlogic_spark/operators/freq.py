@@ -27,6 +27,17 @@ the distribution:
 (The reference has no frequent-items operator; this is engine scope —
 SURVEY §2.10 — motivated by vocab/stopword extraction over a training
 corpus where the distribution itself is too heavy to shuffle.)
+
+Measured adjudication (BENCH_r12b_probes.json,
+sf100:doc_heavy_tokens_decomposition): the screen is a plan choice a
+catalog statistic should make, not a universal win. On the bench
+corpus the post-map-side-combine vocabulary is 29k exchange rows
+TOTAL, so the plain one-shuffle groupBy is cheaper (13.5 s vs 35.5 s —
+one box, exchange ≈ memcpy, and the screen tokenizes a second time);
+the screen's regime is a heavy-tailed web-scale vocabulary (1e8+
+distinct tokens × 1e4 map tasks in the exchange) on a network. Pick
+screen+verify when (est. distinct items × map tasks) dwarfs 2/phi ×
+partitions; both plans are answer-identical (parity-pinned).
 """
 
 from __future__ import annotations
@@ -192,21 +203,35 @@ def token_frequency_screen(
 
     def screen(batches):
         import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        counts: dict[str, int] = {}
-        total = 0
+        # tokenize in Arrow C++ (RE2 \s == Java's ASCII \s) and hold
+        # the partition's tokens as Arrow chunks — ONE C++ value_counts
+        # at the end; only the candidate rows ever become Python
+        # objects. (The pandas str.split + per-batch dict-merge path
+        # was the sf100 bottleneck: ~30 s of Python re + vocab-sized
+        # dict churn per partition.)
+        chunks = []
         for pdf in batches:
             texts = pdf[text_col].dropna()
             if not len(texts):
                 continue
-            toks = texts.str.lower().str.split(_JAVA_WS, regex=True)
-            flat = np.concatenate([t for t in toks if t])
-            flat = flat[flat != ""]  # split keeps leading empties
-            total += flat.size
-            for item, c in pd.Series(flat).value_counts().items():
-                counts[item] = counts.get(item, 0) + int(c)
-        thresh = half * total
-        rows = [(it, c) for it, c in counts.items() if c >= thresh]
+            arr = pc.split_pattern_regex(
+                pc.utf8_lower(pa.array(texts, type=pa.string())), _JAVA_WS
+            )
+            flat = pc.list_flatten(arr)
+            # split keeps a leading empty for leading whitespace
+            chunks.append(pc.filter(flat, pc.not_equal(flat, "")))
+        if chunks:
+            vc = pc.value_counts(pa.chunked_array(chunks))
+            cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+            total = int(cnts.sum())
+            keep = np.flatnonzero(cnts >= half * total)
+            items = vc.field("values").take(pa.array(keep)).to_pylist()
+            rows = [(it, int(cnts[i])) for it, i in zip(items, keep)]
+        else:
+            total, rows = 0, []
         rows.append((None, total))
         yield pd.DataFrame(rows, columns=["token", "__cnt"])
 

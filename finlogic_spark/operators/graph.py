@@ -394,7 +394,7 @@ def pagerank(
     )
     nodes = ed.select(F.col("src").alias("node")).distinct()
     ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("long"))
-    teleport = int(damping_num * 0 + (damping_den - damping_num) * scale // damping_den)
+    teleport = (damping_den - damping_num) * scale // damping_den
     for _ in range(iterations):
         contrib = ed.join(
             ranks.withColumnRenamed("node", "src"), "src"

@@ -144,14 +144,46 @@ def probe_heavy_tokens(spark, out, sf_dirs, runs, timeout):
         noop(full)
 
     t = timed(full_shuffle, runs)
+
+    # the cluster-scale variable a one-box wall clock can't show: rows
+    # entering each plan's exchange. The full plan's partial agg emits
+    # one row per DISTINCT token per map task; screen+verify's exchange
+    # carries only candidate tokens per map task.
+    docs = spark.read.parquet(f"{d}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    occ = docs.select(
+        F.spark_partition_id().alias("__pid"),
+        F.explode(tokens("text")).alias("token"),
+    )
+    full_rows = occ.distinct().count()
+    from finlogic_spark.operators.freq import token_frequency_screen
+
+    scr_df = token_frequency_screen(docs, "text", 0.001)
+    cand = scr_df.filter(F.col("token").isNotNull()).select("token").distinct()
+    screen_rows = (
+        occ.join(F.broadcast(cand), "token", "left_semi").distinct().count()
+        + scr_df.count()
+    )
     scr = out[f"{label}:doc_heavy_tokens"]
     out[f"{label}:doc_heavy_tokens_decomposition"] = {
         "screen_verify_s": scr["spark_s"],
         "full_distribution_shuffle_s": t,
+        "exchange_rows_full_plan": full_rows,
+        "exchange_rows_screen_verify": screen_rows,
         "note": (
-            "same engine, same answer: screen+verify shuffles only "
-            "candidate occurrences; the alternative shuffles one row per "
-            "distinct token per map task (the whole vocabulary)"
+            "same engine, same answer. The verdict on THIS corpus is "
+            "unambiguous: its post-combine vocabulary is tiny (see "
+            "exchange_rows_full_plan), so the full one-shuffle plan "
+            "wins both wall clock and exchange volume, and the screen "
+            "is pure tokenize-twice overhead — which is why "
+            "doc_heavy_tokens is registry-gated but bench-exempt. The "
+            "screen's regime is a heavy-tailed web-scale vocabulary "
+            "(1e8+ distinct tokens x 1e4 map tasks in the exchange) "
+            "where exchange_rows_full_plan explodes and the screen's "
+            "stays <= 2/phi per partition; the plan choice belongs to "
+            "a catalog vocabulary estimate (operators/freq.py "
+            "docstring)"
         ),
     }
     print(out[f"{label}:doc_heavy_tokens_decomposition"], flush=True)
@@ -257,6 +289,11 @@ def main() -> int:
         i = argv.index("--timeout")
         timeout = float(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
+    which = "all"
+    if "--which" in argv:
+        i = argv.index("--which")
+        which = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
     sf10 = argv[0] if argv else "/root/repo/testdata/sf10"
     sf100 = argv[1] if len(argv) > 1 else "/root/repo/testdata/sf100"
     sf1 = os.path.join(os.path.dirname(sf10.rstrip("/")), "sf1")
@@ -266,10 +303,19 @@ def main() -> int:
     spark = get_spark("probe-r12b")
     sf_dirs = [("sf10", sf10), ("sf100", sf100)]
     out: dict = {"runs": runs, "sf10": sf10, "sf100": sf100}
-    probe_hll_rollup(spark, out, sf_dirs, runs, timeout)
-    probe_heavy_tokens(spark, out, sf_dirs, runs, timeout)
-    probe_bucketize(spark, out, sf_dirs, runs, timeout)
-    probe_pagerank(spark, out, sf1, sf10, runs, timeout)
+    # --which merges into an existing --json file so a single probe
+    # family can be re-measured after a plan change
+    if json_out and which != "all" and os.path.exists(json_out):
+        with open(json_out) as f:
+            out.update(json.load(f))
+    if which in ("all", "hll"):
+        probe_hll_rollup(spark, out, sf_dirs, runs, timeout)
+    if which in ("all", "heavy"):
+        probe_heavy_tokens(spark, out, sf_dirs, runs, timeout)
+    if which in ("all", "bucketize"):
+        probe_bucketize(spark, out, sf_dirs, runs, timeout)
+    if which in ("all", "pagerank"):
+        probe_pagerank(spark, out, sf1, sf10, runs, timeout)
     if json_out:
         with open(json_out, "w") as f:
             json.dump(out, f, indent=1)
