@@ -6920,6 +6920,139 @@ def events_kll_bucketize(spark, sf_dir):
     )
 
 
+@q(
+    "events_hll_window",
+    f"""
+    {_HLL_BAND_SQL}
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day, event_type
+                  FROM events WHERE user_id IS NOT NULL)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.event_type,
+           (SELECT CAST(count(DISTINCT e.user_id) AS BIGINT) FROM events e
+            WHERE e.event_type = d.event_type
+              AND CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+              AND e.user_id IS NOT NULL) AS exact_users,
+           TRUE AS est_ok
+    FROM days d ORDER BY day, event_type
+    """,
+)
+def events_hll_window(spark, sf_dir):
+    # The sliding-distinct dashboard from stored sketches
+    # (operators/distinct_sketch.py hll_window_estimate): trailing
+    # 7-day distinct users per (day, event_type) computed by merging
+    # at most 7 STORED daily sketch rows per output day — KBs read,
+    # zero raw rows re-scanned, no data-sized exchange (the sketch
+    # table broadcasts). The exact alternative re-distincts a 7-day
+    # window of raw events PER OUTPUT DAY — at 100 TB that is 7x the
+    # corpus per dashboard refresh; here the exact branch exists only
+    # to validate the band. Compare events_sliding_distinct, which
+    # computes the same shape from raw rows with hll_sketch_agg
+    # windows — this query is what replaces it once daily sketch
+    # tables are persisted.
+    from finlogic_spark.operators.distinct_sketch import (
+        hll_sketch_table,
+        hll_window_estimate,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    base = e.select(F.to_date("ts").alias("day"), "event_type", "user_id")
+    daily = hll_sketch_table(base, ["day", "event_type"], "user_id", lgk=12)
+    est = hll_window_estimate(daily, ["event_type"], "day", 7, "approx_users")
+    # exact validation branch: distinct (type, day, user) triples once,
+    # then a range join onto the day grid (windowed re-distinct)
+    triples = base.distinct()
+    grid = triples.select("event_type", "day").distinct()
+    g = grid.select("event_type", F.col("day").alias("gday"))
+    exact = (
+        triples.join(g, "event_type")
+        .filter(
+            (F.datediff(F.col("gday"), F.col("day")) >= 0)
+            & (F.datediff(F.col("gday"), F.col("day")) < 7)
+        )
+        .groupBy("event_type", "gday")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+        .withColumnRenamed("gday", "day")
+    )
+    band_ok = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+        <= 0.06
+    )
+    return (
+        exact.join(est, ["event_type", "day"])
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "exact_users",
+            band_ok.alias("est_ok"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@q(
+    "events_kmv_overlap",
+    """
+    -- Property-style oracle (the sketch-band pattern): KMV
+    -- intersection ESTIMATES are sketch-specific, but below k distinct
+    -- values the sketch holds every hash and the estimate is exact —
+    -- both gate scales sit in that regime (<=1500 users vs k=4096), so
+    -- est_ok is a strict check here; super-k error is pinned in
+    -- tests/test_distinct_sketch.py. Exact overlaps compare directly.
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events
+               WHERE user_id IS NOT NULL)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS exact_overlap,
+           TRUE AS est_ok
+    FROM u a JOIN u b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2 ORDER BY type_a, type_b
+    """,
+)
+def events_kmv_overlap(spark, sf_dir):
+    # Distinct-set INTERSECTION estimates — the set operation HLL
+    # cannot express (operators/distinct_sketch.py KMV): audience
+    # overlap between every pair of event types from one KMV sketch
+    # row per type. Build: map-side partial k-min sketches, a
+    # sketch-only shuffle (<=k longs per partial), reduce-side merge;
+    # pair stage: a broadcast cross-join of the 5 sketch rows + the
+    # rho estimator over the exact k-min union — |groups|^2 pairs of
+    # k longs, never the raw sets (the exact alternative self-joins
+    # the distinct (type,user) table, quadratic in type overlap at
+    # 100 TB). Validation: exact overlap via that self-join (gate
+    # scale only) + the band flag.
+    from finlogic_spark.operators.distinct_sketch import (
+        kmv_pair_overlap,
+        kmv_sketch_table,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sk = kmv_sketch_table(
+        e.select("event_type", "user_id"), ["event_type"], "user_id", k=4096
+    )
+    est = kmv_pair_overlap(sk, "event_type", k=4096, out_col="approx_overlap")
+    u = e.select("event_type", "user_id").distinct()
+    ua = u.select(F.col("event_type").alias("type_a"), "user_id")
+    ub = u.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        ua.join(ub, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    band_ok = (
+        F.abs(F.col("approx_overlap") - F.col("exact_overlap"))
+        <= 0.25 * F.col("exact_overlap") + 2
+    )
+    return (
+        exact.join(
+            est.withColumnsRenamed({"key_a": "type_a", "key_b": "type_b"}),
+            ["type_a", "type_b"],
+        )
+        .select("type_a", "type_b", "exact_overlap", band_ok.alias("est_ok"))
+        .orderBy("type_a", "type_b")
+    )
+
+
 @q("stream_heavy_tokens", None)  # oracle attached below (batch twin's SQL)
 def stream_heavy_tokens(spark, sf_dir):
     # Streaming twin of doc_heavy_tokens: sharded Misra-Gries summaries

@@ -34,7 +34,12 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_sketch_table", "hll_table_estimate", "PyHLL"]
+__all__ = [
+    "PyHLL",
+    "hll_sketch_table",
+    "hll_table_estimate",
+    "hll_window_estimate",
+]
 
 
 def hll_sketch_table(
@@ -168,3 +173,211 @@ class PyHLL:
     @classmethod
     def from_bytes(cls, lgk: int, blob: bytes) -> "PyHLL":
         return cls(lgk, np.frombuffer(blob, dtype=np.uint8).copy())
+
+
+def hll_window_estimate(
+    sketch_df: DataFrame,
+    key_cols: Sequence[str],
+    day_col: str,
+    window_days: int,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Trailing-window distinct counts from STORED daily sketch rows:
+    for every (keys, day) present, the estimate over
+    [day - window_days + 1, day] — the sliding-distinct dashboard
+    ("7-day active users, per day") computed from KBs of sketches,
+    zero raw rows re-scanned, where the exact answer needs a window-
+    sized distinct per output day (the window self-join below carries
+    window_days sketch rows per group-day, each 2^lgk bytes).
+
+    The sketch table is broadcast (it is days x groups rows); the
+    range condition is a broadcast-join filter, so the plan has no
+    data-sized exchange at all."""
+    keys = list(key_cols)
+    grid = sketch_df.select(*keys, F.col(day_col).alias("day")).distinct()
+    contrib = grid.join(
+        F.broadcast(
+            sketch_df.withColumnRenamed(day_col, "__sday")
+        ),
+        keys,
+    ).filter(
+        (F.datediff(F.col("day"), F.col("__sday")) >= 0)
+        & (F.datediff(F.col("day"), F.col("__sday")) < window_days)
+    )
+    return contrib.groupBy(*keys, "day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__hll")).alias(out_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch: the set-operation estimator
+# ---------------------------------------------------------------------------
+
+
+class KMV:
+    """K-minimum-values sketch [Bar-Yossef et al. 2002; Beyer et al.
+    SIGMOD'07]: keep the k smallest 64-bit hash values of a set. What
+    HLL cannot do, KMV can: INTERSECTION estimates — the union sketch
+    of A and B is exact-by-construction (k smallest of the merged
+    hash sets), and the fraction rho of its values present in both
+    sides estimates |A∩B| = rho * D̂(A∪B). Relative error ~1/sqrt(k)
+    on the union; the naive HLL alternative (inclusion-exclusion
+    |A|+|B|-|A∪B|) degrades without bound as the intersection shrinks
+    relative to the union.
+
+    Mergeable (k-min of concatenation, associative+commutative+
+    idempotent like HLL), so the same partial/shuffle shape as the
+    other sketch tables applies. Below k distinct values the sketch
+    holds EVERY hash and all estimates are exact — the gate-scale
+    regime; the error band at super-k cardinalities is pinned in
+    tests/test_distinct_sketch.py.
+
+    Hashes are splitmix64 of the int64 key, kept order-isomorphic in
+    int64 via the sign-flip shift (h XOR 2^63) so they ride Spark
+    array<long> columns."""
+
+    __slots__ = ("k", "hashes")
+
+    def __init__(self, k: int = 1024, hashes: np.ndarray | None = None):
+        if k < 16:
+            raise ValueError(f"k must be >= 16, got {k}")
+        self.k = k
+        self.hashes = (
+            np.empty(0, dtype=np.uint64)
+            if hashes is None
+            else np.asarray(hashes, dtype=np.uint64)
+        )
+
+    def add_ints(self, values: np.ndarray) -> None:
+        if values.size == 0:
+            return
+        h = _mix64(values.astype(np.int64).view(np.uint64))
+        merged = np.unique(np.concatenate([self.hashes, h]))
+        self.hashes = merged[: self.k]
+
+    def merge(self, other: "KMV") -> "KMV":
+        if other.k != self.k:
+            raise ValueError("cannot merge KMVs with different k")
+        merged = np.unique(np.concatenate([self.hashes, other.hashes]))
+        self.hashes = merged[: self.k]
+        return self
+
+    def distinct_estimate(self) -> float:
+        n = self.hashes.size
+        if n < self.k:  # holds every hash — exact
+            return float(n)
+        kth = float(self.hashes[-1]) / float(2**64)
+        return (self.k - 1) / kth
+
+    @staticmethod
+    def intersection_estimate(a: "KMV", b: "KMV") -> float:
+        """rho-fraction estimator over the exact k-min union sketch."""
+        if a.k != b.k:
+            raise ValueError("sketches must share k")
+        union = np.unique(np.concatenate([a.hashes, b.hashes]))[: a.k]
+        if union.size == 0:
+            return 0.0
+        both = np.intersect1d(union, a.hashes, assume_unique=True)
+        both = np.intersect1d(both, b.hashes, assume_unique=True)
+        u = KMV(a.k, union)
+        return (both.size / union.size) * u.distinct_estimate()
+
+    # ---- wire format (array<long> via order-preserving sign shift) ----
+
+    _SHIFT = np.uint64(1 << 63)
+
+    def to_longs(self) -> list[int]:
+        return (self.hashes ^ self._SHIFT).view(np.int64).tolist()
+
+    @classmethod
+    def from_longs(cls, k: int, longs) -> "KMV":
+        arr = np.asarray(longs, dtype=np.int64).view(np.uint64) ^ cls._SHIFT
+        return cls(k, np.sort(arr))
+
+
+def kmv_sketch_table(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    k: int = 1024,
+) -> DataFrame:
+    """ONE KMV row per group: (keys..., __kmv array<long>) — the
+    persistable artifact for distinct AND set-operation estimates.
+    Same two-stage shape as kll_sketch_table: map-side partial
+    sketches per (partition, group), a sketch-only shuffle (≤ k longs
+    per partial), reduce-side k-min merge."""
+    keys = list(key_cols)
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields
+    )
+    schema = f"{key_fields}, __kmv array<bigint>"
+
+    def build_partials(batches):
+        import pandas as pd
+
+        sketches: dict[tuple, KMV] = {}
+        for pdf in batches:
+            vals = pdf[value_col].to_numpy(dtype=np.int64)
+            for gkey, idx in pdf.groupby(keys, sort=False).indices.items():
+                if not isinstance(gkey, tuple):
+                    gkey = (gkey,)
+                sketches.setdefault(gkey, KMV(k)).add_ints(vals[idx])
+        rows = [(*g, s.to_longs()) for g, s in sketches.items()]
+        yield pd.DataFrame(rows, columns=keys + ["__kmv"])
+
+    partials = df.select(*keys, value_col).mapInPandas(
+        build_partials, schema=schema
+    )
+
+    def merge_rows(pdf):
+        import pandas as pd
+
+        merged = KMV(k)
+        for longs in pdf["__kmv"]:
+            merged.merge(KMV.from_longs(k, longs))
+        gkey = [pdf.iloc[0][c] for c in keys]
+        return pd.DataFrame([(*gkey, merged.to_longs())], columns=keys + ["__kmv"])
+
+    return partials.groupBy(*keys).applyInPandas(merge_rows, schema=schema)
+
+
+def kmv_pair_overlap(
+    sketch_df: DataFrame,
+    key_col: str,
+    k: int = 1024,
+    out_col: str = "approx_overlap",
+) -> DataFrame:
+    """Pairwise distinct-intersection estimates between every two
+    groups of a KMV sketch table: cross-join the (tiny) sketch rows on
+    key_a < key_b and run the rho estimator per pair — |groups|² pairs
+    of k-long arrays, never the raw sets."""
+    a = sketch_df.select(
+        F.col(key_col).alias("key_a"), F.col("__kmv").alias("__kmv_a")
+    )
+    b = sketch_df.select(
+        F.col(key_col).alias("key_b"), F.col("__kmv").alias("__kmv_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+
+    def est(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                ka = KMV.from_longs(k, row["__kmv_a"])
+                kb = KMV.from_longs(k, row["__kmv_b"])
+                outs.append(
+                    (
+                        row["key_a"],
+                        row["key_b"],
+                        KMV.intersection_estimate(ka, kb),
+                    )
+                )
+            yield pd.DataFrame(outs, columns=["key_a", "key_b", out_col])
+
+    kt = sketch_df.schema[key_col].dataType.simpleString()
+    return pairs.mapInPandas(
+        est, schema=f"key_a {kt}, key_b {kt}, {out_col} double"
+    )

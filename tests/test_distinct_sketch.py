@@ -290,3 +290,133 @@ def test_stream_heavy_tokens_superset_and_exact_verify(spark, tmp_path):
     # exact verify on candidates reproduces brute force
     exact = {t: truth[t] for t in cand if truth[t] >= phi * n}
     assert exact == {t: c for t, c in truth.items() if c >= phi * n}
+
+
+def test_hll_window_estimate_band(spark):
+    """Trailing-3-day windowed estimates from daily sketch rows must
+    land within the band of the exact windowed distinct for every
+    (group, day)."""
+    import datetime
+
+    from finlogic_spark.operators.distinct_sketch import (
+        hll_sketch_table,
+        hll_window_estimate,
+    )
+
+    rng = np.random.RandomState(13)
+    base = datetime.date(2024, 3, 1)
+    rows = [
+        (base + datetime.timedelta(days=int(d)), "g%d" % (g,), int(u))
+        for d, g, u in zip(
+            rng.randint(0, 6, 30_000),
+            rng.randint(0, 2, 30_000),
+            rng.randint(0, 3000, 30_000),
+        )
+    ]
+    df = spark.createDataFrame(rows, "day date, grp string, uid long")
+    daily = hll_sketch_table(df, ["day", "grp"], "uid", lgk=12)
+    est = {
+        (r["grp"], r["day"]): r["approx"]
+        for r in hll_window_estimate(
+            daily, ["grp"], "day", 3, "approx"
+        ).collect()
+    }
+    exact = {}
+    from collections import defaultdict
+
+    sets = defaultdict(set)
+    for day, g, u in rows:
+        sets[(g, day)].add(u)
+    for g, day in est:
+        win = set()
+        for back in range(3):
+            win |= sets.get((g, day - datetime.timedelta(days=back)), set())
+        exact[(g, day)] = len(win)
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) / exact[k] <= 0.06, (k, est[k], exact[k])
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k_and_wire_roundtrip():
+    from finlogic_spark.operators.distinct_sketch import KMV
+
+    ids = np.arange(900, dtype=np.int64)
+    s = KMV(1024)
+    for chunk in np.array_split(ids, 5):
+        s.add_ints(chunk)
+        s.add_ints(chunk)  # idempotent
+    assert s.distinct_estimate() == 900.0  # below k: exact
+    rt = KMV.from_longs(1024, s.to_longs())
+    assert np.array_equal(rt.hashes, s.hashes)
+    with pytest.raises(ValueError, match="k"):
+        KMV(8)
+    with pytest.raises(ValueError, match="merge"):
+        KMV(64).merge(KMV(128))
+
+
+def test_kmv_merge_equals_union_build():
+    from finlogic_spark.operators.distinct_sketch import KMV
+
+    lo = np.arange(0, 40_000, dtype=np.int64)
+    hi = np.arange(30_000, 90_000, dtype=np.int64)
+    a, b, u = KMV(512), KMV(512), KMV(512)
+    a.add_ints(lo)
+    b.add_ints(hi)
+    u.add_ints(np.concatenate([lo, hi]))
+    assert np.array_equal(a.merge(b).hashes, u.hashes)
+
+
+def test_kmv_intersection_error_band():
+    """Super-k regime: rho-estimator error across seeds stays within
+    the modeled band (~1/sqrt(k) on the union, scaled by union/inter)."""
+    from finlogic_spark.operators.distinct_sketch import KMV
+
+    k = 4096
+    rels = []
+    for seed in range(8):
+        rng = np.random.RandomState(seed)
+        A = rng.choice(50_000_000, 60_000, replace=False)
+        B = np.concatenate(
+            [A[:15_000],
+             rng.choice(np.arange(50_000_000, 99_000_000), 45_000, replace=False)]
+        )
+        ka, kb = KMV(k), KMV(k)
+        ka.add_ints(A)
+        kb.add_ints(B)
+        exact = len(np.intersect1d(A, B))
+        est = KMV.intersection_estimate(ka, kb)
+        rels.append(abs(est - exact) / exact)
+    # union/inter = 7; 3 sigma ~ 3 * sqrt(rho(1-rho)/k) / rho ~ 0.12
+    assert max(rels) <= 0.15, rels
+    assert sum(rels) / len(rels) <= 0.06, rels
+
+
+def test_kmv_sketch_table_pair_overlap(spark):
+    """Distributed build + pair estimator: below-k groups are exact, so
+    the pair overlaps must equal the true intersections exactly."""
+    from finlogic_spark.operators.distinct_sketch import (
+        kmv_pair_overlap,
+        kmv_sketch_table,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    sets = {"a": set(), "b": set(), "c": set()}
+    for g, lo, hi in (("a", 0, 800), ("b", 400, 1200), ("c", 0, 1500)):
+        ids = rng.randint(lo, hi, 2000)
+        sets[g].update(int(u) for u in ids)
+        rows += [(g, int(u)) for u in ids]
+    df = spark.createDataFrame(rows, "grp string, uid long").repartition(6)
+    sk = kmv_sketch_table(df, ["grp"], "uid", k=4096)
+    got = {
+        (r["key_a"], r["key_b"]): r["approx_overlap"]
+        for r in kmv_pair_overlap(sk, "grp", k=4096).collect()
+    }
+    for (x, y), v in got.items():
+        assert v == len(sets[x] & sets[y]), (x, y, v)
+    assert len(got) == 3

@@ -113,28 +113,58 @@ def main() -> int:
     from finlogic_spark.session import get_spark
     from finlogic_spark.streaming import with_event_time
     from finlogic_spark.streaming.stateful import (
+        heavy_tokens_stream,
         hll_distinct_stream,
         kll_quantiles_stream,
     )
 
     spark = get_spark("probe-stream-kll")
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    n_events = events.count()
+    table = "documents" if op == "mg" else "events"
+    source = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    n_rows = source.count()
 
     # one parquet file per micro-batch: a steady arrival of
-    # ~n_events/n_batches rows each
+    # ~n_rows/n_batches rows each
     src = tempfile.mkdtemp(prefix="kllprobe_src_")
-    events.repartition(n_batches).write.mode("overwrite").parquet(src)
-    schema = events.schema
+    source.repartition(n_batches).write.mode("overwrite").parquet(src)
+    schema = source.schema
 
     out = {
         "sf_dir": sf_dir,
-        "events": n_events,
+        "table": table,
+        "rows": n_rows,
         "batches_requested": n_batches,
-        "rows_per_batch": n_events // n_batches,
+        "rows_per_batch": n_rows // n_batches,
     }
 
-    if op == "hll":
+    if op == "mg":
+        out["mg_shard_state"] = _run_stream(
+            spark, src, schema, heavy_tokens_stream
+        )
+        print("mg_shard_state", out["mg_shard_state"], flush=True)
+
+        # the unbounded alternative: update-mode token counts — its
+        # state is the WHOLE vocabulary, growing with the stream
+        def jvm_token_counts(stream):
+            return (
+                stream.select(
+                    F.explode(
+                        F.filter(
+                            F.split(F.lower("text"), "\\s+"),
+                            lambda t: t != "",
+                        )
+                    ).alias("token")
+                )
+                .groupBy("token")
+                .count()
+            )
+
+        out["jvm_vocab_count_state"] = _run_stream(
+            spark, src, schema, jvm_token_counts
+        )
+        print("jvm_vocab_count_state",
+              out["jvm_vocab_count_state"], flush=True)
+    elif op == "hll":
         out["hll_register_state"] = _run_stream(
             spark, src, schema, hll_distinct_stream
         )
