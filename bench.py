@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "events_hll_rollup",
     "orders_supplier_pagerank",
     "events_kll_bucketize",
+    "events_hll_window",
+    "events_kmv_overlap",
 ]
 
 

@@ -6958,19 +6958,25 @@ def events_hll_window(spark, sf_dir):
     daily = hll_sketch_table(base, ["day", "event_type"], "user_id", lgk=12)
     est = hll_window_estimate(daily, ["event_type"], "day", 7, "approx_users")
     # exact validation branch: distinct (type, day, user) triples once,
-    # then a range join onto the day grid (windowed re-distinct)
+    # then each triple EXPLODES to the <=7 window days it feeds (a
+    # map-side sequence, no join) and a broadcast semi-join prunes
+    # phantom days off the grid. The first formulation range-joined
+    # triples to the grid keyed on event_type alone — every triple met
+    # all ~30 grid days before the datediff filter (a measured 30x
+    # intermediate blowup at sf100; this shape is 7x by construction).
     triples = base.distinct()
     grid = triples.select("event_type", "day").distinct()
-    g = grid.select("event_type", F.col("day").alias("gday"))
+    fan = triples.select(
+        "event_type",
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+    )
     exact = (
-        triples.join(g, "event_type")
-        .filter(
-            (F.datediff(F.col("gday"), F.col("day")) >= 0)
-            & (F.datediff(F.col("gday"), F.col("day")) < 7)
-        )
-        .groupBy("event_type", "gday")
+        fan.join(F.broadcast(grid), ["event_type", "day"], "left_semi")
+        .groupBy("event_type", "day")
         .agg(F.count_distinct("user_id").alias("exact_users"))
-        .withColumnRenamed("gday", "day")
     )
     band_ok = (
         F.abs(F.col("approx_users") - F.col("exact_users"))
