@@ -316,14 +316,20 @@ def main() -> int:
         probe_bucketize(spark, out, sf_dirs, runs, timeout)
     if which in ("all", "pagerank"):
         probe_pagerank(spark, out, sf1, sf10, runs, timeout)
-    if which in ("all", "winkmv"):
+    if which in ("all", "winkmv", "window", "kmv"):
         # at-birth rows for the later round-12b newcomers: windowed
         # distinct from stored sketches, KMV pairwise overlap
-        for name in ("events_hll_window", "events_kmv_overlap"):
+        names = {
+            "window": ["events_hll_window"],
+            "kmv": ["events_kmv_overlap"],
+        }.get(which, ["events_hll_window", "events_kmv_overlap"])
+        for name in names:
             for label, d in sf_dirs:
                 out[f"{label}:{name}"] = _row(spark, name, d, runs, timeout)
                 print(f"{label}:{name}", out[f"{label}:{name}"], flush=True)
 
+        do_window = which in ("all", "winkmv", "window")
+        do_kmv = which in ("all", "winkmv", "kmv")
         # decomposition at the largest scale: the production path alone
         # (daily sketch build -> window merge), no exact-windowed-
         # distinct validation branch (the same adjudication shape as
@@ -355,22 +361,24 @@ def main() -> int:
             )
             noop(hll_window_estimate(daily, ["event_type"], "day", 7))
 
-        t = timed(production, runs)
-        out[f"{label}:events_hll_window_decomposition"] = {
-            "production_build_window_merge_s": t,
-            "full_with_exact_validation_s": out[f"{label}:events_hll_window"][
-                "spark_s"
-            ],
-            "note": (
-                "production path = daily sketch build + <=7-row window "
-                "merges per output day; the registry query adds an exact "
-                "windowed re-distinct branch purely to validate the band "
-                "— at 100 TB that branch re-distincts 7x the corpus per "
-                "dashboard refresh, which is precisely what the stored-"
-                "sketch design avoids"
-            ),
-        }
-        print(out[f"{label}:events_hll_window_decomposition"], flush=True)
+        if do_window:
+            t = timed(production, runs)
+            out[f"{label}:events_hll_window_decomposition"] = {
+                "production_build_window_merge_s": t,
+                "full_with_exact_validation_s": out[
+                    f"{label}:events_hll_window"
+                ]["spark_s"],
+                "note": (
+                    "production path = daily sketch build + <=7-row "
+                    "window merges per output day; the registry query "
+                    "adds an exact windowed re-distinct branch purely to "
+                    "validate the band — at 100 TB that branch "
+                    "re-distincts 7x the corpus per dashboard refresh, "
+                    "which is precisely what the stored-sketch design "
+                    "avoids"
+                ),
+            }
+            print(out[f"{label}:events_hll_window_decomposition"], flush=True)
 
         # kmv production path: sketch build + pair estimator, no exact
         # self-join validation branch
@@ -388,21 +396,22 @@ def main() -> int:
             sk = kmv_sketch_table(eu, ["event_type"], "user_id", k=4096)
             noop(kmv_pair_overlap(sk, "event_type", k=4096))
 
-        t = timed(kmv_production, runs)
-        out[f"{label}:events_kmv_overlap_decomposition"] = {
-            "production_build_pair_estimate_s": t,
-            "full_with_exact_validation_s": out[f"{label}:events_kmv_overlap"][
-                "spark_s"
-            ],
-            "note": (
-                "production path = k-min sketch build (sketch-only "
-                "shuffle) + pair estimator over 5 sketch rows; the "
-                "registry query adds the exact distinct-(type,user) "
-                "self-join branch purely to validate the band — the "
-                "quadratic-in-overlap work the sketch exists to avoid"
-            ),
-        }
-        print(out[f"{label}:events_kmv_overlap_decomposition"], flush=True)
+        if do_kmv:
+            t = timed(kmv_production, runs)
+            out[f"{label}:events_kmv_overlap_decomposition"] = {
+                "production_build_pair_estimate_s": t,
+                "full_with_exact_validation_s": out[
+                    f"{label}:events_kmv_overlap"
+                ]["spark_s"],
+                "note": (
+                    "production path = k-min sketch build (sketch-only "
+                    "shuffle) + pair estimator over 5 sketch rows; the "
+                    "registry query adds the exact distinct-(type,user) "
+                    "self-join branch purely to validate the band — the "
+                    "quadratic-in-overlap work the sketch exists to avoid"
+                ),
+            }
+            print(out[f"{label}:events_kmv_overlap_decomposition"], flush=True)
     if json_out:
         with open(json_out, "w") as f:
             json.dump(out, f, indent=1)
