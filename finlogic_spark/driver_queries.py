@@ -7035,7 +7035,7 @@ def events_kmv_overlap(spark, sf_dir):
     sk = kmv_sketch_table(
         e.select("event_type", "user_id"), ["event_type"], "user_id", k=4096
     )
-    est = kmv_pair_overlap(sk, "event_type", k=4096, out_col="approx_overlap")
+    est = kmv_pair_overlap(sk, "event_type", out_col="approx_overlap")
     u = e.select("event_type", "user_id").distinct()
     ua = u.select(F.col("event_type").alias("type_a"), "user_id")
     ub = u.select(F.col("event_type").alias("type_b"), "user_id")

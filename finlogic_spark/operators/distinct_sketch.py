@@ -99,12 +99,14 @@ def _clz64(w: np.ndarray) -> np.ndarray:
     """Exact leading-zero count of uint64 values (binary-search shifts,
     fully vectorized — no float log2, whose rounding misplaces the top
     bit near powers of two). w == 0 maps to 64."""
+    zero = w == 0
     n = np.zeros(w.shape, dtype=np.int64)
     x = w.copy()
     for shift in (32, 16, 8, 4, 2, 1):
         mask = x < (np.uint64(1) << np.uint64(64 - shift))
         n[mask] += shift
         x[mask] <<= np.uint64(shift)
+    n[zero] = 64
     return n
 
 
@@ -292,6 +294,11 @@ class KMV:
     @classmethod
     def from_longs(cls, k: int, longs) -> "KMV":
         arr = np.asarray(longs, dtype=np.int64).view(np.uint64) ^ cls._SHIFT
+        if arr.size > k:
+            raise ValueError(
+                f"wire format holds {arr.size} hashes > k={k} — the blob "
+                "was built with a larger k"
+            )
         return cls(k, np.sort(arr))
 
 
@@ -315,15 +322,21 @@ def kmv_sketch_table(
     build 20.3 s; the map-side-combined distinct cuts the Python input
     13x — BENCH_r12b_probes.json). Set it False when values are
     already near-unique and the distinct's exchange would carry ~all
-    rows anyway."""
+    rows anyway.
+
+    Null semantics match the JVM groupBy of hll_sketch_table: null
+    KEYS form their own group; null VALUES are dropped (they carry no
+    identity to count). The table carries ``__k`` so consumers bind to
+    the build-time parameter instead of guessing it."""
     keys = list(key_cols)
+    df = df.select(*keys, value_col).filter(F.col(value_col).isNotNull())
     if pre_distinct:
-        df = df.select(*keys, value_col).distinct()
+        df = df.distinct()
     key_fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
         for f in df.select(*keys).schema.fields
     )
-    schema = f"{key_fields}, __kmv array<bigint>"
+    schema = f"{key_fields}, __k int, __kmv array<bigint>"
 
     def build_partials(batches):
         import pandas as pd
@@ -331,16 +344,15 @@ def kmv_sketch_table(
         sketches: dict[tuple, KMV] = {}
         for pdf in batches:
             vals = pdf[value_col].to_numpy(dtype=np.int64)
-            for gkey, idx in pdf.groupby(keys, sort=False).indices.items():
+            grouped = pdf.groupby(keys, sort=False, dropna=False).indices
+            for gkey, idx in grouped.items():
                 if not isinstance(gkey, tuple):
                     gkey = (gkey,)
                 sketches.setdefault(gkey, KMV(k)).add_ints(vals[idx])
-        rows = [(*g, s.to_longs()) for g, s in sketches.items()]
-        yield pd.DataFrame(rows, columns=keys + ["__kmv"])
+        rows = [(*g, k, s.to_longs()) for g, s in sketches.items()]
+        yield pd.DataFrame(rows, columns=keys + ["__k", "__kmv"])
 
-    partials = df.select(*keys, value_col).mapInPandas(
-        build_partials, schema=schema
-    )
+    partials = df.mapInPandas(build_partials, schema=schema)
 
     def merge_rows(pdf):
         import pandas as pd
@@ -349,7 +361,9 @@ def kmv_sketch_table(
         for longs in pdf["__kmv"]:
             merged.merge(KMV.from_longs(k, longs))
         gkey = [pdf.iloc[0][c] for c in keys]
-        return pd.DataFrame([(*gkey, merged.to_longs())], columns=keys + ["__kmv"])
+        return pd.DataFrame(
+            [(*gkey, k, merged.to_longs())], columns=keys + ["__k", "__kmv"]
+        )
 
     return partials.groupBy(*keys).applyInPandas(merge_rows, schema=schema)
 
@@ -357,18 +371,24 @@ def kmv_sketch_table(
 def kmv_pair_overlap(
     sketch_df: DataFrame,
     key_col: str,
-    k: int = 1024,
     out_col: str = "approx_overlap",
 ) -> DataFrame:
     """Pairwise distinct-intersection estimates between every two
     groups of a KMV sketch table: cross-join the (tiny) sketch rows on
     key_a < key_b and run the rho estimator per pair — |groups|² pairs
-    of k-long arrays, never the raw sets."""
+    of k-long arrays, never the raw sets. ``k`` is read from the
+    table's own ``__k`` column (set at build time), so a stored table
+    can never be misread with a different k — a too-large k would
+    silently flip under-full sketches into the 'exact' branch."""
     a = sketch_df.select(
-        F.col(key_col).alias("key_a"), F.col("__kmv").alias("__kmv_a")
+        F.col(key_col).alias("key_a"),
+        F.col("__k").alias("__k_a"),
+        F.col("__kmv").alias("__kmv_a"),
     )
     b = sketch_df.select(
-        F.col(key_col).alias("key_b"), F.col("__kmv").alias("__kmv_b")
+        F.col(key_col).alias("key_b"),
+        F.col("__k").alias("__k_b"),
+        F.col("__kmv").alias("__kmv_b"),
     )
     pairs = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
 
@@ -378,8 +398,13 @@ def kmv_pair_overlap(
         for pdf in batches:
             outs = []
             for _, row in pdf.iterrows():
-                ka = KMV.from_longs(k, row["__kmv_a"])
-                kb = KMV.from_longs(k, row["__kmv_b"])
+                if row["__k_a"] != row["__k_b"]:
+                    raise ValueError(
+                        "sketch rows built with different k: "
+                        f"{row['__k_a']} vs {row['__k_b']}"
+                    )
+                ka = KMV.from_longs(int(row["__k_a"]), row["__kmv_a"])
+                kb = KMV.from_longs(int(row["__k_b"]), row["__kmv_b"])
                 outs.append(
                     (
                         row["key_a"],

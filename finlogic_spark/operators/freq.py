@@ -61,7 +61,8 @@ def frequency_screen(items: DataFrame, item_col: str, phi: float) -> DataFrame:
     if not (0.0 < phi < 1.0):
         raise ValueError(f"phi must be in (0, 1), got {phi}")
     half = phi / 2.0
-    schema = f"`{item_col}` string, __cnt bigint"
+    item_type = items.schema[item_col].dataType.simpleString()
+    schema = f"`{item_col}` {item_type}, __cnt bigint"
 
     def screen(batches):
         import pandas as pd

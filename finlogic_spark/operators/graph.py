@@ -375,12 +375,16 @@ def pagerank(
 
     Plan shape per round: one shuffle keyed by src (rank join onto the
     out-edge list, degree pre-joined once) + one partial-agg sum keyed
-    by dst — the minimal PageRank round. ``localCheckpoint`` truncates
-    per-round lineage (same discipline as connected_components; at
-    100 TB each round's ranks would persist to a table instead).
-    Dangling nodes (no out-edges) are the CALLER's contract to avoid —
-    pass a symmetrized edge list for undirected graphs; mass is
-    otherwise dropped, as in the classic formulation."""
+    by dst, left-joined back onto the full node set so nodes with no
+    in-neighbours keep their teleport mass every round (the classic
+    formulation) — the minimal PageRank round. Each round's ranks are
+    EAGERLY localCheckpointed (same discipline as connected_components:
+    lineage truncation + one job per round; at 100 TB each round's
+    ranks would persist to a table instead), which also lets the edge
+    cache be released before returning. Dangling nodes (no out-edges)
+    still receive mass but emit none — their outflow is dropped, as in
+    the classic formulation; symmetrize the edge list for undirected
+    graphs."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     e = edges.select(
@@ -388,11 +392,13 @@ def pagerank(
     ).distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     # out-edges with degree attached: built once, reused every round
-    ed = (
-        e.join(deg, "src")
+    ed = e.join(deg, "src").persist(_SPILL)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
         .persist(_SPILL)
     )
-    nodes = ed.select(F.col("src").alias("node")).distinct()
     ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("long"))
     teleport = (damping_den - damping_num) * scale // damping_den
     for _ in range(iterations):
@@ -405,9 +411,17 @@ def pagerank(
                 f"DIV (CAST({damping_den} AS BIGINT) * __deg)"
             ).alias("__c"),
         )
+        inflow = contrib.groupBy("node").agg(F.sum("__c").alias("__in"))
         ranks = (
-            contrib.groupBy("node")
-            .agg((F.lit(teleport) + F.sum("__c")).cast("long").alias("rank"))
-            .localCheckpoint(eager=False, storageLevel=_SPILL)
+            nodes.join(inflow, "node", "left")
+            .select(
+                "node",
+                (F.lit(teleport) + F.coalesce(F.col("__in"), F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True, storageLevel=_SPILL)
         )
+    ed.unpersist()
+    nodes.unpersist()
     return ranks

@@ -586,11 +586,11 @@ def heavy_tokens_stream(docs: DataFrame, num_shards: int = 32) -> DataFrame:
 
     The emitted ``n`` is monotone per shard, so keep-last over n takes
     each shard's final summary."""
-    toks = docs.select(
-        F.explode(
-            F.filter(F.split(F.lower("text"), "\\s+"), lambda t: t != "")
-        ).alias("token")
-    ).withColumn(
+    from finlogic_spark.functions.text import tokens
+
+    # the shared tokenizer — the no-miss guarantee requires the screen
+    # and the batch verify pass to tokenize IDENTICALLY
+    toks = docs.select(F.explode(tokens("text")).alias("token")).withColumn(
         "shard", F.pmod(F.xxhash64("token"), F.lit(num_shards)).cast("int")
     )
     return toks.groupBy("shard").applyInPandasWithState(

@@ -413,9 +413,10 @@ def test_kmv_sketch_table_pair_overlap(spark):
         rows += [(g, int(u)) for u in ids]
     df = spark.createDataFrame(rows, "grp string, uid long").repartition(6)
     sk = kmv_sketch_table(df, ["grp"], "uid", k=4096)
+    assert all(r["__k"] == 4096 for r in sk.select("__k").collect())
     got = {
         (r["key_a"], r["key_b"]): r["approx_overlap"]
-        for r in kmv_pair_overlap(sk, "grp", k=4096).collect()
+        for r in kmv_pair_overlap(sk, "grp").collect()
     }
     for (x, y), v in got.items():
         assert v == len(sets[x] & sets[y]), (x, y, v)

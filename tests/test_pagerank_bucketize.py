@@ -12,15 +12,20 @@ from finlogic_spark.operators.sketch import kll_bucketize
 def _reference_pagerank(edges, iterations, scale=1_000_000):
     """Driver-side integer PageRank on a plain dict graph — the
     independent implementation the distributed one must match
-    bit-for-bit (exact integer arithmetic has ONE correct answer)."""
+    bit-for-bit (exact integer arithmetic has ONE correct answer).
+    All nodes (sources AND sinks) hold rank; nodes without
+    in-neighbours keep teleport mass each round."""
     from collections import defaultdict
 
     out = defaultdict(list)
     deg = defaultdict(int)
+    nodes = set()
     for s, d in edges:
         out[s].append(d)
         deg[s] += 1
-    ranks = {n: scale for n in out}
+        nodes.add(s)
+        nodes.add(d)
+    ranks = {n: scale for n in nodes}
     teleport = 15 * scale // 100
     for _ in range(iterations):
         nxt = defaultdict(int)
@@ -28,7 +33,7 @@ def _reference_pagerank(edges, iterations, scale=1_000_000):
             c = (85 * ranks[s]) // (100 * deg[s])
             for d in ds:
                 nxt[d] += c
-        ranks = {n: teleport + v for n, v in nxt.items()}
+        ranks = {n: teleport + nxt.get(n, 0) for n in nodes}
     return ranks
 
 
@@ -40,6 +45,19 @@ def test_pagerank_matches_reference_bitwise(spark):
     got = {r["node"]: r["rank"] for r in pagerank(df, iterations=4).collect()}
     want = _reference_pagerank(sym, 4)
     assert got == want
+
+
+def test_pagerank_directed_keeps_source_only_nodes(spark):
+    """A directed chain with a source-only node: node 1 must stay in
+    the output with teleport-only rank every round, and node 2 must
+    keep receiving 1's contribution (the first formulation dropped
+    no-in-edge nodes from the rank table after round one)."""
+    edges = [(1, 2), (2, 3), (3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=3).collect()}
+    want = _reference_pagerank(edges, 3)
+    assert got == want
+    assert got[1] == 150_000  # teleport only, still present
 
 
 def test_pagerank_mass_shape_and_guard(spark):

@@ -65,7 +65,6 @@ def _row(spark, name, sf_dir, runs, timeout):
 def probe_hll_rollup(spark, out, sf_dirs, runs, timeout):
     from pyspark.sql import functions as F
 
-    from finlogic_spark import driver_queries as dq
     from finlogic_spark.operators.distinct_sketch import (
         hll_sketch_table,
         hll_table_estimate,
@@ -113,7 +112,6 @@ def probe_hll_rollup(spark, out, sf_dirs, runs, timeout):
 def probe_heavy_tokens(spark, out, sf_dirs, runs, timeout):
     from pyspark.sql import functions as F
 
-    from finlogic_spark import driver_queries as dq
     from finlogic_spark.functions.text import tokens
 
     for label, d in sf_dirs:
@@ -190,11 +188,8 @@ def probe_heavy_tokens(spark, out, sf_dirs, runs, timeout):
 
 
 def probe_bucketize(spark, out, sf_dirs, runs, timeout):
-    import threading
-
     import duckdb
 
-    from finlogic_spark import driver_queries as dq
 
     for label, d in sf_dirs:
         row = spark_time(spark, "events_kll_bucketize", d, runs)
@@ -394,7 +389,7 @@ def main() -> int:
         def kmv_production():
             _drop_persisted(spark)
             sk = kmv_sketch_table(eu, ["event_type"], "user_id", k=4096)
-            noop(kmv_pair_overlap(sk, "event_type", k=4096))
+            noop(kmv_pair_overlap(sk, "event_type"))
 
         if do_kmv:
             t = timed(kmv_production, runs)
