@@ -69,6 +69,7 @@ from finlogic_spark.operators.corpus import (
     weighted_sample,
 )
 from finlogic_spark.operators.diff import table_diff
+from finlogic_spark.operators.freq import ge_phi_n
 from finlogic_spark.operators.fuzzy import fuzzy_join_blocked
 from finlogic_spark.operators.profile import expect, profile_columns
 from finlogic_spark.operators.text_dedup import (
@@ -6869,7 +6870,15 @@ def orders_supplier_pagerank(spark, sf_dir):
     -- guarantee — every bucket must hold n/4 +- 2*eps*n rows (eps
     -- 0.02 at k=200; asserted at 0.05 with slack). count_ok checks
     -- that exactly on the Spark side; group/bucket identity compares
-    -- directly.
+    -- directly. The full 4-bucket grid is emitted Spark-side too
+    -- (empty buckets as 0-count rows), so presence is an identity,
+    -- not a data assumption. The BAND binds only on non-degenerate
+    -- groups: if one value carries > n/4 of a group's mass, exact
+    -- equi-depth is impossible for ANY boundary choice (duplicate
+    -- quantiles force an over-full bucket and can empty a neighbor) —
+    -- those groups pass via the degeneracy exemption, computed
+    -- exactly from the same value histogram, rather than encoding a
+    -- tie-freeness assumption about the corpus into the gate.
     SELECT event_type, CAST(b AS INT) AS bucket, TRUE AS count_ok
     FROM (SELECT DISTINCT event_type FROM events
           WHERE value IS NOT NULL AND NOT isnan(value))
@@ -6905,15 +6914,29 @@ def events_kll_bucketize(spark, sf_dir):
         hist, ["event_type"], "value", num_buckets=4, weight_col="__c"
     )
     nb = bucketed.groupBy("event_type", "bucket").agg(F.sum("__c").alias("__nb"))
-    tot = hist.groupBy("event_type").agg(F.sum("__c").alias("__n"))
+    # full grid + degeneracy exemption (see oracle comment): a group
+    # where one value holds > n/4 of the mass cannot be equi-depth
+    # split by any boundaries, so the band yields to that exact flag;
+    # empty buckets surface as 0-count grid rows instead of missing
+    # rows, keeping presence an identity check.
+    tot = hist.groupBy("event_type").agg(
+        F.sum("__c").alias("__n"), F.max("__c").alias("__maxc")
+    )
+    grid = tot.crossJoin(
+        spark.range(4).select(F.col("id").cast("int").alias("bucket"))
+    )
     return (
-        nb.join(tot, "event_type")
+        grid.join(nb, ["event_type", "bucket"], "left")
+        .withColumn("__nb", F.coalesce(F.col("__nb"), F.lit(0)))
         .select(
             "event_type",
-            F.col("bucket").cast("int").alias("bucket"),
+            "bucket",
             (
-                F.abs(F.col("__nb") - F.col("__n") / 4.0)
-                <= 0.05 * F.col("__n")
+                (
+                    F.abs(F.col("__nb") - F.col("__n") / 4.0)
+                    <= 0.05 * F.col("__n")
+                )
+                | (F.col("__maxc") * 4 > F.col("__n"))
             ).alias("count_ok"),
         )
         .orderBy("event_type", "bucket")
@@ -7095,7 +7118,7 @@ def stream_heavy_tokens(spark, sf_dir):
     )
     return (
         exact.crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") >= 0.001 * F.col("__n"))
+        .filter(ge_phi_n(F.col("cnt"), F.col("__n"), 0.001))
         .drop("__n")
         .orderBy(F.col("cnt").desc(), F.col("token").asc())
     )

@@ -35,10 +35,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "KMV",
     "PyHLL",
     "hll_sketch_table",
     "hll_table_estimate",
     "hll_window_estimate",
+    "kmv_pair_overlap",
+    "kmv_sketch_table",
+    "xxhash64_long",
 ]
 
 
@@ -215,6 +219,39 @@ def hll_window_estimate(
 # KMV (k-minimum-values) sketch: the set-operation estimator
 # ---------------------------------------------------------------------------
 
+# XXH64 primes (public algorithm, Yann Collet; same constants Spark's
+# catalyst XxHash64 uses).
+_XXP1 = np.uint64(0x9E3779B185EBCA87)
+_XXP2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XXP3 = np.uint64(0x165667B19E3779F9)
+_XXP4 = np.uint64(0x85EBCA77C2B2AE63)
+_XXP5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def xxhash64_long(values: np.ndarray, seed: int = 42) -> np.ndarray:
+    """Vectorized XXH64 of int64 values, BIT-IDENTICAL to Spark's
+    ``xxhash64(bigint)`` (seed 42, single 8-byte block; parity pinned
+    in tests/test_distinct_sketch.py). Returns the raw uint64 digests.
+    Shared hash between the JVM sketch build (kmv_sketch_table) and
+    the Python :class:`KMV` — sketches from either path merge and
+    compare exactly."""
+    with np.errstate(over="ignore"):
+        v = np.asarray(values, dtype=np.int64).view(np.uint64)
+        h = np.uint64(seed) + _XXP5 + np.uint64(8)
+        h = h ^ (_rotl64(v * _XXP2, 31) * _XXP1)
+        h = _rotl64(h, 27) * _XXP1 + _XXP4
+        h ^= h >> np.uint64(33)
+        h *= _XXP2
+        h ^= h >> np.uint64(29)
+        h *= _XXP3
+        h ^= h >> np.uint64(32)
+        return h
+
 
 class KMV:
     """K-minimum-values sketch [Bar-Yossef et al. 2002; Beyer et al.
@@ -234,9 +271,15 @@ class KMV:
     regime; the error band at super-k cardinalities is pinned in
     tests/test_distinct_sketch.py.
 
-    Hashes are splitmix64 of the int64 key, kept order-isomorphic in
-    int64 via the sign-flip shift (h XOR 2^63) so they ride Spark
-    array<long> columns."""
+    Hashes are Spark-parity xxhash64 of the int64 key (seed 42, the
+    same digest ``F.xxhash64(bigint)`` emits), kept order-isomorphic
+    in int64 via the sign-flip shift (h XOR 2^63) so they ride Spark
+    array<long> columns. Because unsigned order on h equals SIGNED
+    order on the raw xxhash64 long, the wire longs are exactly the
+    raw JVM digests sorted ascending — which is what lets
+    :func:`kmv_sketch_table` build the whole sketch JVM-side with
+    ``slice(array_sort(...), 1, k)`` and stay mergeable with
+    Python-built sketches."""
 
     __slots__ = ("k", "hashes")
 
@@ -253,7 +296,7 @@ class KMV:
     def add_ints(self, values: np.ndarray) -> None:
         if values.size == 0:
             return
-        h = _mix64(values.astype(np.int64).view(np.uint64))
+        h = xxhash64_long(values) ^ self._SHIFT
         merged = np.unique(np.concatenate([self.hashes, h]))
         self.hashes = merged[: self.k]
 
@@ -307,65 +350,64 @@ def kmv_sketch_table(
     key_cols: Sequence[str],
     value_col: str,
     k: int = 1024,
-    pre_distinct: bool = True,
 ) -> DataFrame:
     """ONE KMV row per group: (keys..., __kmv array<long>) — the
     persistable artifact for distinct AND set-operation estimates.
-    Same two-stage shape as kll_sketch_table: map-side partial
-    sketches per (partition, group), a sketch-only shuffle (≤ k longs
-    per partial), reduce-side k-min merge.
 
-    ``pre_distinct`` (default) dedups (keys, value) JVM-side first:
-    k-min insertion is idempotent, so dedup is free correctness-wise,
-    and the Arrow transfer into the Python sketch stage then carries
-    distinct pairs instead of raw rows (sf100: 100M raw rows cost the
-    build 20.3 s; the map-side-combined distinct cuts the Python input
-    13x — BENCH_r12b_probes.json). Set it False when values are
-    already near-unique and the distinct's exchange would carry ~all
-    rows anyway.
+    ENTIRELY JVM-side (no Arrow/Python boundary in the build — the
+    r12 Python heap-merge over shipped distinct pairs was 3.3x an
+    exact DuckDB baseline at sf100; this build is the fix). Wire
+    parity: the k smallest sketch hashes under unsigned order are the
+    k smallest raw ``xxhash64`` longs under SIGNED order (sign-flip
+    isomorphism, see :class:`KMV`), so plain ``array_sort`` + ``slice``
+    over the signed digests produces the exact wire format
+    :meth:`KMV.from_longs` reads. Two stages:
+
+    1. per-(group, source-partition) k-min: ``collect_set`` of the
+       digests (the same map-side hash-dedup footprint a distinct
+       would build), then ``slice(array_sort(...), 1, k)``. Grouping
+       by ``spark_partition_id()`` keeps every group's rows on the
+       partition that produced them, so stage 2's input is ≤ k longs
+       per (group, partition) — never a group's full distinct set on
+       one reducer.
+    2. k-min of the k-mins: flatten + array_distinct + sort + slice —
+       ≤ k·n_partitions longs per group, KBs.
+
+    Idempotence of k-min makes the per-partition dedup free
+    correctness-wise (duplicate values hash identically and
+    collect_set drops them).
 
     Null semantics match the JVM groupBy of hll_sketch_table: null
     KEYS form their own group; null VALUES are dropped (they carry no
     identity to count). The table carries ``__k`` so consumers bind to
-    the build-time parameter instead of guessing it."""
+    the build-time parameter instead of guessing it. The value column
+    is cast to bigint before hashing — ``xxhash64`` is type-sensitive,
+    and the Python twin hashes int64."""
     keys = list(key_cols)
-    df = df.select(*keys, value_col).filter(F.col(value_col).isNotNull())
-    if pre_distinct:
-        df = df.distinct()
-    key_fields = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in df.select(*keys).schema.fields
-    )
-    schema = f"{key_fields}, __k int, __kmv array<bigint>"
-
-    def build_partials(batches):
-        import pandas as pd
-
-        sketches: dict[tuple, KMV] = {}
-        for pdf in batches:
-            vals = pdf[value_col].to_numpy(dtype=np.int64)
-            grouped = pdf.groupby(keys, sort=False, dropna=False).indices
-            for gkey, idx in grouped.items():
-                if not isinstance(gkey, tuple):
-                    gkey = (gkey,)
-                sketches.setdefault(gkey, KMV(k)).add_ints(vals[idx])
-        rows = [(*g, k, s.to_longs()) for g, s in sketches.items()]
-        yield pd.DataFrame(rows, columns=keys + ["__k", "__kmv"])
-
-    partials = df.mapInPandas(build_partials, schema=schema)
-
-    def merge_rows(pdf):
-        import pandas as pd
-
-        merged = KMV(k)
-        for longs in pdf["__kmv"]:
-            merged.merge(KMV.from_longs(k, longs))
-        gkey = [pdf.iloc[0][c] for c in keys]
-        return pd.DataFrame(
-            [(*gkey, k, merged.to_longs())], columns=keys + ["__k", "__kmv"]
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *keys,
+            F.xxhash64(F.col(value_col).cast("long")).alias("__h"),
+            F.spark_partition_id().alias("__pid"),
         )
-
-    return partials.groupBy(*keys).applyInPandas(merge_rows, schema=schema)
+    )
+    partials = hashed.groupBy(*keys, "__pid").agg(
+        F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("__part")
+    )
+    return (
+        partials.groupBy(*keys)
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("__part")))
+                ),
+                1,
+                k,
+            ).alias("__kmv")
+        )
+        .select(*keys, F.lit(k).alias("__k"), "__kmv")
+    )
 
 
 def kmv_pair_overlap(

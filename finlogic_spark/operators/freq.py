@@ -48,10 +48,30 @@ from pyspark.sql import functions as F
 __all__ = [
     "MisraGries",
     "frequency_screen",
+    "ge_phi_n",
     "heavy_hitters",
     "heavy_tokens",
     "token_frequency_screen",
 ]
+
+
+def ge_phi_n(count_col: Column, n_col: Column, phi: float) -> Column:
+    """``count >= phi*n`` compared EXACTLY: phi is rationalized
+    (Fraction.limit_denominator(10^6) — 0.001 becomes exactly 1/1000)
+    and both sides compare in decimal(38,0) integer arithmetic,
+    ``count*den >= n*num``. The float64 form is a boundary bug: 0.001
+    rounds slightly ABOVE 1/1000, so an item whose count is exactly
+    n/1000 passes an oracle's exact-DECIMAL ``HAVING cnt >= 0.001*n``
+    but fails the float threshold — a data-dependent, boundary-only
+    divergence. decimal(38,0) keeps the products exact far past int64
+    (counts up to ~1e32 at den=1e6) with no ANSI overflow."""
+    from fractions import Fraction
+
+    fr = Fraction(phi).limit_denominator(1_000_000)
+    return (
+        count_col.cast("decimal(38,0)") * F.lit(fr.denominator)
+        >= n_col.cast("decimal(38,0)") * F.lit(fr.numerator)
+    )
 
 
 def frequency_screen(items: DataFrame, item_col: str, phi: float) -> DataFrame:
@@ -113,7 +133,7 @@ def heavy_hitters(
     )
     return (
         exact.crossJoin(F.broadcast(total))
-        .filter(F.col(out_count) >= F.lit(phi) * F.col("__n"))
+        .filter(ge_phi_n(F.col(out_count), F.col("__n"), phi))
         .drop("__n")
     )
 
@@ -195,7 +215,18 @@ def token_frequency_screen(
 
     Emits the same contract as frequency_screen: (token, local_cnt)
     for tokens with local frequency >= phi/2 plus one (NULL, n_p)
-    total row per partition."""
+    total row per partition.
+
+    Case-mapping parity: lowercasing happens JVM-SIDE (``F.lower`` in
+    the projection shipped to the screen), never in Arrow —
+    ``pc.utf8_lower`` is utf8proc's simple 1:1 mapping while Java's
+    ``lower()`` applies full case mapping (U+0130 'İ' → 'i'+U+0307 on
+    the JVM, plain 'i' in Arrow), so an Arrow-lowered candidate string
+    could differ from the JVM token the verify pass counts and a
+    non-ASCII heavy token would be silently screened out. Shipping
+    JVM-lowered strings makes the screen tokenize the exact bytes the
+    verify pass sees; full-lowered text is a fixed point of simple
+    lowering, so no second mapping happens in Arrow."""
     import numpy as np
 
     if not (0.0 < phi < 1.0):
@@ -219,7 +250,7 @@ def token_frequency_screen(
             if not len(texts):
                 continue
             arr = pc.split_pattern_regex(
-                pc.utf8_lower(pa.array(texts, type=pa.string())), _JAVA_WS
+                pa.array(texts, type=pa.string()), _JAVA_WS
             )
             flat = pc.list_flatten(arr)
             # split keeps a leading empty for leading whitespace
@@ -236,9 +267,8 @@ def token_frequency_screen(
         rows.append((None, total))
         yield pd.DataFrame(rows, columns=["token", "__cnt"])
 
-    return docs.select(text_col).mapInPandas(
-        screen, schema="token string, __cnt bigint"
-    )
+    lowered = docs.select(F.lower(F.col(text_col)).alias(text_col))
+    return lowered.mapInPandas(screen, schema="token string, __cnt bigint")
 
 
 def heavy_tokens(docs: DataFrame, text_col: str, phi: float) -> DataFrame:
@@ -263,6 +293,6 @@ def heavy_tokens(docs: DataFrame, text_col: str, phi: float) -> DataFrame:
     )
     return (
         exact.crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") >= F.lit(phi) * F.col("__n"))
+        .filter(ge_phi_n(F.col("cnt"), F.col("__n"), phi))
         .drop("__n")
     )

@@ -421,3 +421,48 @@ def test_kmv_sketch_table_pair_overlap(spark):
     for (x, y), v in got.items():
         assert v == len(sets[x] & sets[y]), (x, y, v)
     assert len(got) == 3
+
+
+def test_xxhash64_long_matches_spark(spark):
+    """The numpy XXH64 kernel is bit-identical to Spark's
+    xxhash64(bigint) — the contract that makes JVM-built and
+    Python-built KMV sketches one wire format."""
+    from finlogic_spark.operators.distinct_sketch import xxhash64_long
+
+    vals = np.array(
+        [0, 1, -1, 12345, 2**62, -(2**63), 2**63 - 1, 987654321012345],
+        dtype=np.int64,
+    )
+    jvm = [
+        r.h
+        for r in spark.sql(
+            "SELECT xxhash64(CAST(v AS BIGINT)) AS h FROM VALUES "
+            + ", ".join(f"({int(v)})" for v in vals)
+            + " t(v)"
+        ).collect()
+    ]
+    assert jvm == [int(x) for x in xxhash64_long(vals).view(np.int64)]
+
+
+def test_kmv_jvm_build_equals_python_build(spark):
+    """kmv_sketch_table (all-JVM slice/array_sort build) emits byte-
+    for-byte the wire longs a Python KMV.add_ints build produces over
+    the same values — including the super-k truncation."""
+    from finlogic_spark.operators.distinct_sketch import KMV, kmv_sketch_table
+
+    rng = np.random.RandomState(7)
+    k = 64
+    vals = {
+        "x": rng.randint(-(2**62), 2**62, 500, dtype=np.int64),
+        "y": rng.randint(0, 40, 300, dtype=np.int64),  # below k: exact
+    }
+    rows = [(g, int(v)) for g, arr in vals.items() for v in arr]
+    df = spark.createDataFrame(rows, "grp string, uid long").repartition(5)
+    got = {
+        r["grp"]: list(r["__kmv"])
+        for r in kmv_sketch_table(df, ["grp"], "uid", k=k).collect()
+    }
+    for g, arr in vals.items():
+        py = KMV(k)
+        py.add_ints(arr)
+        assert got[g] == py.to_longs(), g

@@ -131,3 +131,36 @@ def test_heavy_tokens_matches_brute_force(spark):
         .collect()
     }
     assert got == want and len(want) >= 4
+
+
+def test_heavy_tokens_nonascii_case_parity(spark):
+    """Screen/verify case parity (ADVICE r12): lowercasing happens
+    JVM-side, so a heavy token whose lowercase DIFFERS between Java
+    full case mapping and Arrow's simple mapping (U+0130 'İ' → JVM
+    'i'+U+0307) cannot be screened out. The dotted-I token dominates
+    the corpus; it must surface with its exact count under the JVM's
+    lowercase form."""
+    from finlogic_spark.operators.freq import heavy_tokens
+
+    # 60 docs x 5 occurrences of 'İstanbul' + light tail noise
+    rows = [(i, "İstanbul " * 5 + f"t{i} u{i % 7}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    got = {r["token"]: r["cnt"] for r in heavy_tokens(df, "text", 0.2).collect()}
+    jvm_lower = (
+        df.limit(1).select(F.lower(F.lit("İstanbul")).alias("t")).collect()[0]["t"]
+    )
+    assert jvm_lower in got and got[jvm_lower] == 300, (jvm_lower, got)
+
+
+def test_heavy_hitters_exact_phi_boundary(spark):
+    """ge_phi_n (ADVICE r12): an item whose count is EXACTLY phi*n
+    must pass, as it does under the oracle's exact-DECIMAL HAVING —
+    float64 phi*n rounds 0.001 slightly high and would drop it.
+    Corpus: n=1000 occurrences, one item with exactly 1 (= 0.001*n)."""
+    from finlogic_spark.operators.freq import heavy_hitters
+
+    rows = [("common",)] * 999 + [("edge",)]
+    df = spark.createDataFrame(rows, "item string").repartition(3)
+    got = {r["item"]: r["cnt"] for r in heavy_hitters(df, "item", 0.001).collect()}
+    assert got.get("edge") == 1, got
+    assert got.get("common") == 999

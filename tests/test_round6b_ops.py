@@ -105,7 +105,11 @@ def test_bloom_auto_size_prunes_at_scale(spark):
     )
     from finlogic_spark.operators.bloomjoin import build_bloom_filter
 
-    auto = bloom_pruned_join(probe, build, "pk", "bk")
+    # auto_bypass=False: this test pins the auto-SIZING of the filter;
+    # a 40k-key bigint dim fits broadcast, so the default would (rightly)
+    # skip the bloom entirely — that path is pinned in
+    # test_bloom_auto_bypass_regimes.
+    auto = bloom_pruned_join(probe, build, "pk", "bk", auto_bypass=False)
     assert auto.count() == 1_000  # exact join result
     # the auto-sized filter (>= 10 bits/key -> 2^19) prunes the
     # disjoint tail; the fixed 2^17 filter is saturated and cannot
@@ -122,6 +126,38 @@ def test_bloom_auto_size_prunes_at_scale(spark):
     # overloaded fixed filter: 5*40k/2^17 ~ 1.5 bits-set load ->
     # (1-e^-1.5)^5 ~ 29% false positives, an order of magnitude worse
     assert n_sat > 10 * n_sized
+
+
+def test_bloom_auto_bypass_regimes(spark):
+    """Auto-regime decision, both plans pinned: a dim under the
+    broadcast threshold gets the PLAIN broadcast join (no bloom
+    cross-join, no hash-probe filter — the bloom is pure overhead
+    there); a dim over it gets the filter. Result identical either
+    way (the correctness tests above); this pins the physical plan."""
+    from finlogic_spark import plans
+
+    probe, build = _sides(spark)
+    conf = spark.conf
+    old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # regime 1: dim fits broadcast -> bypass
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        plan = plans.formatted_plan(bloom_pruned_join(probe, build, "pk", "bk"))
+        assert "__bloom_words" not in plan
+        assert "BroadcastHashJoin" in plan
+        # regime 2: dim 'too big' to broadcast (threshold forced to 1
+        # byte) -> the bloom filter is in the plan
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+        plan = plans.formatted_plan(bloom_pruned_join(probe, build, "pk", "bk"))
+        assert "__bloom_words" in plan
+        # bypass off: filter present even in the broadcast regime
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        plan = plans.formatted_plan(
+            bloom_pruned_join(probe, build, "pk", "bk", auto_bypass=False)
+        )
+        assert "__bloom_words" in plan
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_bloom_filter_is_one_bounded_row(spark):
@@ -322,10 +358,12 @@ def test_bloom_prune_runs_below_exact_join(spark):
     """Plan pin: the bloom bit-check (BroadcastNestedLoopJoin with the
     1-row filter) must sit BELOW the exact join in the physical plan —
     rows are dropped in the scan-side stage, before the join moves
-    them. (Deeper nodes print later in the plan string.)"""
+    them. (Deeper nodes print later in the plan string.) auto_bypass
+    off: this pins the FILTER's plan position — the tiny dim here would
+    otherwise (rightly) skip it."""
     probe, build = _sides(spark)
     plan = (
-        bloom_pruned_join(probe, build, "pk", "bk")
+        bloom_pruned_join(probe, build, "pk", "bk", auto_bypass=False)
         ._jdf.queryExecution().executedPlan().toString()
     )
     bnl = plan.index("BroadcastNestedLoopJoin")
