@@ -154,6 +154,9 @@ BENCH_QUERIES = [
     "events_kll_bucketize",
     "events_hll_window",
     "events_kmv_overlap",
+    # round 13: BPE subword tokenization + BPE-length sequence packing
+    "doc_bpe_encode",
+    "doc_bpe_pack",
 ]
 
 
@@ -214,10 +217,11 @@ def duckdb_baseline(sf_dir: str, runs: int = 3) -> dict[str, float]:
 
     timings: dict[str, float] = {}
     timeouts: dict[str, float] = {}
+    oracles = dq.resolve_oracles(sf_dir)  # static + data-dependent SQL
     for name in BENCH_QUERIES:
-        if name not in dq.ORACLES:
+        if name not in oracles:
             continue  # rows-only query: no SQL-expressible oracle
-        sql = dq.ORACLES[name]
+        sql = oracles[name]
         first = timed_run(sql)  # warmup (page cache, catalog)
         if first is None:
             timeouts[name] = timeout  # lower bound: killed at ceiling

@@ -7128,6 +7128,184 @@ ORACLES["stream_heavy_tokens"] = ORACLES["doc_heavy_tokens"]
 
 
 # ---------------------------------------------------------------------------
+# BPE subword tokenization (round 13)
+# ---------------------------------------------------------------------------
+
+_BPE_TOP_WORDS = 30_000
+_BPE_NUM_MERGES = 200
+_BPE_MERGES_CACHE: dict[str, list] = {}
+_BPE_ENC_VALUES_CACHE: dict[str, str] = {}
+
+
+def _bpe_merges(spark, sf_dir):
+    """Learn (once per sf_dir) the corpus BPE merge table: distributed
+    word counts (vocab-bounded exchange, top-W bounded driver
+    materialization) -> deterministic serial learner."""
+    if sf_dir not in _BPE_MERGES_CACHE:
+        from finlogic_spark.operators.bpe import (
+            corpus_word_counts,
+            learn_bpe_merges,
+        )
+
+        wc = corpus_word_counts(
+            _t(spark, sf_dir, "documents"), "text", _BPE_TOP_WORDS
+        )
+        _BPE_MERGES_CACHE[sf_dir] = learn_bpe_merges(wc, _BPE_NUM_MERGES)
+    return _BPE_MERGES_CACHE[sf_dir]
+
+
+def _bpe_enc_values(sf_dir: str) -> str:
+    """The oracle's word->encoding lookup as a VALUES literal — an
+    INDEPENDENT serial twin (pyarrow + pure Python, zero Spark): it
+    re-tokenizes the corpus, re-counts words, re-learns the merges
+    with the same deterministic procedure, and encodes every corpus
+    word. Python str.lower() applies the JVM's full case mapping and
+    the split class is the same explicit ASCII set, so word counts —
+    and hence merges and encodings — are exactly the Spark path's.
+    DuckDB then independently verifies what the cluster computes at
+    scale: the corpus tokenize + per-occurrence lookup join + per-doc
+    aggregation (the emb_pca_project pattern: the non-SQL-expressible
+    derivation is baked as literals, the data-sized work is SQL)."""
+    if sf_dir in _BPE_ENC_VALUES_CACHE:
+        return _BPE_ENC_VALUES_CACHE[sf_dir]
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from finlogic_spark.operators.bpe import (
+        _words,
+        encode_word,
+        learn_bpe_merges,
+    )
+
+    texts = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )["text"]
+    counts: Counter = Counter()
+    for t in texts:
+        s = t.as_py()
+        if s:
+            counts.update(_words(s))
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    merges = learn_bpe_merges(top[:_BPE_TOP_WORDS], _BPE_NUM_MERGES)
+    ranks = {p: i for i, p in enumerate(merges)}
+    rows = []
+    for w in sorted(counts):
+        pieces = encode_word(w, ranks)
+        lit = w.replace("'", "''")
+        plit = " ".join(pieces).replace("'", "''")
+        rows.append(f"('{lit}', {len(pieces)}, '{plit}')")
+    _BPE_ENC_VALUES_CACHE[sf_dir] = ",\n      ".join(rows)
+    return _BPE_ENC_VALUES_CACHE[sf_dir]
+
+
+def _bpe_encode_oracle_sql(sf_dir: str) -> str:
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents),
+    enc(word, np, pieces) AS (VALUES {_bpe_enc_values(sf_dir)}),
+    pw AS (SELECT t.doc_id, e.np, e.pieces
+           FROM tok t JOIN enc e USING (word)),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(np) AS BIGINT) AS n_pieces
+            FROM pw GROUP BY 1),
+    dp AS (SELECT doc_id,
+                  CAST(count(DISTINCT piece) AS BIGINT) AS n_distinct_pieces
+           FROM (SELECT doc_id, unnest(string_split(pieces, ' ')) AS piece
+                 FROM pw)
+           GROUP BY 1)
+    SELECT agg.doc_id, n_words, n_pieces, n_distinct_pieces
+    FROM agg JOIN dp USING (doc_id) ORDER BY doc_id
+    """
+
+
+LAZY_ORACLES["doc_bpe_encode"] = _bpe_encode_oracle_sql
+
+
+@q("doc_bpe_encode")  # data-dependent oracle: see LAZY_ORACLES above.
+def doc_bpe_encode(spark, sf_dir):
+    # Subword tokenization (operators/bpe.py): learn a deterministic
+    # 200-merge BPE table from the corpus word frequencies (one
+    # vocab-bounded groupBy + a bounded top-30k driver materialization
+    # — the kmeans-centroids precedent), broadcast the ranks, encode
+    # Arrow-batched with a per-task word cache. Per-doc output pins
+    # word count, BPE piece count (the packing length), and distinct
+    # pieces (hash-sensitive to piece identities). The oracle re-learns
+    # the same merges through an independent serial twin and bakes the
+    # word->pieces lookup into SQL.
+    from finlogic_spark.operators.bpe import bpe_doc_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_doc_stats(d, _bpe_merges(spark, sf_dir)).orderBy("doc_id")
+
+
+def _bpe_pack_oracle_sql(sf_dir: str) -> str:
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents),
+    enc(word, np, pieces) AS (VALUES {_bpe_enc_values(sf_dir)}),
+    agg AS (SELECT t.doc_id, CAST(sum(e.np) AS BIGINT) AS n
+            FROM tok t JOIN enc e USING (word) GROUP BY 1),
+    sized AS (
+      SELECT d.doc_id, CAST(d.doc_id % 8 AS INTEGER) AS shard,
+             coalesce(a.n, 0) AS n_pieces
+      FROM documents d LEFT JOIN agg a USING (doc_id)),
+    packed AS (
+      SELECT doc_id, shard, n_pieces,
+             SUM(n_pieces) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM sized)
+    SELECT doc_id, shard, n_pieces,
+           CAST(floor((cum - n_pieces) / 2048.0) AS INTEGER) AS seq_id
+    FROM packed ORDER BY doc_id
+    """
+
+
+LAZY_ORACLES["doc_bpe_pack"] = _bpe_pack_oracle_sql
+
+
+@q("doc_bpe_pack")  # data-dependent oracle: see LAZY_ORACLES above.
+def doc_bpe_pack(spark, sf_dir):
+    # Sequence packing by BPE length (doc_pack_sequences' shard-local
+    # running-sum shape, but the budget is spent in BPE pieces — what
+    # a training batch actually holds — instead of whitespace tokens).
+    # Zero-token docs pack with length 0 via the left join.
+    from finlogic_spark.operators.bpe import bpe_doc_stats
+
+    d = _t(spark, sf_dir, "documents")
+    enc = bpe_doc_stats(d, _bpe_merges(spark, sf_dir)).select(
+        "doc_id", "n_pieces"
+    )
+    budget = 2048
+    sized = (
+        d.select("doc_id", (F.col("doc_id") % 8).cast("int").alias("shard"))
+        .join(enc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "shard",
+            F.coalesce(F.col("n_pieces"), F.lit(0)).cast("long").alias(
+                "n_pieces"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.withColumn("cum", F.sum("n_pieces").over(w))
+        .select(
+            "doc_id",
+            "shard",
+            "n_pieces",
+            F.floor((F.col("cum") - F.col("n_pieces")) / float(budget))
+            .cast("int")
+            .alias("seq_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------
 

@@ -356,26 +356,29 @@ def kmv_sketch_table(
 
     ENTIRELY JVM-side (no Arrow/Python boundary in the build — the
     r12 Python heap-merge over shipped distinct pairs was 3.3x an
-    exact DuckDB baseline at sf100; this build is the fix). Wire
-    parity: the k smallest sketch hashes under unsigned order are the
-    k smallest raw ``xxhash64`` longs under SIGNED order (sign-flip
+    exact DuckDB baseline at sf100; this build measures 6.5 s vs that
+    4.2 s exact baseline, 1.5x, BENCH_r13_probes.json). Wire parity:
+    the k smallest sketch hashes under unsigned order are the k
+    smallest raw ``xxhash64`` longs under SIGNED order (sign-flip
     isomorphism, see :class:`KMV`), so plain ``array_sort`` + ``slice``
     over the signed digests produces the exact wire format
-    :meth:`KMV.from_longs` reads. Two stages:
+    :meth:`KMV.from_longs` reads. Three stages, all codegen-friendly:
 
-    1. per-(group, source-partition) k-min: ``collect_set`` of the
-       digests (the same map-side hash-dedup footprint a distinct
-       would build), then ``slice(array_sort(...), 1, k)``. Grouping
-       by ``spark_partition_id()`` keeps every group's rows on the
-       partition that produced them, so stage 2's input is ≤ k longs
-       per (group, partition) — never a group's full distinct set on
-       one reducer.
-    2. k-min of the k-mins: flatten + array_distinct + sort + slice —
+    1. hash + ``distinct()`` over (keys, digest): the one data-sized
+       exchange, and it ships the MAP-SIDE-DEDUPED hash set — the
+       minimum any exact-start one-pass distinct estimator pays.
+       (Measured against the alternative that skips the distinct and
+       collect_set's per (group, source-partition): that ships the
+       same dedup volume but as per-group array blobs through the
+       non-codegen ObjectHashAggregate and sorts multi-million-element
+       arrays — 13.7 s vs 6.5 s at sf100.)
+    2. per-(group, post-shuffle-partition) k-min:
+       ``slice(array_sort(collect_list(...)), 1, k)`` — each group's
+       rows are partition-local, lists are partition-sized, and stage
+       3's input is ≤ k longs per (group, partition), so no group's
+       full distinct set ever concentrates on one reducer.
+    3. k-min of the k-mins: flatten + array_distinct + sort + slice —
        ≤ k·n_partitions longs per group, KBs.
-
-    Idempotence of k-min makes the per-partition dedup free
-    correctness-wise (duplicate values hash identically and
-    collect_set drops them).
 
     Null semantics match the JVM groupBy of hll_sketch_table: null
     KEYS form their own group; null VALUES are dropped (they carry no
@@ -389,11 +392,12 @@ def kmv_sketch_table(
         .select(
             *keys,
             F.xxhash64(F.col(value_col).cast("long")).alias("__h"),
-            F.spark_partition_id().alias("__pid"),
         )
+        .distinct()
+        .withColumn("__pid", F.spark_partition_id())
     )
     partials = hashed.groupBy(*keys, "__pid").agg(
-        F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("__part")
+        F.slice(F.array_sort(F.collect_list("__h")), 1, k).alias("__part")
     )
     return (
         partials.groupBy(*keys)
@@ -437,22 +441,32 @@ def kmv_pair_overlap(
     def est(batches):
         import pandas as pd
 
+        # cache decoded sketches per key: with G groups the batch holds
+        # ~G^2/2 pairs but only G distinct sketches — decoding per PAIR
+        # made the estimator the bottleneck at G=256 (32k pairs)
+        cache: dict = {}
+
+        def decode(key, k, longs):
+            s = cache.get(key)
+            if s is None:
+                s = KMV.from_longs(k, longs)
+                cache[key] = s
+            return s
+
         for pdf in batches:
             outs = []
-            for _, row in pdf.iterrows():
-                if row["__k_a"] != row["__k_b"]:
+            for key_a, k_a, la, key_b, k_b, lb in zip(
+                pdf["key_a"], pdf["__k_a"], pdf["__kmv_a"],
+                pdf["key_b"], pdf["__k_b"], pdf["__kmv_b"],
+            ):
+                if k_a != k_b:
                     raise ValueError(
-                        "sketch rows built with different k: "
-                        f"{row['__k_a']} vs {row['__k_b']}"
+                        f"sketch rows built with different k: {k_a} vs {k_b}"
                     )
-                ka = KMV.from_longs(int(row["__k_a"]), row["__kmv_a"])
-                kb = KMV.from_longs(int(row["__k_b"]), row["__kmv_b"])
+                ka = decode(key_a, int(k_a), la)
+                kb = decode(key_b, int(k_b), lb)
                 outs.append(
-                    (
-                        row["key_a"],
-                        row["key_b"],
-                        KMV.intersection_estimate(ka, kb),
-                    )
+                    (key_a, key_b, KMV.intersection_estimate(ka, kb))
                 )
             yield pd.DataFrame(outs, columns=["key_a", "key_b", out_col])
 

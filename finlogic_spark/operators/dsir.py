@@ -68,10 +68,15 @@ def dsir_log_weights(
     ratio by 1 micro-nat, which can flip log_weight ties (and thus a
     top-k cut) between Spark and an external oracle. The flooring
     therefore guarantees order-independence, while cross-engine
-    equality is empirical (it holds on the tested corpora because no
-    token ratio lands within 1 ulp of a floor boundary); a strict
-    cross-engine contract should compare with a ±1-micro-nat-per-token
-    tolerance instead of exact equality.
+    equality is empirical: it holds iff no token ratio lands within
+    ~1 ulp of a floor boundary. That premise is PINNED, not assumed —
+    tests/test_dsir_boundary.py recomputes every vocab token's two
+    ln() values over the exact gate corpora (sf0.01 and sf0.1) and
+    asserts ≥1e-6 micro-nat distance from the nearest boundary
+    (~300x the 1-ulp drift), so a regenerated fixture that lands on a
+    boundary fails that test loudly instead of reddening the gate
+    mysteriously. A corpus that can't be pinned this way should
+    compare with a ±1-micro-nat-per-token tolerance instead.
     """
     from finlogic_spark.functions.text import tokens as _tokens
 

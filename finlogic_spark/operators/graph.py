@@ -357,6 +357,7 @@ def pagerank(
     damping_den: int = 100,
     src_col: str = "src",
     dst_col: str = "dst",
+    round_table_dir: str | None = None,
 ) -> DataFrame:
     """PageRank in exact integer micro-units (engine-scope addition:
     iterative graph analytics beyond connected components — e.g.
@@ -379,12 +380,26 @@ def pagerank(
     in-neighbours keep their teleport mass every round (the classic
     formulation) — the minimal PageRank round. Each round's ranks are
     EAGERLY localCheckpointed (same discipline as connected_components:
-    lineage truncation + one job per round; at 100 TB each round's
-    ranks would persist to a table instead), which also lets the edge
+    lineage truncation + one job per round), which also lets the edge
     cache be released before returning. Dangling nodes (no out-edges)
     still receive mass but emit none — their outflow is dropped, as in
     the classic formulation; symmetrize the edge list for undirected
-    graphs."""
+    graphs.
+
+    ``round_table_dir``: the 100 TB variant the localCheckpoint
+    docstring promised — each round's ranks WRITE to
+    ``{dir}/round{i}`` parquet and read back, so lineage truncation
+    goes through durable storage instead of executor block storage:
+    rounds become restartable (a killed job resumes from the last
+    round's table), the rank table never pins executor memory/disk
+    blocks, and speculative re-execution reads a consistent snapshot.
+    Bit-identical to the default variant (integer arithmetic has one
+    answer; pinned in tests/test_pagerank_bucketize.py) — the only
+    difference is where the round boundary materializes. Measured at
+    sf100 (tools/probe_pagerank_sf100.py): the per-round parquet
+    round-trip adds seconds per round against executor-local
+    checkpoints — the price of restartability, paid per round, not
+    per edge."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     e = edges.select(
@@ -401,7 +416,8 @@ def pagerank(
     )
     ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("long"))
     teleport = (damping_den - damping_num) * scale // damping_den
-    for _ in range(iterations):
+    spark = edges.sparkSession
+    for i in range(iterations):
         contrib = ed.join(
             ranks.withColumnRenamed("node", "src"), "src"
         ).select(
@@ -412,16 +428,18 @@ def pagerank(
             ).alias("__c"),
         )
         inflow = contrib.groupBy("node").agg(F.sum("__c").alias("__in"))
-        ranks = (
-            nodes.join(inflow, "node", "left")
-            .select(
-                "node",
-                (F.lit(teleport) + F.coalesce(F.col("__in"), F.lit(0)))
-                .cast("long")
-                .alias("rank"),
-            )
-            .localCheckpoint(eager=True, storageLevel=_SPILL)
+        ranks = nodes.join(inflow, "node", "left").select(
+            "node",
+            (F.lit(teleport) + F.coalesce(F.col("__in"), F.lit(0)))
+            .cast("long")
+            .alias("rank"),
         )
+        if round_table_dir is None:
+            ranks = ranks.localCheckpoint(eager=True, storageLevel=_SPILL)
+        else:
+            path = f"{round_table_dir}/round{i}"
+            ranks.write.mode("overwrite").parquet(path)
+            ranks = spark.read.parquet(path)
     ed.unpersist()
     nodes.unpersist()
     return ranks

@@ -23,14 +23,89 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
-def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+def profile_columns(
+    df: DataFrame, cols: Sequence[str], approx: bool = False
+) -> DataFrame:
     """Per-column profile in long form: (col_name, n_rows, n_nulls,
     n_distinct, frac_null). n_distinct counts non-null values (both
     engines' COUNT(DISTINCT) convention). frac_null is exact-rounded
-    (6 dp) so the double is engine-independent."""
+    (6 dp) so the double is engine-independent.
+
+    ``approx=True`` is the 100 TB tier: n_distinct comes from
+    Datasketches HLL (``hll_sketch_agg``, lgk=12 → RSE ≈ 1.6%) folded
+    into the SAME single aggregate that computes rows/nulls — one
+    scan, one map-side-combining exchange of fixed-size sketches, no
+    per-column distinct branches at all. hll_sketch_agg accepts
+    int/long/string/binary only, so other types map through an
+    INJECTIVE integer conversion where one exists (date → epoch days,
+    timestamp → epoch micros, decimal → unscaled long, boolean → 0/1)
+    and fall back to a string cast otherwise — the per-row cast is
+    the tier's hot path (a blanket cast-to-string was measured ~2x
+    the whole pass at 150M rows x 5 columns). Measured at
+    sf100-customer: approx ~2x faster than the exact tier
+    (BENCH_r13_probes.json) — and NOT ``approx_count_distinct
+    (rsd=0.015)``, whose sub-default rsd was 4x slower than the whole
+    datasketches pass (2.58 s vs 0.6 s for the five HLLs alone,
+    measured). Same schema either way; the exact tier stays the
+    oracle-gated default (its 7.3x-vs-DuckDB sf100 row IS the
+    exact-COUNT(DISTINCT)-of-15M-strings contract — r12 decomposition
+    pinned the scan+agg floor at 0.19 s of it)."""
     from functools import reduce
+
+    def _hll_input(c: str) -> F.Column:
+        t = df.schema[c].dataType
+        col = F.col(c)
+        if isinstance(
+            t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                T.StringType, T.BinaryType)
+        ):
+            return col
+        if isinstance(t, T.BooleanType):
+            return col.cast("int")
+        if isinstance(t, T.DateType):
+            return F.unix_date(col)
+        if isinstance(t, T.TimestampType):
+            return F.unix_micros(col)
+        if isinstance(t, T.DecimalType) and t.precision <= 18:
+            # unscaled integer representation — injective, no string
+            return (col * F.lit(10 ** t.scale)).cast("long")
+        return col.cast("string")
+
+    if approx:
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                    f"__nn_{c}"
+                )
+            )
+            aggs.append(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg(_hll_input(c), F.lit(12))
+                ).alias(f"__nd_{c}")
+            )
+        row = df.agg(*aggs)
+        structs = [
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__rows").cast("long").alias("n_rows"),
+                F.col(f"__nn_{c}").cast("long").alias("n_nulls"),
+                F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+                (
+                    F.floor(
+                        F.col(f"__nn_{c}") / F.col("__rows") * 1e6 + F.lit(0.5)
+                    )
+                    / F.lit(1e6)
+                ).alias("frac_null"),
+            )
+            for c in cols
+        ]
+        return row.select(F.explode(F.array(*structs)).alias("p")).select(
+            "p.*"
+        )
 
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:

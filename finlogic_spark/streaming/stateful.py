@@ -585,7 +585,24 @@ def heavy_tokens_stream(docs: DataFrame, num_shards: int = 32) -> DataFrame:
     would hold the whole vocabulary.
 
     The emitted ``n`` is monotone per shard, so keep-last over n takes
-    each shard's final summary."""
+    each shard's final summary.
+
+    Regime guidance (measured, BENCH_r12_stream_mg.json at
+    sf100-documents, 50 x 100k-doc batches — the plan-choice note
+    freq.py carries for the batch screen): this op's contract is an
+    UNBOUNDED vocabulary. A plain JVM update-mode token count is
+    faster per batch here (3.8 s vs 6.2 s median — the MG path is
+    tokenizer-bound at ~15.3k docs/s) *because this corpus's
+    vocabulary converges at ~904 tokens*, so the JVM count's state
+    stops growing. Its state is the whole vocabulary, linear in
+    distinct tokens ever seen; the MG shards hold <= k counters x
+    num_shards (71.5 KB measured) at ANY stream length. Pick the JVM
+    count when a vocabulary estimate says state fits (dashboards over
+    enum-like keys); pick this op for open-vocabulary token streams,
+    where the JVM state is the 1e8+-key scale bug. Only the MG drain
+    doubles as a no-miss screen for the exact batch verify
+    (stream_heavy_tokens rides that); a raw count has no screen
+    semantics."""
     from finlogic_spark.functions.text import tokens
 
     # the shared tokenizer — the no-miss guarantee requires the screen

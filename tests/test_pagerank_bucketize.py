@@ -164,3 +164,24 @@ def test_heavy_hitters_exact_phi_boundary(spark):
     got = {r["item"]: r["cnt"] for r in heavy_hitters(df, "item", 0.001).collect()}
     assert got.get("edge") == 1, got
     assert got.get("common") == 999
+
+
+def test_pagerank_round_table_variant_bit_identical(spark, tmp_path):
+    """round_table_dir (per-round parquet persistence, the restartable
+    100 TB variant) must produce bit-for-bit the localCheckpoint
+    variant's ranks — only the round boundary's materialization
+    differs."""
+    rng = np.random.RandomState(11)
+    raw = {(int(a), int(b)) for a, b in rng.randint(0, 50, (300, 2)) if a != b}
+    edges = sorted(raw | {(b, a) for a, b in raw})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = {r["node"]: r["rank"] for r in pagerank(df, iterations=4).collect()}
+    via_tables = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df, iterations=4, round_table_dir=str(tmp_path / "pr")
+        ).collect()
+    }
+    assert via_tables == base
+    import os
+    assert os.path.exists(str(tmp_path / "pr" / "round3"))

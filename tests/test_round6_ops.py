@@ -221,6 +221,36 @@ def test_profile_columns_one_scan(spark):
     assert "Expand" not in plan
 
 
+def test_profile_columns_approx_tier(spark):
+    """approx=True: same schema, exact rows/nulls, sketched distincts
+    within the HLL++ rsd band, and ONE aggregate over ONE scan — no
+    per-column distinct branches (the 100 TB profile; the exact tier's
+    cost IS the COUNT(DISTINCT) contract)."""
+    rows = [(i, f"s{i % 137}" if i % 10 else None) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k int, s string")
+    exact = {r["col_name"]: r for r in profile_columns(df, ["k", "s"]).collect()}
+    approx = {
+        r["col_name"]: r
+        for r in profile_columns(df, ["k", "s"], approx=True).collect()
+    }
+    for c in ("k", "s"):
+        assert approx[c]["n_rows"] == exact[c]["n_rows"]
+        assert approx[c]["n_nulls"] == exact[c]["n_nulls"]
+        assert approx[c]["frac_null"] == exact[c]["frac_null"]
+        assert (
+            abs(approx[c]["n_distinct"] - exact[c]["n_distinct"])
+            <= 0.05 * exact[c]["n_distinct"]
+        )
+    plan = (
+        profile_columns(df, ["k", "s"], approx=True)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("LogicalRDD") == 1  # one scan, one aggregate
+    assert "Expand" not in plan
+
+
 def test_expect_null_counts_as_violation(spark):
     df = spark.createDataFrame([(1,), (None,), (-5,)], "v int")
     out = {
