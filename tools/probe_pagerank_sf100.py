@@ -53,11 +53,15 @@ def main() -> int:
     spark = get_spark("probe-pagerank-sf100")
     o = spark.read.parquet(f"{sf100}/orders.parquet")
     l = spark.read.parquet(f"{sf100}/lineitem.parquet")
+    # INTEGER node ids (customer -> 2*custkey, supplier -> 2*suppkey+1)
+    # where the sf-gated registry query uses 'c…'/'s…' strings: at 1.17B
+    # edges the string keys doubled every exchange's bytes — node-id
+    # dictionary encoding is the first thing a 100 TB graph job does
     edges = (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -66,7 +70,7 @@ def main() -> int:
     )
     # materialize the edge list once so the probe times PageRank, not
     # the orders x lineitem join, and so edge counts are known
-    epath = "/tmp/probe_pr_edges"
+    epath = "/tmp/probe_pr_edges_int"
     if not os.path.exists(epath):
         t0 = time.perf_counter()
         bi.write.mode("overwrite").parquet(epath)
