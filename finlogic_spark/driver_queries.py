@@ -7305,6 +7305,64 @@ def doc_bpe_pack(spark, sf_dir):
     )
 
 
+_PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+                 "c_acctbal"]
+
+
+@q(
+    "data_profile_approx",
+    f"""
+    -- Band oracle (the events_hll_rollup pattern): rows/nulls/frac_null
+    -- are exact on both tiers and compare directly; the sketched
+    -- n_distinct is checked on the Spark side against the exact count
+    -- (Datasketches HLL lgk=12, RSE ~1.6%; asserted at 5% ~ 3 sigma).
+    {" UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        f"  AS n_nulls, "
+        + _rN_sql(
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)"
+            " / count(*)", 6
+        )
+        + " AS frac_null, TRUE AS distinct_ok FROM customer"
+        for c in _PROFILE_COLS
+    )}
+    ORDER BY col_name
+    """,
+)
+def data_profile_approx(spark, sf_dir):
+    # The data_profile approx tier, oracle-gated (operators/profile.py
+    # profile_columns(approx=True)): ONE scan, ONE aggregate — nulls +
+    # fixed-size HLL sketches per column, no per-column distinct
+    # branches (the 100 TB profile; plan pinned in test_round6_ops).
+    # The exact tier joins in purely to validate the sketch band — at
+    # scale that branch is exactly what the approx tier deletes
+    # (BENCH_r13_probes.json: approx beats exact at 15M and 150M rows
+    # on the Spark side while the exact tier IS the COUNT(DISTINCT)
+    # contract).
+    from finlogic_spark.operators.profile import profile_columns
+
+    cust = _t(spark, sf_dir, "customer")
+    ap = profile_columns(cust, _PROFILE_COLS, approx=True)
+    ex = profile_columns(cust, _PROFILE_COLS).select(
+        "col_name", F.col("n_distinct").alias("__exact")
+    )
+    return (
+        ap.join(ex, "col_name")
+        .select(
+            "col_name",
+            "n_rows",
+            "n_nulls",
+            "frac_null",
+            (
+                F.abs(F.col("n_distinct") - F.col("__exact"))
+                <= 0.05 * F.col("__exact")
+            ).alias("distinct_ok"),
+        )
+        .orderBy("col_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------

@@ -406,26 +406,40 @@ def pagerank(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    # Out-edges with degree attached: built ONCE, hash-partitioned and
-    # sorted by src BEFORE persisting. The cached InMemoryRelation then
-    # carries HashPartitioning(src) + per-partition src order, so every
-    # round's rank join exchanges and sorts ONLY the rank table (|V|
-    # rows) — without this, each round re-exchanged the full edge list
-    # from cache (measured at sf100: ~50 GB of shuffle per round on a
-    # 1.17B-edge graph; per-round exchange bytes are the whole game in
-    # an iterative loop).
-    ed = (
-        e.join(deg, "src")
-        .repartition("src")
-        .sortWithinPartitions("src")
-        .persist(_SPILL)
-    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .persist(_SPILL)
     )
+    # Regime decision (counting nodes also eagerly materializes the
+    # node cache, so the signal is nearly free): if the rank table
+    # (|V| rows) fits under the broadcast threshold, every round's
+    # join broadcasts it and the cached edge list is never exchanged —
+    # pre-partitioning would be pure overhead (measured +2.7 s on the
+    # sf0.1 bench graph). If it does NOT fit, the join becomes SMJ and
+    # the edge side MUST be hash-partitioned + sorted by src BEFORE
+    # persisting: the cached InMemoryRelation then carries
+    # HashPartitioning(src) + per-partition order, so each round
+    # exchanges and sorts ONLY the rank table — without this, every
+    # round re-exchanged the full cached edge list (measured at sf100:
+    # ~50 GB of shuffle per round on a 1.17B-edge graph; plan pinned
+    # in tests/test_pagerank_bucketize.py).
+    from finlogic_spark.operators.bloomjoin import _est_row_bytes
+    from finlogic_spark.sources import parse_size_bytes
+
+    n_nodes = nodes.count()
+    threshold = parse_size_bytes(
+        edges.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        ),
+        default=10 * 1024 * 1024,
+    )
+    rank_bytes = n_nodes * (_est_row_bytes(nodes.schema) + 8)
+    ed = e.join(deg, "src")
+    if threshold <= 0 or rank_bytes > threshold:
+        ed = ed.repartition("src").sortWithinPartitions("src")
+    ed = ed.persist(_SPILL)
     ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("long"))
     teleport = (damping_den - damping_num) * scale // damping_den
     spark = edges.sparkSession

@@ -692,9 +692,12 @@ def test_registry_consistency():
     orphan_oracles = [q for q in dq.ORACLES if q not in dq.QUERIES]
     assert orphan_oracles == []
     assert all(callable(fn) for fn in dq.QUERIES.values())
-    # every query without an oracle is a deliberate rows-only op
+    # every query absent from the STATIC oracle dict is covered by a
+    # data-dependent LAZY_ORACLES generator instead — nothing is
+    # silently rows-only
     rows_only = sorted(set(dq.QUERIES) - set(dq.ORACLES))
-    assert rows_only == ["emb_pca_project"]
+    assert rows_only == sorted(dq.LAZY_ORACLES)
+    assert rows_only == ["doc_bpe_encode", "doc_bpe_pack", "emb_pca_project"]
 
 
 def test_bm25_postings_shuffle_is_reused(spark):
