@@ -155,8 +155,12 @@ BENCH_QUERIES = [
     "events_hll_window",
     "events_kmv_overlap",
     # round 13: BPE subword tokenization + BPE-length sequence packing
+    # + near-dup candidates on BPE-piece shingles + the profile approx
+    # tier (band-oracled)
     "doc_bpe_encode",
     "doc_bpe_pack",
+    "doc_bpe_shingle_pairs",
+    "data_profile_approx",
 ]
 
 

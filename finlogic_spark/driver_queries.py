@@ -7134,7 +7134,7 @@ ORACLES["stream_heavy_tokens"] = ORACLES["doc_heavy_tokens"]
 _BPE_TOP_WORDS = 30_000
 _BPE_NUM_MERGES = 200
 _BPE_MERGES_CACHE: dict[str, list] = {}
-_BPE_ENC_VALUES_CACHE: dict[str, str] = {}
+_BPE_ENC_VALUES_CACHE: dict[str, list] = {}
 
 
 def _bpe_merges(spark, sf_dir):
@@ -7154,18 +7154,19 @@ def _bpe_merges(spark, sf_dir):
     return _BPE_MERGES_CACHE[sf_dir]
 
 
-def _bpe_enc_values(sf_dir: str) -> str:
-    """The oracle's word->encoding lookup as a VALUES literal — an
-    INDEPENDENT serial twin (pyarrow + pure Python, zero Spark): it
-    re-tokenizes the corpus, re-counts words, re-learns the merges
-    with the same deterministic procedure, and encodes every corpus
-    word. Python str.lower() applies the JVM's full case mapping and
-    the split class is the same explicit ASCII set, so word counts —
-    and hence merges and encodings — are exactly the Spark path's.
-    DuckDB then independently verifies what the cluster computes at
-    scale: the corpus tokenize + per-occurrence lookup join + per-doc
-    aggregation (the emb_pca_project pattern: the non-SQL-expressible
-    derivation is baked as literals, the data-sized work is SQL)."""
+def _bpe_enc_pairs(sf_dir: str) -> list[tuple[str, str]]:
+    """The oracle's word -> pieces lookup — an INDEPENDENT serial twin
+    (pyarrow + pure Python, zero Spark): it re-tokenizes the corpus,
+    re-counts words, re-learns the merges with the same deterministic
+    procedure, and encodes every corpus word. Python str.lower()
+    applies the JVM's full case mapping and the split class is the
+    same explicit ASCII set, so word counts — and hence merges and
+    encodings — are exactly the Spark path's. DuckDB then
+    independently verifies what the cluster computes at scale: the
+    corpus tokenize + per-occurrence lookup + per-doc work (the
+    emb_pca_project pattern: the non-SQL-expressible derivation is
+    baked as literals, the data-sized work is SQL). Returns sorted
+    (word, 'p1 p2 ...') pairs, SQL-escaped downstream."""
     if sf_dir in _BPE_ENC_VALUES_CACHE:
         return _BPE_ENC_VALUES_CACHE[sf_dir]
     from collections import Counter
@@ -7189,14 +7190,23 @@ def _bpe_enc_values(sf_dir: str) -> str:
     top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
     merges = learn_bpe_merges(top[:_BPE_TOP_WORDS], _BPE_NUM_MERGES)
     ranks = {p: i for i, p in enumerate(merges)}
-    rows = []
-    for w in sorted(counts):
-        pieces = encode_word(w, ranks)
-        lit = w.replace("'", "''")
-        plit = " ".join(pieces).replace("'", "''")
-        rows.append(f"('{lit}', {len(pieces)}, '{plit}')")
-    _BPE_ENC_VALUES_CACHE[sf_dir] = ",\n      ".join(rows)
+    _BPE_ENC_VALUES_CACHE[sf_dir] = [
+        (w, " ".join(encode_word(w, ranks))) for w in sorted(counts)
+    ]
     return _BPE_ENC_VALUES_CACHE[sf_dir]
+
+
+def _sqlq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _bpe_enc_values(sf_dir: str) -> str:
+    """(word, n_pieces, pieces) VALUES literal for the encode/pack
+    oracles."""
+    return ",\n      ".join(
+        f"('{_sqlq(w)}', {p.count(' ') + 1}, '{_sqlq(p)}')"
+        for w, p in _bpe_enc_pairs(sf_dir)
+    )
 
 
 def _bpe_encode_oracle_sql(sf_dir: str) -> str:
@@ -7302,6 +7312,108 @@ def doc_bpe_pack(spark, sf_dir):
             .alias("seq_id"),
         )
         .orderBy("doc_id")
+    )
+
+
+def _bpe_shingle_oracle_sql(sf_dir: str) -> str:
+    """LSH-candidate-pairs oracle over BPE-PIECE shingles: the baked
+    word->pieces lookup rides a one-row MAP (cross-joined, so DuckDB
+    builds it once, not per row); piece sequences keep document order
+    via list_transform + flatten; the shingle/minhash/band SQL then
+    mirrors doc_lsh_pairs'. Zero-token docs are excluded on both
+    sides (flatten of an empty list would otherwise shingle to [''])."""
+    keys, vals = [], []
+    for w, p in _bpe_enc_pairs(sf_dir):
+        keys.append(f"'{_sqlq(w)}'")
+        vals.append(f"'{_sqlq(p)}'")
+    return f"""
+    WITH m AS (SELECT MAP([{", ".join(keys)}],
+                          [{", ".join(vals)}]) AS mp),
+    s AS (SELECT doc_id,
+                 flatten(list_transform({_TOKS_SQL},
+                         w -> string_split(mp[w][1], ' '))) AS p
+          FROM documents, m
+          WHERE len({_TOKS_SQL}) > 0),
+    sh AS (SELECT doc_id,
+                  CASE WHEN len(p) < 3 THEN [array_to_string(p, ' ')]
+                       ELSE list_transform(range(1, len(p) - 1),
+                                           i -> array_to_string(p[i:i+2], ' '))
+                  END AS shs
+           FROM s),
+    sig AS (SELECT doc_id,
+                   list_min(list_transform(shs, x -> md5('0|' || x))) AS m0,
+                   list_min(list_transform(shs, x -> md5('1|' || x))) AS m1,
+                   list_min(list_transform(shs, x -> md5('2|' || x))) AS m2,
+                   list_min(list_transform(shs, x -> md5('3|' || x))) AS m3
+            FROM sh),
+    buckets AS (
+      SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(m2 || '|' || m3) AS bh FROM sig)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+    WHERE a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """
+
+
+LAZY_ORACLES["doc_bpe_shingle_pairs"] = _bpe_shingle_oracle_sql
+
+
+@q("doc_bpe_shingle_pairs")  # data-dependent oracle: see LAZY_ORACLES.
+def doc_bpe_shingle_pairs(spark, sf_dir):
+    # Near-dup candidates on BPE-PIECE shingles — the third leg of the
+    # BPE trio (count / pack / dedup): subword shingles normalize the
+    # morphology and tokenization quirks word shingles split on, so
+    # the same banded-LSH shape (4 hashes, 2 bands of 2, never
+    # all-pairs) reaches duplicates the word-shingle path scores
+    # apart. Pieces come Arrow-batched from bpe_pieces; shingling,
+    # seeded-md5 minhashing (explode + map-side min partials, one
+    # exchange row per doc), banding, and the bucket self-join are all
+    # JVM-side — bit-reproducible in any engine with md5, hence the
+    # exact-SQL oracle.
+    from finlogic_spark.operators.bpe import bpe_pieces
+    from finlogic_spark.operators.text_dedup import array_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    p = bpe_pieces(d, _bpe_merges(spark, sf_dir))
+    sh = p.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(array_shingles(F.col("pieces"), 3))
+        ).alias("__sh"),
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}|"), F.col("__sh")))
+            ).alias(f"m{i}")
+            for i in range(4)
+        ]
+    )
+    buckets = sig.select(
+        "doc_id",
+        F.lit(0).alias("band"),
+        F.md5(F.concat(F.col("m0"), F.lit("|"), F.col("m1"))).alias("bh"),
+    ).unionByName(
+        sig.select(
+            "doc_id",
+            F.lit(1).alias("band"),
+            F.md5(F.concat(F.col("m2"), F.lit("|"), F.col("m3"))).alias("bh"),
+        )
+    )
+    a = buckets.select(
+        F.col("doc_id").alias("id_a"), "band", "bh"
+    )
+    b = buckets.select(
+        F.col("doc_id").alias("id_b"), "band", "bh"
+    )
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .orderBy("id_a", "id_b")
     )
 
 

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bpe_doc_stats",
+    "bpe_pieces",
     "corpus_word_counts",
     "encode_word",
     "learn_bpe_merges",
@@ -214,3 +215,53 @@ def bpe_doc_stats(
             )
 
     return docs.select(id_col, text_col).mapInPandas(enc, schema=out_schema)
+
+
+def bpe_pieces(
+    docs: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE piece SEQUENCE: (id, pieces array<string>) in
+    document order — the input to piece-level shingling (near-dup on
+    BPE shingles: subword pieces normalize morphology and whitespace
+    quirks that word shingles split on). Same drop-no-token-docs
+    contract, broadcast ranks, and per-task word cache as
+    bpe_doc_stats; the only difference is emitting the sequence
+    instead of its summary counts."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    def enc(batches):
+        import pandas as pd
+
+        cache: dict[str, tuple[str, ...]] = {}
+        for pdf in batches:
+            ids, seqs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                words = _words(text)
+                if not words:
+                    continue
+                out: list[str] = []
+                for w in words:
+                    pieces = cache.get(w)
+                    if pieces is None:
+                        pieces = encode_word(w, ranks)
+                        cache[w] = pieces
+                    out.extend(pieces)
+                ids.append(int(doc_id))
+                seqs.append(out)
+            # dtype=object keeps pandas from promoting equal-length
+            # piece lists to a 2-D ndarray, which Arrow can't convert
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "pieces": pd.Series(seqs, dtype=object),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        enc, schema=f"{id_col} long, pieces array<string>"
+    )

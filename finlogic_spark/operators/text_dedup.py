@@ -58,15 +58,18 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(col: str | Column, k: int = 3) -> Column:
-    """k-word shingles as strings ("w1 w2 w3").
+def array_shingles(arr: Column, k: int = 3) -> Column:
+    """k-gram shingles ("e1 e2 e3") over an ALREADY-TOKENIZED array
+    column (word tokens, BPE pieces, any string sequence). Short
+    sequences (< k) collapse to one shingle of the whole sequence —
+    the same contract the word-shingle SQL twin pins.
 
-    The token array is bound to a lambda variable via a one-element
-    array transform so it is evaluated ONCE per row. Referencing a
-    non-trivial expression from inside a higher-order-function lambda
-    re-evaluates it per element (Catalyst inlines, HOFs don't share
-    subexpressions) — with the tokenizer that inlining is O(tokens²)
-    per document and costs ~10× on real text."""
+    The array is bound to a lambda variable via a one-element array
+    transform so the producing expression is evaluated ONCE per row.
+    Referencing a non-trivial expression from inside a
+    higher-order-function lambda re-evaluates it per element (Catalyst
+    inlines, HOFs don't share subexpressions) — with a tokenizer that
+    inlining is O(tokens²) per document and costs ~10× on real text."""
 
     def shingle_list(t: Column) -> Column:
         n = F.size(t)
@@ -75,7 +78,13 @@ def shingles(col: str | Column, k: int = 3) -> Column:
             F.transform(idx, lambda i: F.array_join(F.slice(t, i, k), " "))
         )
 
-    return F.flatten(F.transform(F.array(tokens(col)), shingle_list))
+    return F.flatten(F.transform(F.array(arr), shingle_list))
+
+
+def shingles(col: str | Column, k: int = 3) -> Column:
+    """k-word shingles as strings ("w1 w2 w3") over the engine's
+    shared whitespace tokenizer."""
+    return array_shingles(tokens(col), k)
 
 
 def minhash_value(shingle_col: Column, seed: int) -> Column:

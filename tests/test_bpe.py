@@ -95,3 +95,40 @@ def test_bpe_registry_queries_run(spark, sf_dir):
     pack = QUERIES["doc_bpe_pack"](spark, sf_dir)
     assert pack.columns == ["doc_id", "shard", "n_pieces", "seq_id"]
     assert pack.filter(F.col("seq_id") < 0).count() == 0
+
+
+def test_bpe_pieces_order_and_shingles(spark):
+    """bpe_pieces preserves document order; array_shingles over pieces
+    matches the serial shingle construction (incl. the <k collapse)."""
+    from finlogic_spark.operators.text_dedup import array_shingles
+
+    docs = [(1, "newest widest newest"), (2, "ab"), (3, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    wc = corpus_word_counts(df, "text", top_words=100)
+    merges = learn_bpe_merges(wc, 10)
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = {
+        r["doc_id"]: list(r["pieces"])
+        for r in __import__("finlogic_spark.operators.bpe",
+                            fromlist=["bpe_pieces"])
+        .bpe_pieces(df, merges).collect()
+    }
+    for doc_id, text in docs:
+        if text is None:
+            assert doc_id not in got
+            continue
+        want = [p for w in text.lower().split() for p in encode_word(w, ranks)]
+        assert got[doc_id] == want, doc_id
+    # shingle parity incl. short-sequence collapse
+    sdf = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d"]), (2, ["x", "y"])],
+        "id long, arr array<string>",
+    )
+    sh = {
+        r["id"]: list(r["s"])
+        for r in sdf.select(
+            "id", array_shingles(F.col("arr"), 3).alias("s")
+        ).collect()
+    }
+    assert sh[1] == ["a b c", "b c d"]
+    assert sh[2] == ["x y"]

@@ -697,7 +697,12 @@ def test_registry_consistency():
     # silently rows-only
     rows_only = sorted(set(dq.QUERIES) - set(dq.ORACLES))
     assert rows_only == sorted(dq.LAZY_ORACLES)
-    assert rows_only == ["doc_bpe_encode", "doc_bpe_pack", "emb_pca_project"]
+    assert rows_only == [
+        "doc_bpe_encode",
+        "doc_bpe_pack",
+        "doc_bpe_shingle_pairs",
+        "emb_pca_project",
+    ]
 
 
 def test_bm25_postings_shuffle_is_reused(spark):
