@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "doc_bpe_encode",
     "doc_bpe_pack",
     "doc_bpe_shingle_pairs",
+    "doc_bpe_pack_segments",
     "data_profile_approx",
 ]
 

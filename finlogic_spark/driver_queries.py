@@ -7417,6 +7417,71 @@ def doc_bpe_shingle_pairs(spark, sf_dir):
     )
 
 
+def _bpe_pack_segments_oracle_sql(sf_dir: str) -> str:
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents),
+    enc(word, np, pieces) AS (VALUES {_bpe_enc_values(sf_dir)}),
+    agg AS (SELECT t.doc_id, CAST(sum(e.np) AS BIGINT) AS n
+            FROM tok t JOIN enc e USING (word) GROUP BY 1),
+    sized AS (
+      SELECT d.doc_id, CAST(d.doc_id % 8 AS INTEGER) AS shard,
+             coalesce(a.n, 0) AS n_pieces
+      FROM documents d LEFT JOIN agg a USING (doc_id)),
+    spans AS (
+      SELECT doc_id, shard, n_pieces,
+             CAST(SUM(n_pieces) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS e
+      FROM sized),
+    seg AS (SELECT doc_id, shard, e - n_pieces AS s, e
+            FROM spans WHERE n_pieces > 0),
+    fan AS (SELECT doc_id, shard, s, e,
+                   unnest(range(s // 2048, (e - 1) // 2048 + 1)) AS q
+            FROM seg)
+    SELECT doc_id, shard, CAST(q AS INTEGER) AS seq_id,
+           CAST(greatest(q * 2048, s) - s AS BIGINT) AS doc_offset,
+           CAST(least((q + 1) * 2048, e) - greatest(q * 2048, s) AS BIGINT)
+             AS seg_len
+    FROM fan ORDER BY doc_id, seq_id
+    """
+
+
+LAZY_ORACLES["doc_bpe_pack_segments"] = _bpe_pack_segments_oracle_sql
+
+
+@q("doc_bpe_pack_segments")  # data-dependent oracle: see LAZY_ORACLES.
+def doc_bpe_pack_segments(spark, sf_dir):
+    # The full concat-and-chunk packing INDEX (operators/corpus.py
+    # pack_segments): one row per (document, training sequence it
+    # touches) with the in-doc piece offsets — what the loader actually
+    # consumes, including docs split across 2048-piece sequence
+    # boundaries (doc_bpe_pack only reports the starting sequence).
+    # Closed-form segmentation: per-shard running-sum window + a
+    # map-side explode of ceil(len/B)+1 rows per doc — no extra
+    # exchange beyond the packing window itself.
+    from finlogic_spark.operators.bpe import bpe_doc_stats
+    from finlogic_spark.operators.corpus import pack_segments
+
+    d = _t(spark, sf_dir, "documents")
+    enc = bpe_doc_stats(d, _bpe_merges(spark, sf_dir)).select(
+        "doc_id", "n_pieces"
+    )
+    sized = (
+        d.select("doc_id", (F.col("doc_id") % 8).cast("int").alias("shard"))
+        .join(enc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "shard",
+            F.coalesce(F.col("n_pieces"), F.lit(0)).cast("long").alias(
+                "n_pieces"
+            ),
+        )
+    )
+    return pack_segments(sized, "doc_id", "shard", "n_pieces", 2048).orderBy(
+        "doc_id", "seq_id"
+    )
+
+
 _PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment",
                  "c_acctbal"]
 

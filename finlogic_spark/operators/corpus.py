@@ -454,3 +454,65 @@ def bigram_logprob_score(
             / F.lit(1e6)
         ).alias("logprob_per_bigram"),
     )
+
+
+def pack_segments(
+    sized: DataFrame,
+    id_col: str,
+    shard_col: str,
+    len_col: str,
+    budget: int,
+) -> DataFrame:
+    """True concat-and-chunk packing INDEX: per shard, documents
+    concatenate in id order into fixed-``budget`` training sequences,
+    and each document emits one row PER SEQUENCE IT TOUCHES —
+    (id, shard, seq_id, doc_offset, seg_len) — i.e. exactly the map a
+    training loader consumes (seq_id's tokens [cum_start .. cum_end)
+    come from doc X's tokens [doc_offset .. doc_offset+seg_len)).
+    doc_pack_sequences only reports the sequence a doc STARTS in; this
+    is the full segmentation, including docs split across sequence
+    boundaries.
+
+    Closed-form per row, so the plan is one per-shard running-sum
+    window + a map-side explode: a doc spanning [start, end) covers
+    sequences floor(start/B)..floor((end-1)/B); its slice in sequence
+    s is [max(0, s*B - start), ...) of length
+    min(end, (s+1)*B) - max(start, s*B). Zero-length docs emit no
+    segments (they occupy no tokens). The explode fan-out is
+    ceil(len/B) + 1 rows per doc — data-sized, never quadratic; the
+    only exchange is the window's shard hash (packing is per-shard by
+    design: a single global cumsum would serialize on one partition
+    at 100 TB)."""
+    from pyspark.sql import Window
+
+    B = int(budget)
+    if B < 1:
+        raise ValueError(f"budget must be >= 1, got {B}")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        sized.withColumn("__end", F.sum(len_col).over(w))
+        .withColumn("__start", F.col("__end") - F.col(len_col))
+        .filter(F.col(len_col) > 0)
+    )
+    seq = F.explode(
+        F.sequence(
+            F.expr(f"__start DIV {B}"), F.expr(f"(__end - 1) DIV {B}")
+        )
+    ).alias("seq_id")
+    return spans.select(id_col, shard_col, "__start", "__end", seq).select(
+        id_col,
+        shard_col,
+        F.col("seq_id").cast("int").alias("seq_id"),
+        (
+            F.greatest(F.col("seq_id") * B, F.col("__start"))
+            - F.col("__start")
+        ).alias("doc_offset"),
+        (
+            F.least((F.col("seq_id") + 1) * B, F.col("__end"))
+            - F.greatest(F.col("seq_id") * B, F.col("__start"))
+        ).alias("seg_len"),
+    )

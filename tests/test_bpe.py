@@ -132,3 +132,48 @@ def test_bpe_pieces_order_and_shingles(spark):
     }
     assert sh[1] == ["a b c", "b c d"]
     assert sh[2] == ["x y"]
+
+
+def test_pack_segments_invariants(spark):
+    """Segment rows reconstruct the concatenation exactly: per doc the
+    segment lengths sum to the doc length with contiguous offsets; per
+    (shard, seq) the lengths sum to the budget for every sequence but
+    the shard's last; zero-length docs emit nothing."""
+    import numpy as np
+
+    from finlogic_spark.operators.corpus import pack_segments
+
+    rng = np.random.RandomState(2)
+    rows = [
+        (i, int(i % 3), int(l))
+        for i, l in enumerate(rng.randint(0, 40, 200))
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shard int, n long")
+    B = 16
+    segs = pack_segments(df, "doc_id", "shard", "n", B).collect()
+    by_doc: dict = {}
+    by_seq: dict = {}
+    for r in segs:
+        assert 0 < r["seg_len"] <= B
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        by_seq.setdefault((r["shard"], r["seq_id"]), 0)
+        by_seq[(r["shard"], r["seq_id"])] += r["seg_len"]
+    lens = dict((i, l) for i, _, l in rows)
+    for doc_id, parts in by_doc.items():
+        parts.sort(key=lambda r: r["seq_id"])
+        assert sum(p["seg_len"] for p in parts) == lens[doc_id]
+        assert parts[0]["doc_offset"] == 0
+        for a, b in zip(parts, parts[1:]):
+            assert b["doc_offset"] == a["doc_offset"] + a["seg_len"]
+            assert b["seq_id"] == a["seq_id"] + 1
+    for doc_id, l in lens.items():
+        assert (doc_id in by_doc) == (l > 0)
+    # every sequence except each shard's last is exactly full
+    last_seq = {}
+    for (shard, seq), _ in by_seq.items():
+        last_seq[shard] = max(last_seq.get(shard, -1), seq)
+    for (shard, seq), total in by_seq.items():
+        if seq != last_seq[shard]:
+            assert total == B, (shard, seq, total)
+    with __import__("pytest").raises(ValueError, match="budget"):
+        pack_segments(df, "doc_id", "shard", "n", 0)

@@ -700,6 +700,7 @@ def test_registry_consistency():
     assert rows_only == [
         "doc_bpe_encode",
         "doc_bpe_pack",
+        "doc_bpe_pack_segments",
         "doc_bpe_shingle_pairs",
         "emb_pca_project",
     ]

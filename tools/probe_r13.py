@@ -375,6 +375,43 @@ def probe_bpe(out, sf_dirs, runs):
         out[f"{label}:doc_bpe_encode"] = row
         print(f"{label}:doc_bpe_encode", row, flush=True)
 
+        # near-dup on BPE-piece shingles: same lifecycle (merge table
+        # already cached from the encode row above, so this times the
+        # pieces + shingle-minhash + band-join path). sf100 runs once
+        # — the full loop is minutes per execution on both engines —
+        # and the DuckDB baseline gets a hard 900 s interrupt ceiling
+        # (reported as a lower bound when hit, the probe_r10 pattern).
+        import threading
+
+        qsp = dq.QUERIES["doc_bpe_shingle_pairs"]
+        sruns = runs if label != "sf100" else 1
+        t = timed(lambda: noop(qsp(SPARK, d)), sruns)
+        row = {"spark_warm_s": t, "spark_runs": sruns}
+        try:
+            sql = dq.LAZY_ORACLES["doc_bpe_shingle_pairs"](d)
+            con = duckdb.connect()
+            con.execute(f"PRAGMA threads={os.cpu_count()}")
+            con.execute("SET max_temp_directory_size='30GiB'")
+            con.sql(
+                f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{d}/documents.parquet'"
+            )
+            timer = threading.Timer(900.0, con.interrupt)
+            t0 = time.perf_counter()
+            try:
+                timer.start()
+                con.sql(sql).fetchall()
+                row["duckdb_s"] = round(time.perf_counter() - t0, 2)
+                row["ratio"] = round(t / row["duckdb_s"], 2)
+            except duckdb.Error:
+                row["duckdb_floor_s"] = 900.0  # lower bound: interrupted
+            finally:
+                timer.cancel()
+        except MemoryError:
+            row["duckdb_s"] = None
+        out[f"{label}:doc_bpe_shingle_pairs"] = row
+        print(f"{label}:doc_bpe_shingle_pairs", row, flush=True)
+
 
 def main() -> int:
     global SPARK
