@@ -7492,7 +7492,9 @@ _PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment",
     -- Band oracle (the events_hll_rollup pattern): rows/nulls/frac_null
     -- are exact on both tiers and compare directly; the sketched
     -- n_distinct is checked on the Spark side against the exact count
-    -- (Datasketches HLL lgk=12, RSE ~1.6%; asserted at 5% ~ 3 sigma).
+    -- (HLL++ at default rsd=0.05; asserted at 15% = 3 sigma — the
+    -- estimate is deterministic for given data, so the check is
+    -- stable run-to-run).
     {" UNION ALL ".join(
         f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
         f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
@@ -7510,13 +7512,13 @@ _PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment",
 def data_profile_approx(spark, sf_dir):
     # The data_profile approx tier, oracle-gated (operators/profile.py
     # profile_columns(approx=True)): ONE scan, ONE aggregate — nulls +
-    # fixed-size HLL sketches per column, no per-column distinct
-    # branches (the 100 TB profile; plan pinned in test_round6_ops).
-    # The exact tier joins in purely to validate the sketch band — at
-    # scale that branch is exactly what the approx tier deletes
-    # (BENCH_r13_probes.json: approx beats exact at 15M and 150M rows
-    # on the Spark side while the exact tier IS the COUNT(DISTINCT)
-    # contract).
+    # fixed-size HLL++ sketch buffers per column, no per-column
+    # distinct branches (the 100 TB profile; plan pinned in
+    # test_round6_ops). The exact tier joins in purely to validate the
+    # sketch band — at scale that branch is exactly what the approx
+    # tier deletes (BENCH_r14_probes.json: HLL++ 3.6 s vs exact 13.1 s
+    # at 150M rows x 5 cols, and the approx exchange is fixed-size
+    # sketch buffers vs the exact tier's per-distinct-value exchange).
     from finlogic_spark.operators.profile import profile_columns
 
     cust = _t(spark, sf_dir, "customer")
@@ -7533,11 +7535,81 @@ def data_profile_approx(spark, sf_dir):
             "frac_null",
             (
                 F.abs(F.col("n_distinct") - F.col("__exact"))
-                <= 0.05 * F.col("__exact")
+                <= 0.15 * F.col("__exact")  # 3 sigma at rsd=0.05
             ).alias("distinct_ok"),
         )
         .orderBy("col_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality gate (round 14)
+# ---------------------------------------------------------------------------
+
+_QCLF_CACHE: dict[str, tuple[list, int]] = {}
+
+
+def _qclf_params(sf_dir: str) -> tuple[list, int]:
+    """Train (once per sf_dir) the hashed-feature logistic quality
+    model — pure pyarrow+numpy, deterministic, bounded sample (see
+    operators/quality_model.train_quality_classifier). The SAME
+    integer micro-unit weights feed the Spark literals and the oracle
+    SQL literals: the cross-engine-verified surface is the
+    corpus-wide SCORING expression (the part that runs at 100 TB),
+    exactly the pca_components_numpy precedent for the non-SQL-
+    expressible fit step."""
+    if sf_dir not in _QCLF_CACHE:
+        from finlogic_spark.operators.quality_model import (
+            train_quality_classifier,
+        )
+
+        _QCLF_CACHE[sf_dir] = train_quality_classifier(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+    return _QCLF_CACHE[sf_dir]
+
+
+def _quality_clf_oracle_sql(sf_dir: str) -> str:
+    from finlogic_spark.operators.quality_model import MICRO, N_BUCKETS
+
+    w, b = _qclf_params(sf_dir)
+    w_sql = "[" + ", ".join(str(v) for v in w) + "]"
+    return f"""
+    -- weights/bias are integer micro-units baked by the deterministic
+    -- trainer; the fold is an exact int sum, so the logit hashes
+    -- bit-identically (one IEEE division + 6-dp floor at the edge).
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+    nz AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
+    s AS (SELECT doc_id, n,
+            CAST(list_sum(list_transform(ts,
+              t -> ({w_sql})[
+                ('0x' || substr(md5(t), 1, 4))::BIGINT % {N_BUCKETS} + 1
+              ])) AS BIGINT)
+            + CAST(n AS BIGINT) * CAST({b} AS BIGINT) AS raw
+          FROM nz)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           floor(CAST(raw AS DOUBLE) / (CAST(n AS DOUBLE) * {MICRO}.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS logit,
+           raw >= 0 AS pred_quality
+    FROM s ORDER BY doc_id
+    """
+
+
+LAZY_ORACLES["doc_quality_classifier"] = _quality_clf_oracle_sql
+
+
+@q("doc_quality_classifier")  # data-dependent oracle: LAZY_ORACLES above.
+def doc_quality_classifier(spark, sf_dir):
+    # The learned curation tier above the heuristic/LM gates (CCNet/
+    # DCLM shape): bounded deterministic driver-side fit -> corpus-wide
+    # expression-only scoring (operators/quality_model.py). The scoring
+    # plan is shuffle-free past the scan — the model is 65 integer
+    # literals folded per row; pred_quality is integer-sign-exact.
+    from finlogic_spark.operators.quality_model import classify_quality
+
+    w, b = _qclf_params(sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    return classify_quality(d, "text", "doc_id", w, b).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

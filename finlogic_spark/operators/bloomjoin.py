@@ -195,10 +195,20 @@ def bloom_pruned_join(
     — the same materialized rows feed the bit-set build and the final
     exact join — instead of once per consumer.
 
-    ``auto_bypass`` (default on, auto-sized path only): when the
-    counted build side fits under the session's
-    ``spark.sql.autoBroadcastJoinThreshold`` (planner-style width
-    estimate x rows), SKIP the bloom and return the plain join. In the
+    ``auto_bypass`` (default on, auto-sized path only): when the build
+    side fits under the session's
+    ``spark.sql.autoBroadcastJoinThreshold``, SKIP the bloom and
+    return the plain join. Two tiers: (1) a ZERO-JOB fast path — if
+    Catalyst's optimized-plan stats already put the build side under
+    the threshold, the plain join broadcasts on those same stats, so
+    it is returned untouched, no checkpoint, no count (this was ~0.34 s
+    of pure decision overhead at sf100 when the answer was "do
+    nothing"); (2) otherwise the checkpoint+count decision, where the
+    size estimate now MEASURES string/binary bytes in the same single
+    job (``octet_length`` sums on top of the planner's fixed widths) —
+    a flat per-string default would let a wide-string dim pass the
+    threshold on paper and then force a driver-heavy broadcast via the
+    explicit hint. In the
     broadcast regime the exact join already prunes probe rows inside
     the scan stage for free — the bloom is pure overhead there
     (measured sf100 decomposition: plain broadcast join 1.28 s, bloom
@@ -226,18 +236,63 @@ def bloom_pruned_join(
             "side to the other's type first"
         )
     if num_bits is None:
-        build = build.localCheckpoint(eager=True)
-        n = build.count()  # one fast job over the checkpointed dim
-        if auto_bypass:
-            from finlogic_spark.sources import parse_size_bytes
+        from finlogic_spark.sources import parse_size_bytes
 
-            threshold = parse_size_bytes(
-                build.sparkSession.conf.get(
-                    "spark.sql.autoBroadcastJoinThreshold", "10485760"
-                ),
-                default=10 * 1024 * 1024,
+        threshold = parse_size_bytes(
+            build.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            ),
+            default=10 * 1024 * 1024,
+        )
+        if auto_bypass and 0 < threshold:
+            # Zero-job fast path: if Catalyst's own optimized-plan
+            # stats already put the build side under the broadcast
+            # threshold, a PLAIN join broadcasts it — on exactly these
+            # stats — so return the plain join untouched. This is what
+            # the r13 bench flagged: the bypassed path still paid
+            # ~0.34 s of localCheckpoint+count when the decision was
+            # "do nothing". Only a <=-threshold stats value short-
+            # circuits; unknown/huge stats (joins, checkpoints —
+            # LogicalRDD reports defaults) fall through to the
+            # measured checkpoint+count decision below.
+            stats_bytes = int(
+                str(
+                    build._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
             )
-            if 0 < threshold and n * _est_row_bytes(build.schema) <= threshold:
+            if stats_bytes <= threshold:
+                if probe_key == build_key:
+                    return probe.join(build, [probe_key])
+                return probe.join(
+                    build, F.col(probe_key) == F.col(build_key)
+                )
+        build = build.localCheckpoint(eager=True)
+        # One job over the checkpointed dim: row count + MEASURED
+        # variable-width bytes. The old flat 20-bytes-per-string
+        # planner default let a wide-string dim (URLs, payloads) pass
+        # n*width <= threshold while its real broadcast size was far
+        # above it — the explicit hint below would then force the very
+        # driver-heavy broadcast the threshold exists to prevent.
+        var_cols = [
+            f.name
+            for f in build.schema.fields
+            if isinstance(f.dataType, (T.StringType, T.BinaryType))
+        ]
+        aggs = [F.count(F.lit(1)).alias("__n")] + [
+            F.sum(F.octet_length(F.col(c))).alias(f"__b{i}")
+            for i, c in enumerate(var_cols)
+        ]
+        sized = build.agg(*aggs).collect()[0]
+        n = sized["__n"]
+        var_bytes = sum(
+            sized[f"__b{i}"] or 0 for i in range(len(var_cols))
+        )
+        est_bytes = n * _est_row_bytes(build.schema) + var_bytes
+        if auto_bypass and 0 < threshold:
+            if est_bytes <= threshold:
                 # broadcast regime: the exact broadcast hash join prunes
                 # in the scan stage already — skip the redundant k-hash
                 # filter pass over the probe. The hint is explicit

@@ -253,6 +253,15 @@ def xxhash64_long(values: np.ndarray, seed: int = 42) -> np.ndarray:
         return h
 
 
+# Wire-format identity of persisted KMV sketches: the hash family and
+# seed the longs were produced with. The r13 change from splitmix64 to
+# Spark-parity xxhash64 was a SILENT break for any sketch table
+# persisted before it (old blobs decode without error and merge into
+# garbage estimates), so the format now carries this tag in a __hash
+# column and every decode path refuses a mismatch.
+KMV_WIRE_TAG = "xxhash64:42"
+
+
 class KMV:
     """K-minimum-values sketch [Bar-Yossef et al. 2002; Beyer et al.
     SIGMOD'07]: keep the k smallest 64-bit hash values of a set. What
@@ -335,7 +344,14 @@ class KMV:
         return (self.hashes ^ self._SHIFT).view(np.int64).tolist()
 
     @classmethod
-    def from_longs(cls, k: int, longs) -> "KMV":
+    def from_longs(cls, k: int, longs, wire_tag: str = KMV_WIRE_TAG) -> "KMV":
+        if wire_tag != KMV_WIRE_TAG:
+            raise ValueError(
+                f"KMV wire tag mismatch: blob carries {wire_tag!r}, this "
+                f"build decodes {KMV_WIRE_TAG!r} — sketches hashed with a "
+                "different function merge into silent garbage; rebuild the "
+                "stored sketch table"
+            )
         arr = np.asarray(longs, dtype=np.int64).view(np.uint64) ^ cls._SHIFT
         if arr.size > k:
             raise ValueError(
@@ -383,10 +399,25 @@ def kmv_sketch_table(
     Null semantics match the JVM groupBy of hll_sketch_table: null
     KEYS form their own group; null VALUES are dropped (they carry no
     identity to count). The table carries ``__k`` so consumers bind to
-    the build-time parameter instead of guessing it. The value column
-    is cast to bigint before hashing — ``xxhash64`` is type-sensitive,
-    and the Python twin hashes int64."""
+    the build-time parameter instead of guessing it, and ``__hash``
+    (:data:`KMV_WIRE_TAG`) so a stored table hashed under a different
+    function/seed is refused at decode instead of silently merging
+    into garbage. The value column must be INTEGRAL (byte/short/int/
+    long): it is cast to bigint before hashing because ``xxhash64`` is
+    type-sensitive and the Python twin hashes int64 — but a
+    non-integral column (e.g. string ids) would cast to NULL, and
+    xxhash64(NULL) returns the seed, collapsing every such value onto
+    ONE distinct hash. Raise loudly instead (the same dtype guard as
+    bloom_pruned_join)."""
     keys = list(key_cols)
+    vtype = dict(df.dtypes)[value_col]
+    if vtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"kmv_sketch_table value column {value_col!r} is {vtype}, not "
+            "an integral type — a failed cast to bigint becomes NULL and "
+            "xxhash64(NULL) is the seed, so all such values would collapse "
+            "to one distinct hash; hash-map the column to integers first"
+        )
     hashed = (
         df.filter(F.col(value_col).isNotNull())
         .select(
@@ -410,7 +441,12 @@ def kmv_sketch_table(
                 k,
             ).alias("__kmv")
         )
-        .select(*keys, F.lit(k).alias("__k"), "__kmv")
+        .select(
+            *keys,
+            F.lit(k).alias("__k"),
+            F.lit(KMV_WIRE_TAG).alias("__hash"),
+            "__kmv",
+        )
     )
 
 
@@ -425,15 +461,29 @@ def kmv_pair_overlap(
     of k-long arrays, never the raw sets. ``k`` is read from the
     table's own ``__k`` column (set at build time), so a stored table
     can never be misread with a different k — a too-large k would
-    silently flip under-full sketches into the 'exact' branch."""
+    silently flip under-full sketches into the 'exact' branch.
+
+    Refuses tables without a ``__hash`` wire tag (persisted before the
+    splitmix64→xxhash64 break) and, per row, tags that differ from
+    :data:`KMV_WIRE_TAG` — mixed-hash sketch rows estimate garbage
+    without erroring otherwise."""
+    if "__hash" not in sketch_df.columns:
+        raise ValueError(
+            "KMV sketch table has no __hash wire tag — it was persisted "
+            "before the splitmix64→xxhash64 format change and would decode "
+            "into silently wrong estimates under the current hash; rebuild "
+            "it with kmv_sketch_table"
+        )
     a = sketch_df.select(
         F.col(key_col).alias("key_a"),
         F.col("__k").alias("__k_a"),
+        F.col("__hash").alias("__hash_a"),
         F.col("__kmv").alias("__kmv_a"),
     )
     b = sketch_df.select(
         F.col(key_col).alias("key_b"),
         F.col("__k").alias("__k_b"),
+        F.col("__hash").alias("__hash_b"),
         F.col("__kmv").alias("__kmv_b"),
     )
     pairs = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
@@ -446,25 +496,25 @@ def kmv_pair_overlap(
         # made the estimator the bottleneck at G=256 (32k pairs)
         cache: dict = {}
 
-        def decode(key, k, longs):
+        def decode(key, k, tag, longs):
             s = cache.get(key)
             if s is None:
-                s = KMV.from_longs(k, longs)
+                s = KMV.from_longs(k, longs, wire_tag=tag)
                 cache[key] = s
             return s
 
         for pdf in batches:
             outs = []
-            for key_a, k_a, la, key_b, k_b, lb in zip(
-                pdf["key_a"], pdf["__k_a"], pdf["__kmv_a"],
-                pdf["key_b"], pdf["__k_b"], pdf["__kmv_b"],
+            for key_a, k_a, ha, la, key_b, k_b, hb, lb in zip(
+                pdf["key_a"], pdf["__k_a"], pdf["__hash_a"], pdf["__kmv_a"],
+                pdf["key_b"], pdf["__k_b"], pdf["__hash_b"], pdf["__kmv_b"],
             ):
                 if k_a != k_b:
                     raise ValueError(
                         f"sketch rows built with different k: {k_a} vs {k_b}"
                     )
-                ka = decode(key_a, int(k_a), la)
-                kb = decode(key_b, int(k_b), lb)
+                ka = decode(key_a, int(k_a), ha, la)
+                kb = decode(key_b, int(k_b), hb, lb)
                 outs.append(
                     (key_a, key_b, KMV.intersection_estimate(ka, kb))
                 )

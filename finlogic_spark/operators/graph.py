@@ -358,6 +358,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     round_table_dir: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """PageRank in exact integer micro-units (engine-scope addition:
     iterative graph analytics beyond connected components — e.g.
@@ -390,9 +391,12 @@ def pagerank(
     docstring promised — each round's ranks WRITE to
     ``{dir}/round{i}`` parquet and read back, so lineage truncation
     goes through durable storage instead of executor block storage:
-    rounds become restartable (a killed job resumes from the last
-    round's table), the rank table never pins executor memory/disk
-    blocks, and speculative re-execution reads a consistent snapshot.
+    rounds are durably materialized (pass ``resume=True`` to restart a
+    killed job from the last COMPLETE round table — completeness is
+    the committer's ``_SUCCESS`` marker, checked contiguously from
+    round 0 so a gap never silently skips rounds), the rank table
+    never pins executor memory/disk blocks, and speculative
+    re-execution reads a consistent snapshot.
     Bit-identical to the default variant (integer arithmetic has one
     answer; pinned in tests/test_pagerank_bucketize.py) — the only
     difference is where the round boundary materializes. Measured at
@@ -406,47 +410,78 @@ def pagerank(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist(_SPILL)
-    )
-    # Regime decision (counting nodes also eagerly materializes the
-    # node cache, so the signal is nearly free): if the rank table
-    # (|V| rows) fits under the broadcast threshold, every round's
-    # join broadcasts it and the cached edge list is never exchanged —
-    # pre-partitioning would be pure overhead (measured +2.7 s on the
-    # sf0.1 bench graph). If it does NOT fit, the join becomes SMJ and
-    # the edge side MUST be hash-partitioned + sorted by src BEFORE
-    # persisting: the cached InMemoryRelation then carries
-    # HashPartitioning(src) + per-partition order, so each round
-    # exchanges and sorts ONLY the rank table — without this, every
-    # round re-exchanged the full cached edge list (measured at sf100:
-    # ~50 GB of shuffle per round on a 1.17B-edge graph; plan pinned
-    # in tests/test_pagerank_bucketize.py).
+    # Regime decision: if the rank table (|V| rows) fits under the
+    # broadcast threshold, every round's join gets an EXPLICIT
+    # F.broadcast hint on the rank side (from round 2 on, ranks come
+    # from localCheckpoint, whose LogicalRDD carries no size stats —
+    # without the hint the static planner falls to SMJ and the
+    # unpartitioned cached edge list re-exchanges every round unless
+    # AQE rescues it after the shuffle files are already written; the
+    # same explicit-hint rationale as bloomjoin's bypass) and the edge
+    # cache is left unpartitioned — pre-partitioning would be pure
+    # overhead (measured +2.7 s on the sf0.1 bench graph). If it does
+    # NOT fit, the join is SMJ and the edge side MUST be
+    # hash-partitioned + sorted by src BEFORE persisting: the cached
+    # InMemoryRelation then carries HashPartitioning(src) +
+    # per-partition order, so each round exchanges and sorts ONLY the
+    # rank table — without this, every round re-exchanged the full
+    # cached edge list (measured at sf100: ~50 GB of shuffle per round
+    # on a 1.17B-edge graph). Both regime plans are pinned in
+    # tests/test_pagerank_bucketize.py.
+    #
+    # The signal is derived from the already-persisted edge cache, not
+    # from a separate pass over the raw input: the (edge, degree) list
+    # is persisted FIRST, the node set and its exact count are then
+    # cache scans (the r12/r13 shape recomputed the whole upstream
+    # edge pipeline — a join at bench scale — once for the count and
+    # once for the cache fill; the r13 A/B priced that decision at
+    # ~0.7 s on a sub-3 s query). In the SMJ regime the partitioned
+    # copy is ALSO built from the cache, then the unpartitioned one is
+    # dropped — one transient double-cache instead of a second join.
     from finlogic_spark.operators.bloomjoin import _est_row_bytes
     from finlogic_spark.sources import parse_size_bytes
 
-    n_nodes = nodes.count()
     threshold = parse_size_bytes(
         edges.sparkSession.conf.get(
             "spark.sql.autoBroadcastJoinThreshold", "10485760"
         ),
         default=10 * 1024 * 1024,
     )
+    ed = e.join(deg, "src").persist(_SPILL)
+    # node set FROM the cached edge list (deg covers every src, so the
+    # inner join preserves e's rows exactly): the first union branch
+    # fills ed's cache, the second reads it — the upstream edge
+    # pipeline runs ONCE, total.
+    nodes = (
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(_SPILL)
+    )
+    n_nodes = nodes.count()  # fills ed + nodes caches in one lineage
     rank_bytes = n_nodes * (_est_row_bytes(nodes.schema) + 8)
-    ed = e.join(deg, "src")
-    if threshold <= 0 or rank_bytes > threshold:
-        ed = ed.repartition("src").sortWithinPartitions("src")
-    ed = ed.persist(_SPILL)
+    broadcast_ranks = 0 < threshold and rank_bytes <= threshold
+    if not broadcast_ranks:
+        part = (
+            ed.repartition("src").sortWithinPartitions("src").persist(_SPILL)
+        )
+        part.count()
+        ed.unpersist()
+        ed = part
     ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("long"))
     teleport = (damping_den - damping_num) * scale // damping_den
     spark = edges.sparkSession
-    for i in range(iterations):
-        contrib = ed.join(
-            ranks.withColumnRenamed("node", "src"), "src"
-        ).select(
+    start = 0
+    if resume and round_table_dir is not None:
+        last = _last_complete_round(spark, round_table_dir, iterations)
+        if last >= 0:
+            ranks = spark.read.parquet(f"{round_table_dir}/round{last}")
+            start = last + 1
+    for i in range(start, iterations):
+        rank_side = ranks.withColumnRenamed("node", "src")
+        if broadcast_ranks:
+            rank_side = F.broadcast(rank_side)
+        contrib = ed.join(rank_side, "src").select(
             F.col("dst").alias("node"),
             F.expr(
                 f"CAST({damping_num} AS BIGINT) * rank "
@@ -454,7 +489,8 @@ def pagerank(
             ).alias("__c"),
         )
         inflow = contrib.groupBy("node").agg(F.sum("__c").alias("__in"))
-        ranks = nodes.join(inflow, "node", "left").select(
+        inflow_side = F.broadcast(inflow) if broadcast_ranks else inflow
+        ranks = nodes.join(inflow_side, "node", "left").select(
             "node",
             (F.lit(teleport) + F.coalesce(F.col("__in"), F.lit(0)))
             .cast("long")
@@ -469,3 +505,24 @@ def pagerank(
     ed.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def _last_complete_round(spark, round_table_dir: str, iterations: int) -> int:
+    """Highest round index i < iterations whose ``round{i}`` table is
+    COMPLETE (has the committer's ``_SUCCESS`` marker), scanning
+    contiguously from 0 — a missing round{j} stops the scan even if
+    round{j+1} exists, because round j+1's content would then not be
+    derived from a surviving lineage. Storage-agnostic via the Hadoop
+    FileSystem API (works for local paths, HDFS, and object stores
+    alike)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    base = hpath(round_table_dir)
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    last = -1
+    for i in range(iterations):
+        if fs.exists(hpath(f"{round_table_dir}/round{i}/_SUCCESS")):
+            last = i
+        else:
+            break
+    return last

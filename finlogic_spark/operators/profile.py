@@ -27,52 +27,50 @@ from pyspark.sql import types as T
 
 
 def profile_columns(
-    df: DataFrame, cols: Sequence[str], approx: bool = False
+    df: DataFrame, cols: Sequence[str], approx: bool = False,
+    rsd: float = 0.05
 ) -> DataFrame:
     """Per-column profile in long form: (col_name, n_rows, n_nulls,
     n_distinct, frac_null). n_distinct counts non-null values (both
     engines' COUNT(DISTINCT) convention). frac_null is exact-rounded
     (6 dp) so the double is engine-independent.
 
-    ``approx=True`` is the 100 TB tier: n_distinct comes from
-    Datasketches HLL (``hll_sketch_agg``, lgk=12 → RSE ≈ 1.6%) folded
+    ``approx=True`` is the 100 TB tier: n_distinct comes from Spark's
+    HLL++ (``approx_count_distinct`` at ``rsd``, default 0.05) folded
     into the SAME single aggregate that computes rows/nulls — one
-    scan, one map-side-combining exchange of fixed-size sketches, no
-    per-column distinct branches at all. hll_sketch_agg accepts
-    int/long/string/binary only, so other types map through an
-    INJECTIVE integer conversion where one exists (date → epoch days,
-    timestamp → epoch micros, decimal → unscaled long, boolean → 0/1)
-    and fall back to a string cast otherwise — the per-row cast is
-    the tier's hot path (a blanket cast-to-string was measured ~2x
-    the whole pass at 150M rows x 5 columns). Measured at
-    sf100-customer: approx ~2x faster than the exact tier
-    (BENCH_r13_probes.json) — and NOT ``approx_count_distinct
-    (rsd=0.015)``, whose sub-default rsd was 4x slower than the whole
-    datasketches pass (2.58 s vs 0.6 s for the five HLLs alone,
-    measured). Same schema either way; the exact tier stays the
-    oracle-gated default (its 7.3x-vs-DuckDB sf100 row IS the
-    exact-COUNT(DISTINCT)-of-15M-strings contract — r12 decomposition
-    pinned the scan+agg floor at 0.19 s of it)."""
-    from functools import reduce
+    scan, one map-side-combining exchange of fixed-size sketch
+    buffers, no per-column distinct branches at all. The estimate is
+    DETERMINISTIC for given data (hash-based, no randomness), so band
+    checks against it are stable.
 
-    def _hll_input(c: str) -> F.Column:
-        t = df.schema[c].dataType
-        col = F.col(c)
-        if isinstance(
-            t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-                T.StringType, T.BinaryType)
-        ):
-            return col
-        if isinstance(t, T.BooleanType):
-            return col.cast("int")
-        if isinstance(t, T.DateType):
-            return F.unix_date(col)
-        if isinstance(t, T.TimestampType):
-            return F.unix_micros(col)
-        if isinstance(t, T.DecimalType) and t.precision <= 18:
-            # unscaled integer representation — injective, no string
-            return (col * F.lit(10 ** t.scale)).cast("long")
-        return col.cast("string")
+    Aggregate choice, measured twice (BENCH_r13_probes.json,
+    BENCH_r14_probes.json — 150M rows x 5 columns): the r13 probe
+    tried ``approx_count_distinct(rsd=0.015)`` — a 4x register
+    inflation over the default — and found it 4x slower than
+    Datasketches ``hll_sketch_agg(lgk=12)``, so r13 shipped
+    Datasketches. The r14 probe at the DEFAULT rsd inverts that:
+    HLL++ 3.6 s vs Datasketches 9.5 s vs exact 13.1 s. The reason is
+    the aggregate's row path, not the sketch math: HLL++ is a plain
+    ImperativeAggregate over a fixed-width word buffer that lives
+    INSIDE the hash-agg's UnsafeRow (no per-row object, buffer mutated
+    in place), while Datasketches is a TypedImperativeAggregate whose
+    per-row path goes through a heap sketch object and takes the whole
+    combined aggregate off whole-stage codegen. Sub-default rsd is a
+    register-inflation trap, not a property of HLL++. HLL++ also
+    hashes every atomic type natively, so the injective int-mapping
+    layer the Datasketches input contract needed (hll_sketch_agg
+    accepts int/long/string/binary only) is gone.
+
+    Same schema either way; the exact tier stays the oracle-gated
+    default (its sf100 row IS the exact-COUNT(DISTINCT)-of-15M-strings
+    contract — r12 decomposition pinned the scan+agg floor at 0.19 s
+    of it). The scale argument for the approx tier is the EXCHANGE,
+    not just the clock: the exact tier's partial-distinct exchange
+    carries every distinct value per column (data-sized at high
+    cardinality), the approx tier exchanges one fixed-size sketch
+    buffer per column per task — the BENCH_r14_probes.json
+    exchange-bytes table quantifies both."""
+    from functools import reduce
 
     if approx:
         aggs = [F.count(F.lit(1)).alias("__rows")]
@@ -83,9 +81,7 @@ def profile_columns(
                 )
             )
             aggs.append(
-                F.hll_sketch_estimate(
-                    F.hll_sketch_agg(_hll_input(c), F.lit(12))
-                ).alias(f"__nd_{c}")
+                F.approx_count_distinct(F.col(c), rsd).alias(f"__nd_{c}")
             )
         row = df.agg(*aggs)
         structs = [

@@ -466,3 +466,50 @@ def test_kmv_jvm_build_equals_python_build(spark):
         py = KMV(k)
         py.add_ints(arr)
         assert got[g] == py.to_longs(), g
+
+
+def test_kmv_rejects_non_integral_value_column(spark):
+    """A string value column must raise, not silently cast→NULL→seed
+    (which collapses every uncastable value onto one distinct hash)."""
+    import pytest
+    from finlogic_spark.operators.distinct_sketch import kmv_sketch_table
+
+    df = spark.createDataFrame(
+        [("a", "user_1"), ("a", "user_2")], "grp string, uid string"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        kmv_sketch_table(df, ["grp"], "uid")
+
+
+def test_kmv_wire_tag_guards_hash_change(spark):
+    """The persisted format carries its hash identity: a table without
+    the __hash tag (pre-xxhash64 era) is refused at the operator edge,
+    and a blob tagged with a DIFFERENT hash is refused at decode — both
+    failure modes previously produced silently-garbage estimates."""
+    import pytest
+    from finlogic_spark.operators.distinct_sketch import (
+        KMV,
+        KMV_WIRE_TAG,
+        kmv_pair_overlap,
+        kmv_sketch_table,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(50)] + [("b", i) for i in range(25, 75)],
+        "grp string, uid long",
+    )
+    sk = kmv_sketch_table(df, ["grp"], "uid", k=64)
+    assert sk.columns == ["grp", "__k", "__hash", "__kmv"]
+    assert {r["__hash"] for r in sk.select("__hash").collect()} == {
+        KMV_WIRE_TAG
+    }
+    # round-trips: a tagged table still estimates
+    got = kmv_pair_overlap(sk, "grp").collect()
+    assert len(got) == 1 and got[0]["approx_overlap"] > 0
+
+    legacy = sk.drop("__hash")  # a table persisted before the break
+    with pytest.raises(ValueError, match="__hash"):
+        kmv_pair_overlap(legacy, "grp")
+
+    with pytest.raises(ValueError, match="wire tag mismatch"):
+        KMV.from_longs(64, [1, 2, 3], wire_tag="splitmix64:0")

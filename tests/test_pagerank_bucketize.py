@@ -236,3 +236,84 @@ def test_pagerank_round_join_exchanges_ranks_only(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         ed.unpersist()
+
+
+def test_pagerank_broadcast_regime_hints_rank_side(spark):
+    """Small-|V| regime plan pin (the mirror of the SMJ pin above):
+    from round 2 on, ranks come from localCheckpoint, whose LogicalRDD
+    carries no size stats — without pagerank's explicit F.broadcast
+    hint the static planner would fall to SMJ and re-exchange the
+    unpartitioned cached edge list every round. Reproduce that round
+    shape (stats-less rank side + unpartitioned cache) and assert the
+    hint forces BroadcastHashJoin with an exchange-free edge branch."""
+    edges = spark.range(2000).selectExpr(
+        "id % 50 AS src", "(id * 7) % 50 AS dst"
+    )
+    ed = edges.join(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")), "src"
+    ).persist()
+    ed.count()
+    try:
+        ranks = (
+            spark.range(50)
+            .selectExpr("id AS src", "id * 10 AS rank")
+            .localCheckpoint(eager=True)  # stats-less, like round >= 2
+        )
+        plan = (
+            ed.join(F.broadcast(ranks), "src")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
+        lines = plan.splitlines()
+        bhj = next(i for i, ln in enumerate(lines) if "BroadcastHashJoin" in ln)
+        left = []
+        for ln in lines[bhj + 1:]:
+            left.append(ln)
+            if "InMemoryTableScan" in ln:
+                break
+        assert left and "InMemoryTableScan" in left[-1], plan
+        assert not any("Exchange" in ln for ln in left[:-1]), plan
+    finally:
+        ed.unpersist()
+
+
+def test_pagerank_resume_from_last_complete_round(spark, tmp_path):
+    """resume=True restarts from the highest COMPLETE round table
+    (contiguous _SUCCESS scan from round 0) and must produce the same
+    bit-exact ranks as an uninterrupted run; the resumed run must not
+    rewrite the rounds it resumed past."""
+    import os
+
+    rng = np.random.RandomState(7)
+    raw = {(int(a), int(b)) for a, b in rng.randint(0, 40, (200, 2)) if a != b}
+    df = spark.createDataFrame(sorted(raw), "src long, dst long")
+    full = {r["node"]: r["rank"] for r in pagerank(df, iterations=5).collect()}
+
+    d = str(tmp_path / "pr")
+    # simulate a job killed after round 2: run 3 rounds to the dir
+    pagerank(df, iterations=3, round_table_dir=d)
+    stamp = os.path.getmtime(f"{d}/round1/_SUCCESS")
+    resumed = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df, iterations=5, round_table_dir=d, resume=True
+        ).collect()
+    }
+    assert resumed == full
+    assert os.path.getmtime(f"{d}/round1/_SUCCESS") == stamp  # untouched
+    assert os.path.exists(f"{d}/round4/_SUCCESS")
+
+    # a GAP (round1 incomplete) must force restart from round 0's table
+    os.remove(f"{d}/round1/_SUCCESS")
+    from finlogic_spark.operators.graph import _last_complete_round
+
+    assert _last_complete_round(spark, d, 5) == 0
+    regapped = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df, iterations=5, round_table_dir=d, resume=True
+        ).collect()
+    }
+    assert regapped == full

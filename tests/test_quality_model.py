@@ -1,0 +1,117 @@
+"""Model-based quality gate (operators/quality_model.py): hashed-
+feature logistic scoring as a pure expression, deterministic training,
+cross-engine bucket parity."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from finlogic_spark.operators.quality_model import (
+    MICRO,
+    N_BUCKETS,
+    classify_quality,
+    token_bucket,
+    token_bucket_py,
+    train_quality_classifier,
+)
+
+
+def test_token_bucket_spark_matches_python(spark):
+    toks = ["hello", "world", "a", "b", "naïve", "日本語", "x" * 50, "1.5%"]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {
+        r["tok"]: r["b"]
+        for r in df.select("tok", token_bucket(F.col("tok")).alias("b")).collect()
+    }
+    for t in toks:
+        assert got[t] == token_bucket_py(t), t
+
+
+def _corpus_file(tmp_path):
+    # bimodal corpus: "good" docs (moderate length, clean prose tokens)
+    # vs "bad" docs (short punctuation soup) — separable by the
+    # heuristic proxy AND carrying token-level signal for the buckets
+    good_vocab = ["the", "market", "report", "shows", "steady", "growth",
+                  "across", "sectors", "with", "revenue"]
+    rows = []
+    for i in range(400):
+        if i % 2 == 0:
+            words = [good_vocab[(i + j) % len(good_vocab)] for j in range(80)]
+            rows.append((i, " ".join(words)))
+        else:
+            rows.append((i, "!!! ??? %%% " * 3 + f"x{i}"))
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [r[0] for r in rows],
+                  "text": [r[1] for r in rows]}),
+        path,
+    )
+    return path, rows
+
+
+def test_training_is_deterministic_and_separates(tmp_path):
+    path, _rows = _corpus_file(tmp_path)
+    w1, b1 = train_quality_classifier(path)
+    w2, b2 = train_quality_classifier(path)
+    assert w1 == w2 and b1 == b2  # no RNG anywhere
+    assert len(w1) == N_BUCKETS
+    assert any(v != 0 for v in w1)
+
+
+def test_classifier_agrees_with_proxy_on_separable_corpus(spark, tmp_path):
+    path, rows = _corpus_file(tmp_path)
+    w, b = train_quality_classifier(path)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["pred_quality"]
+        for r in classify_quality(df, "text", "doc_id", w, b).collect()
+    }
+    # on a cleanly bimodal corpus the learned gate must recover the
+    # classes almost exactly (training loss converges; allow a couple
+    # of boundary docs)
+    correct = sum(1 for i, p in got.items() if p == (i % 2 == 0))
+    assert correct >= 0.95 * len(got), correct
+
+
+def test_scoring_plan_is_expression_only(spark, tmp_path):
+    """The 100 TB contract: scoring = scan -> project. No Exchange, no
+    UDF/Arrow eval, and the weight table folded into ONE array literal
+    (per-row CreateArray was the bloomjoin 3.3x trap)."""
+    path, rows = _corpus_file(tmp_path)
+    w, b = train_quality_classifier(path)
+    df = spark.createDataFrame(rows[:10], "doc_id long, text string")
+    scored = classify_quality(df, "text", "doc_id", w, b)
+    opt = scored._jdf.queryExecution().optimizedPlan().toString()
+    assert "element_at([" in opt  # folded literal array, not CreateArray
+    phys = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys
+    assert "BatchEvalPython" not in phys and "ArrowEval" not in phys
+
+
+def test_logit_is_exact_integer_fold(spark, tmp_path):
+    """pred must equal the serial integer fold's sign exactly — the
+    verified surface is integer arithmetic, not float."""
+    path, rows = _corpus_file(tmp_path)
+    w, b = train_quality_classifier(path)
+    import re
+
+    def logit_py(text):
+        ts = [t for t in re.split(r"\s+", text.lower()) if t]
+        return sum(w[token_bucket_py(t)] for t in ts) + len(ts) * b
+
+    df = spark.createDataFrame(rows[:50], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["pred_quality"], r["logit"], r["n_tokens"])
+        for r in classify_quality(df, "text", "doc_id", w, b).collect()
+    }
+    for i, text in rows[:50]:
+        raw = logit_py(text)
+        n = len([t for t in re.split(r"\s+", text.lower()) if t])
+        assert got[i][0] == (raw >= 0)
+        assert got[i][2] == n
+        import math
+
+        assert got[i][1] == pytest.approx(
+            math.floor(raw / (n * MICRO) * 1e6 + 0.5) / 1e6, abs=0
+        )

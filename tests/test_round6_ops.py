@@ -239,7 +239,7 @@ def test_profile_columns_approx_tier(spark):
         assert approx[c]["frac_null"] == exact[c]["frac_null"]
         assert (
             abs(approx[c]["n_distinct"] - exact[c]["n_distinct"])
-            <= 0.05 * exact[c]["n_distinct"]
+            <= 0.15 * exact[c]["n_distinct"]  # 3 sigma at rsd=0.05
         )
     plan = (
         profile_columns(df, ["k", "s"], approx=True)

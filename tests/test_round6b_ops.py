@@ -160,6 +160,61 @@ def test_bloom_auto_bypass_regimes(spark):
         conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_bloom_auto_bypass_stats_fast_path_skips_checkpoint(spark):
+    """A dim whose Catalyst plan stats are already under the broadcast
+    threshold bypasses with ZERO jobs — no localCheckpoint, so no
+    ExistingRDD scan in the plan (the checkpoint+count decision cost
+    ~0.34 s at sf100 when the answer was 'do nothing'). The plain join
+    broadcasts on those same stats, so no explicit hint is needed."""
+    from finlogic_spark import plans
+
+    # range-based sides carry real Catalyst stats (createDataFrame
+    # plans as a stats-less ExistingRDD, which must NOT fast-path);
+    # the only ExistingRDD that could appear is the checkpoint.
+    probe = spark.range(100).selectExpr("id AS pk", "id * 10 AS pval")
+    build = spark.range(0, 100, 7).selectExpr(
+        "id AS bk", "concat('d', id) AS dval"
+    )
+    plan = plans.formatted_plan(bloom_pruned_join(probe, build, "pk", "bk"))
+    assert "__bloom_words" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "ExistingRDD" not in plan  # build was never checkpointed
+
+
+def test_bloom_auto_bypass_measures_wide_strings(spark):
+    """Stats-less build side (localCheckpoint — LogicalRDD reports the
+    default huge size, so the measured path decides) with WIDE strings:
+    the old flat 20-bytes-per-string estimate would pass 200 rows
+    under a 64 KiB threshold (200 x 28 B ≈ 5.6 KiB) and force a ~200 KiB
+    broadcast via the explicit hint; the measured octet_length estimate
+    must refuse the bypass and keep the bloom filter. A narrow-string
+    twin under the same threshold must still bypass."""
+    from finlogic_spark import plans
+
+    probe, _ = _sides(spark)
+    conf = spark.conf
+    old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024))
+        wide = spark.createDataFrame(
+            [(k, "x" * 1024) for k in range(200)],
+            "bk long, dval string",
+        ).localCheckpoint()
+        plan = plans.formatted_plan(bloom_pruned_join(probe, wide, "pk", "bk"))
+        assert "__bloom_words" in plan
+        narrow = spark.createDataFrame(
+            [(k, f"d{k}") for k in range(0, 100, 7)],
+            "bk long, dval string",
+        ).localCheckpoint()
+        plan = plans.formatted_plan(
+            bloom_pruned_join(probe, narrow, "pk", "bk")
+        )
+        assert "__bloom_words" not in plan
+        assert "BroadcastHashJoin" in plan
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_bloom_filter_is_one_bounded_row(spark):
     _, build = _sides(spark)
     num_bits = 1 << 10

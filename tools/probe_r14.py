@@ -1,0 +1,445 @@
+"""Round-14 scale probes (the r13 verdict's open items):
+
+- profile: the data_profile approx tier, re-adjudicated at 15M and
+  150M rows — HLL++ approx_count_distinct at DEFAULT rsd (the setting
+  the r13 probe skipped) vs Datasketches hll_sketch_agg(lgk=12) vs the
+  exact tier vs DuckDB exact/approx, PLUS the exchange-bytes table
+  (the cluster-scale variable: the exact tier's partial-distinct
+  exchange is data-sized at high cardinality; the approx tier
+  exchanges fixed-size sketch buffers).
+- pagerank: order-robust A/B of the r14 cache-derived regime signal
+  vs the r13 separate-count decision on the sf0.1 bench graph.
+- bloom: bypassed-path overhead vs the bare plain join at sf100 (the
+  r13 watch item: ~0.34 s of localCheckpoint+count when the decision
+  was "do nothing"; r14 adds the zero-job Catalyst-stats fast path).
+- multimodal: media_feature_extract throughput on a >=100k-image REAL
+  PNG corpus (pure-Python zlib decode path — PIL is absent in this
+  container), the one §2.10 family with no published scale row.
+
+Usage: python tools/probe_r14.py [--json out.json] [--runs N]
+       [--only profile,pagerank,bloom,multimodal] [sf100_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def timed(fn, runs: int) -> float:
+    fn()  # warm: codegen + page cache
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 2)
+
+
+def duck_timed(con, sql: str, runs: int) -> float:
+    con.sql(sql).fetchall()
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        con.sql(sql).fetchall()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 2)
+
+
+# ------------------------------------------------------------- shuffle bytes
+
+def _shuffle_write_bytes() -> int:
+    """Total shuffle-write bytes across all completed stages of this
+    app, via the Spark UI REST API (public monitoring surface; the
+    probe session enables the UI). Delta around a query = that query's
+    exchange volume."""
+    base = "http://localhost:4040/api/v1/applications"
+    with urllib.request.urlopen(base) as r:
+        app_id = json.load(r)[0]["id"]
+    with urllib.request.urlopen(f"{base}/{app_id}/stages?status=complete") as r:
+        stages = json.load(r)
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+
+def exchanged(fn) -> int:
+    before = _shuffle_write_bytes()
+    fn()
+    time.sleep(0.5)  # let the status store ingest the final stage
+    return _shuffle_write_bytes() - before
+
+
+# ------------------------------------------------------------------ profile
+
+def probe_profile(out, sf100, runs):
+    import duckdb
+
+    from finlogic_spark.operators.profile import profile_columns
+
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+            "o_orderpriority"]
+    sf10 = os.path.join(os.path.dirname(sf100.rstrip("/")), "sf10")
+
+    def datasketches_profile(df):
+        # the r13 implementation, inlined for the A/B (product code now
+        # uses approx_count_distinct — this is the losing alternative)
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            t = df.schema[c].dataType.simpleString()
+            col = F.col(c)
+            if t == "date":
+                col = F.unix_date(col)
+            elif t == "timestamp":
+                col = F.unix_micros(col)
+            elif t not in ("tinyint", "smallint", "int", "bigint",
+                           "string", "binary"):
+                col = col.cast("string")
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                    f"__nn_{c}"
+                )
+            )
+            aggs.append(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg(col, F.lit(12))
+                ).alias(f"__nd_{c}")
+            )
+        return df.agg(*aggs)
+
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={os.cpu_count()}")
+    for label, d, rows in [("15M", sf10, 15_000_000),
+                           ("150M", sf100, 150_000_000)]:
+        orders = SPARK.read.parquet(f"{d}/orders.parquet")
+        t_hllpp = timed(
+            lambda: noop(profile_columns(orders, cols, approx=True)), runs
+        )
+        t_ds = timed(lambda: noop(datasketches_profile(orders)), runs)
+        t_exact = timed(lambda: noop(profile_columns(orders, cols)), runs)
+        view = f"orders_{label}"
+        con.sql(
+            f"CREATE VIEW {view} AS SELECT * FROM '{d}/orders.parquet'"
+        )
+        branches = " UNION ALL ".join(
+            f"SELECT '{c}' AS col_name, count(*) AS n_rows, "
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct FROM {view}"
+            for c in cols
+        )
+        abranches = branches.replace("count(DISTINCT", "approx_count_distinct(")
+        d_exact = duck_timed(con, branches, runs)
+        d_approx = duck_timed(con, abranches, runs)
+        out[f"{label}:data_profile_tiers"] = {
+            "rows": rows,
+            "spark_approx_hllpp_default_rsd_s": t_hllpp,
+            "spark_approx_datasketches_lgk12_s": t_ds,
+            "spark_exact_s": t_exact,
+            "duckdb_exact_s": d_exact,
+            "duckdb_approx_s": d_approx,
+            "ratio_approx_vs_duck_exact": round(t_hllpp / d_exact, 2),
+            "ratio_approx_tier_for_tier": round(t_hllpp / d_approx, 2),
+            "note": (
+                "r13 probed only rsd=0.015 (4x register inflation) and "
+                "shipped Datasketches; at DEFAULT rsd HLL++ inverts the "
+                "choice — it is a fixed-width-buffer ImperativeAggregate "
+                "(codegen-adjacent row path) vs Datasketches' "
+                "TypedImperativeAggregate heap-object path. Product code "
+                "now ships HLL++ at rsd=0.05."
+            ),
+        }
+        print(out[f"{label}:data_profile_tiers"], flush=True)
+
+    # exchange-bytes table at 150M: the actual 100 TB argument — what
+    # each tier SHIPS. Measured via the UI REST API around one run.
+    orders = SPARK.read.parquet(f"{sf100}/orders.parquet")
+    xb_approx = exchanged(
+        lambda: noop(profile_columns(orders, cols, approx=True))
+    )
+    xb_exact = exchanged(lambda: noop(profile_columns(orders, cols)))
+    out["150M:data_profile_exchange_bytes"] = {
+        "approx_tier_shuffle_write_bytes": xb_approx,
+        "exact_tier_shuffle_write_bytes": xb_exact,
+        "ratio": round(xb_exact / max(xb_approx, 1), 1),
+        "note": (
+            "exact ships every distinct value per column through the "
+            "partial-distinct exchange (grows with cardinality -> "
+            "data-sized at 100 TB); approx ships one fixed-size HLL++ "
+            "buffer per column per task (constant in data size). "
+            "Single-box clocks converge at high thread counts; this "
+            "byte gap is what a 1000-executor cluster actually pays."
+        ),
+    }
+    print(out["150M:data_profile_exchange_bytes"], flush=True)
+
+
+# ------------------------------------------------------------------ pagerank
+
+def probe_pagerank(out, runs):
+    """Order-robust A/B on the sf0.1 bench graph: r13 decision
+    (separate distinct-union count; recomputes the upstream edge join)
+    vs r14 (persist the edge list FIRST, derive nodes + count from the
+    cache)."""
+    from finlogic_spark import driver_queries as dq
+    from finlogic_spark.operators import graph
+    from finlogic_spark.operators.graph import _SPILL
+
+    def pagerank_r13(edges, iterations=5, scale=1_000_000, damping_num=85,
+                     damping_den=100, src_col="src", dst_col="dst",
+                     round_table_dir=None, resume=False):
+        e = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).distinct()
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist(_SPILL)
+        )
+        from finlogic_spark.operators.bloomjoin import _est_row_bytes
+        from finlogic_spark.sources import parse_size_bytes
+
+        n_nodes = nodes.count()
+        threshold = parse_size_bytes(
+            edges.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            ),
+            default=10 * 1024 * 1024,
+        )
+        rank_bytes = n_nodes * (_est_row_bytes(nodes.schema) + 8)
+        ed = e.join(deg, "src")
+        if threshold <= 0 or rank_bytes > threshold:
+            ed = ed.repartition("src").sortWithinPartitions("src")
+        ed = ed.persist(_SPILL)
+        ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("long"))
+        teleport = (damping_den - damping_num) * scale // damping_den
+        for _ in range(iterations):
+            contrib = ed.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            ).select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"CAST({damping_num} AS BIGINT) * rank "
+                    f"DIV (CAST({damping_den} AS BIGINT) * __deg)"
+                ).alias("__c"),
+            )
+            inflow = contrib.groupBy("node").agg(F.sum("__c").alias("__in"))
+            ranks = nodes.join(inflow, "node", "left").select(
+                "node",
+                (F.lit(teleport) + F.coalesce(F.col("__in"), F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+            ranks = ranks.localCheckpoint(eager=True, storageLevel=_SPILL)
+        ed.unpersist()
+        nodes.unpersist()
+        return ranks
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    name = "orders_supplier_pagerank"
+    new_pr = graph.pagerank
+
+    def run():
+        t0 = time.perf_counter()
+        noop(dq.QUERIES[name](SPARK, sf))
+        return time.perf_counter() - t0
+
+    run()  # warm
+    res = {"r13_decision": [], "r14_decision": []}
+    for tag in ["r13_decision", "r14_decision", "r14_decision",
+                "r13_decision", "r13_decision", "r14_decision"]:
+        graph.pagerank = pagerank_r13 if tag == "r13_decision" else new_pr
+        res[tag].append(run())
+    graph.pagerank = new_pr
+    out["sf0.1:pagerank_decision_ab"] = {
+        k: round(statistics.median(v), 2) for k, v in res.items()
+    } | {
+        "samples": {k: [round(x, 2) for x in v] for k, v in res.items()},
+        "note": (
+            "same session, alternating order. r13 counted a distinct-"
+            "union node set built from the RAW edge input (recomputing "
+            "the orders x lineitem join), then built the edge cache from "
+            "that input again; r14 persists the (edge, degree) list "
+            "first and derives nodes + the exact count from the cache — "
+            "the upstream join runs once, the decision reads cached rows."
+        ),
+    }
+    print(out["sf0.1:pagerank_decision_ab"], flush=True)
+
+
+# ------------------------------------------------------------------ bloom
+
+def probe_bloom(out, sf100, runs):
+    """Bypassed-path overhead vs the bare plain join (r13 watch item)."""
+    from finlogic_spark.operators.bloomjoin import bloom_pruned_join
+
+    li = SPARK.read.parquet(f"{sf100}/orders.parquet")
+    cust = SPARK.read.parquet(f"{sf100}/customer.parquet")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+
+    def plain():
+        noop(li.join(dim, ["o_custkey"]))
+
+    def bypassed():
+        noop(bloom_pruned_join(li, dim, "o_custkey", "o_custkey"))
+
+    tp = timed(plain, runs)
+    tb = timed(bypassed, runs)
+    out["sf100:join_bloom_bypassed_vs_plain"] = {
+        "plain_join_s": tp,
+        "bloom_pruned_join_bypassed_s": tb,
+        "overhead_s": round(tb - tp, 2),
+        "note": (
+            "r13 paid ~0.34 s of localCheckpoint+count on the 'do "
+            "nothing' branch; r14 decides from Catalyst's optimized-plan "
+            "stats when they are already under the threshold — zero "
+            "jobs, the returned plan IS the plain join."
+        ),
+    }
+    print(out["sf100:join_bloom_bypassed_vs_plain"], flush=True)
+
+
+# --------------------------------------------------------------- multimodal
+
+def probe_multimodal(out, runs, n_images=100_000):
+    """media_feature_extract on a REAL PNG corpus: n_images synthetic
+    RGB PNGs (deterministic content, zlib-compressed scanlines — the
+    pure-Python png_decoder path; PIL is absent in this container),
+    written to parquet first so the measured pass reads binary columns
+    the way a real corpus arrives. Publishes throughput + peak RSS
+    per the r13 verdict's item 6."""
+    import zlib
+
+    from finlogic_spark.operators.multimodal import (
+        extract_features,
+        png_decoder,
+    )
+
+    tmp = "/tmp/probe_r14_media"
+    if not os.path.exists(f"{tmp}/_SUCCESS"):
+        import numpy as np
+
+        def make_png(i: int) -> bytes:
+            rng = np.random.RandomState(i)
+            w, h = 64, 48
+            px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+            def chunk(tag, data):
+                body = tag + data
+                return (
+                    len(data).to_bytes(4, "big") + body
+                    + (zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big")
+                )
+            ihdr = (
+                w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes([8, 2, 0, 0, 0])
+            )
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw, 1))
+                + chunk(b"IEND", b"")
+            )
+
+        # build driver-side in batches; ~12 KB/png -> ~1.2 GB corpus
+        schema = "media_id long, kind string, data binary"
+        parts = []
+        batch = 20_000
+        for lo in range(0, n_images, batch):
+            rows = [
+                (i, "image", bytearray(make_png(i)))
+                for i in range(lo, min(lo + batch, n_images))
+            ]
+            SPARK.createDataFrame(rows, schema).write.mode(
+                "append" if parts else "overwrite"
+            ).parquet(tmp)
+            parts.append(lo)
+            print(f"  corpus: {min(lo + batch, n_images)}/{n_images}",
+                  flush=True)
+
+    media = SPARK.read.parquet(tmp)
+    n = media.count()
+
+    def extract():
+        noop(extract_features(media, decoder=png_decoder))
+
+    t = timed(extract, max(1, runs - 1))
+    import resource
+
+    peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    out["multimodal:media_feature_extract_png"] = {
+        "images": n,
+        "image_shape": "64x48x3 RGB PNG (zlib, real decode)",
+        "extract_s": t,
+        "images_per_s": round(n / t),
+        "driver_peak_rss_mb": int(peak_mb),
+        "note": (
+            "Arrow-batched mapInPandas over binary payload columns; "
+            "pure-Python zlib+Paeth PNG decode per image (PIL absent "
+            "in this container — same plumbing, slower codec). "
+            "Throughput scales with executors: no shuffle, "
+            "scan -> decode -> project."
+        ),
+    }
+    print(out["multimodal:media_feature_extract_png"], flush=True)
+
+
+def main() -> int:
+    global SPARK
+    argv = sys.argv[1:]
+    json_out = None
+    runs = 3
+    only = {"profile", "pagerank", "bloom", "multimodal"}
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    if "--runs" in argv:
+        i = argv.index("--runs")
+        runs = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    sf100 = argv[0] if argv else "/root/repo/testdata/sf100"
+
+    from finlogic_spark.session import get_spark
+
+    SPARK = get_spark(
+        "probe-r14", extra_conf={"spark.ui.enabled": "true"}
+    )
+    SPARK.sparkContext.setLogLevel("ERROR")
+    out: dict = {"runs": runs}
+    if "profile" in only:
+        probe_profile(out, sf100, runs)
+    if "pagerank" in only:
+        probe_pagerank(out, runs)
+    if "bloom" in only:
+        probe_bloom(out, sf100, runs)
+    if "multimodal" in only:
+        probe_multimodal(out, runs)
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(out, f, indent=1)
+        print("wrote", json_out)
+    return 0
+
+
+SPARK = None
+
+if __name__ == "__main__":
+    raise SystemExit(main())
