@@ -7543,6 +7543,122 @@ def data_profile_approx(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Hybrid retrieval fusion (round 14)
+# ---------------------------------------------------------------------------
+
+_HYBRID_TERMS = ["dup", "vector", "spark"]
+
+# Semantic leg: the emb_lsh_topk oracle specialized to ONE query
+# (vec_id = 0, the doc whose embedding plays the query vector) and
+# k=20 — same planes/masks literals, same rank keys.
+_HYBRID_SEM_SQL = f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id = 0),
+    cb AS (
+      SELECT t, vec_id, v, CAST(sum(CASE WHEN
+               list_sum(list_transform(range(1, 65), i -> v[i] * pl[i])) >= 0
+             THEN power(2, p)::BIGINT ELSE 0 END) AS BIGINT) AS bucket
+      FROM c CROSS JOIN {{planes}} GROUP BY t, vec_id, v),
+    qb0 AS (
+      SELECT t, query_id, qv, CAST(sum(CASE WHEN
+               list_sum(list_transform(range(1, 65), i -> qv[i] * pl[i])) >= 0
+             THEN power(2, p)::BIGINT ELSE 0 END) AS BIGINT) AS bucket
+      FROM qs CROSS JOIN {{planes}} GROUP BY t, query_id, qv),
+    qb AS (
+      SELECT t, query_id, qv, xor(bucket, mask) AS bucket
+      FROM qb0 CROSS JOIN {{masks}}),
+    scored AS (
+      SELECT query_id, vec_id,
+             max({_DOT_SQL} / ({_NORM_V} * {_NORM_Q})) AS cs
+      FROM cb JOIN qb USING (t, bucket)
+      GROUP BY query_id, vec_id)
+    SELECT vec_id, rk
+    FROM (SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cs DESC, vec_id ASC)
+            AS INTEGER) AS rk
+          FROM scored)
+    WHERE rk <= 20
+"""
+
+
+def _hybrid_oracle_sql() -> str:
+    # Composed FROM the two component oracles: the lexical leg is the
+    # registered doc_bm25_search SQL verbatim (already LIMIT 20 with
+    # (score DESC, doc_id ASC) order — row_number over the same keys
+    # recovers its rank), the semantic leg the specialized LSH SQL
+    # above. Fusion itself is exact rank arithmetic.
+    sem = _HYBRID_SEM_SQL.format(
+        planes=_multi_planes_sql(), masks=_masks_sql()
+    )
+    return f"""
+    WITH lex AS (
+      SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY score DESC, doc_id ASC) AS INTEGER) AS r_lex
+      FROM ({ORACLES["doc_bm25_search"]})),
+    sem AS (SELECT vec_id AS doc_id, rk AS r_sem FROM ({sem})),
+    f AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem,
+             coalesce(1.0 / (60 + l.r_lex), 0.0)
+             + coalesce(1.0 / (60 + s.r_sem), 0.0) AS s
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+    SELECT doc_id, r_lex, r_sem,
+           floor(s * 1000000.0 + 0.5) / 1000000.0 AS rrf_score
+    FROM f ORDER BY s DESC, doc_id ASC LIMIT 15
+    """
+
+
+@q("doc_hybrid_search", _hybrid_oracle_sql())
+def doc_hybrid_search(spark, sf_dir):
+    # Reciprocal-rank fusion of the two persisted serving indexes
+    # (r13 verdict item 3): BM25 over the partition-pruned postings
+    # index + ANN top-k served from the LSH index, fused with RRF
+    # k=60 (operators/search.rrf_fuse). Both legs are top-20 bounded,
+    # so fusion is broadcast-sized rank arithmetic — the corpus-scale
+    # work stays inside the index-served legs. 1/(k+r) is one IEEE
+    # division of exact ints and the two terms add in a fixed order,
+    # so the fused score hashes bit-identically without quantization.
+    from finlogic_spark.operators.search import bm25_topk, rrf_fuse
+
+    idx = _postings_index(spark, sf_dir)
+    lex = bm25_topk(None, _HYBRID_TERMS, k=20, postings=idx)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(w).cast("int").alias("r_lex")
+    )
+    corpus = _lsh_index(spark, sf_dir)
+    q0 = _emb_corpus(spark, sf_dir).filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    sem = lsh_cosine_topk(
+        corpus,
+        q0,
+        k=20,
+        dim=64,
+        num_planes=_LSH_PLANES,
+        num_tables=_LSH_TABLES,
+        probe_radius=_LSH_RADIUS,
+        corpus_bucketed=True,
+        local_query_probes=True,
+    )
+    sem_r = sem.select(
+        F.col("vec_id").alias("doc_id"), F.col("rk").cast("int").alias("r_sem")
+    )
+    fused = rrf_fuse([(lex_r, "r_lex"), (sem_r, "r_sem")], "doc_id", k=60)
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(15)
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_sem",
+            rN(F.col("rrf_score"), 6).alias("rrf_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Model-based quality gate (round 14)
 # ---------------------------------------------------------------------------
 

@@ -723,3 +723,43 @@ def phrase_search(
         .agg(F.count(F.lit(1)).alias("n_matches"))
         .orderBy("doc_id")
     )
+
+
+def rrf_fuse(
+    legs: "list[tuple[DataFrame, str]]",
+    id_col: str = "doc_id",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion [Cormack et al., SIGIR'09] over N ranked
+    lists: score(d) = Σ_legs 1 / (k + rank_leg(d)), summed over the
+    legs that contain d (absent legs contribute 0 — the standard
+    formulation). k=60 is the canonical constant from the paper.
+
+    ``legs``: (DataFrame, rank_col) pairs; each frame carries
+    ``id_col`` + its 1-based rank column and is TOP-K BOUNDED by
+    construction (the output of a top-k retrieval leg) — so every join
+    here is a broadcast of at most k rows per leg, and fusion cost is
+    independent of corpus size: the 100 TB work happened inside each
+    leg's index-served retrieval, fusion is rank arithmetic over
+    bounded lists. Full-outer joins keep documents found by ANY leg
+    (the union semantics RRF needs — an inner join would silently
+    demote single-leg hits).
+
+    Determinism: each 1/(k + r) is ONE IEEE division of exact integers
+    and the legs sum left-to-right in the given order — bit-identical
+    across engines, so the fused ordering (score DESC, id ASC) is
+    hash-stable without quantization."""
+    if not legs:
+        raise ValueError("rrf_fuse needs at least one ranked leg")
+    out, rank_cols = None, []
+    for df, rank_col in legs:
+        leg = df.select(id_col, rank_col)
+        rank_cols.append(rank_col)
+        out = leg if out is None else out.join(leg, [id_col], "full_outer")
+    score = None
+    for rc in rank_cols:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k) + F.col(rc)), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    return out.select(id_col, *rank_cols, score.alias("rrf_score"))

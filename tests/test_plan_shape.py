@@ -466,3 +466,43 @@ def test_prefix_verify_broadcast_pair_stream_never_shuffles(spark, sf_dir):
     # join must contain no Exchange other than the final sort of the
     # operator's orderBy-free output (there is none here).
     assert "Exchange hashpartitioning" not in tail.split("== Physical Plan ==")[-1]
+
+
+def test_rrf_fuse_union_semantics_and_determinism(spark):
+    """RRF (operators/search.rrf_fuse): union over legs (a doc found
+    by only one leg still scores), absent legs contribute exactly 0,
+    and the score matches the 1/(k+r) arithmetic bit-for-bit."""
+    from finlogic_spark.operators.search import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, r_lex int"
+    )
+    sem = spark.createDataFrame(
+        [(20, 1), (40, 2)], "doc_id long, r_sem int"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in rrf_fuse([(lex, "r_lex"), (sem, "r_sem")], "doc_id").collect()
+    }
+    assert set(got) == {10, 20, 30, 40}  # union, not intersection
+    assert got[20]["rrf_score"] == 1.0 / 62 + 1.0 / 61  # both legs
+    assert got[10]["rrf_score"] == 1.0 / 61  # lex only
+    assert got[40]["rrf_score"] == 1.0 / 62  # sem only
+    assert got[30]["r_sem"] is None and got[30]["rrf_score"] == 1.0 / 63
+    import pytest
+
+    with pytest.raises(ValueError):
+        rrf_fuse([], "doc_id")
+
+
+def test_hybrid_search_legs_serve_partition_pruned(spark, sf_dir):
+    """doc_hybrid_search's 100 TB contract: BOTH serving-index reads in
+    the fused plan are partition-pruned (__tok_bkt for the postings
+    leg; the LSH leg equi-joins on its bucketed index — same pins as
+    the component queries), and fusion joins are broadcast-sized."""
+    from finlogic_spark.driver_queries import QUERIES
+
+    df = QUERIES["doc_hybrid_search"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "PartitionFilters" in plan and "__tok_bkt" in plan
+    assert df.count() == 15
