@@ -7137,21 +7137,44 @@ _BPE_MERGES_CACHE: dict[str, list] = {}
 _BPE_ENC_VALUES_CACHE: dict[str, list] = {}
 
 
-def _bpe_merges(spark, sf_dir):
-    """Learn (once per sf_dir) the corpus BPE merge table: distributed
-    word counts (vocab-bounded exchange, top-W bounded driver
-    materialization) -> deterministic serial learner."""
-    if sf_dir not in _BPE_MERGES_CACHE:
+def _bpe_index_store(spark, sf_dir):
+    """Durable BPE serving index, built once per sf_dir (r13 verdict
+    item 5 — the merge table was a per-session cache while every other
+    serving structure had a persisted store): merges + per-word
+    encodings + version sidecar under the session scratch root (the
+    _postings_index lifecycle). Returns (merges, pieces_lookup) —
+    merges is num_merges rows, the lookup is vocab-bounded (the
+    top-30k materialization precedent); registry queries SERVE from
+    them (seeded encode caches), so query-time BPE cost for known
+    words is a dict hit, not a merge loop."""
+    key = ("bpe_index", sf_dir)
+    if key not in _BPE_MERGES_CACHE:
         from finlogic_spark.operators.bpe import (
-            corpus_word_counts,
-            learn_bpe_merges,
+            build_bpe_index,
+            load_pieces_lookup,
+            read_bpe_index,
         )
 
-        wc = corpus_word_counts(
-            _t(spark, sf_dir, "documents"), "text", _BPE_TOP_WORDS
-        )
-        _BPE_MERGES_CACHE[sf_dir] = learn_bpe_merges(wc, _BPE_NUM_MERGES)
-    return _BPE_MERGES_CACHE[sf_dir]
+        safe = "".join(c if c.isalnum() else "_" for c in sf_dir)
+        path = os.path.join(_scratch_root(), f"bpe{safe}", "idx")
+        try:
+            merges, _wp = read_bpe_index(spark, path)
+        except Exception:
+            build_bpe_index(
+                _t(spark, sf_dir, "documents"),
+                path,
+                "text",
+                num_merges=_BPE_NUM_MERGES,
+                top_words=_BPE_TOP_WORDS,
+            )
+            merges, _wp = read_bpe_index(spark, path)
+        _BPE_MERGES_CACHE[key] = (merges, load_pieces_lookup(spark, path))
+    return _BPE_MERGES_CACHE[key]
+
+
+def _bpe_merges(spark, sf_dir):
+    """The learned merge table, served from the persisted index."""
+    return _bpe_index_store(spark, sf_dir)[0]
 
 
 def _bpe_enc_pairs(sf_dir: str) -> list[tuple[str, str]]:
@@ -7245,7 +7268,8 @@ def doc_bpe_encode(spark, sf_dir):
     from finlogic_spark.operators.bpe import bpe_doc_stats
 
     d = _t(spark, sf_dir, "documents")
-    return bpe_doc_stats(d, _bpe_merges(spark, sf_dir)).orderBy("doc_id")
+    m, lk = _bpe_index_store(spark, sf_dir)
+    return bpe_doc_stats(d, m, pieces_lookup=lk).orderBy("doc_id")
 
 
 def _bpe_pack_oracle_sql(sf_dir: str) -> str:
@@ -7281,7 +7305,8 @@ def doc_bpe_pack(spark, sf_dir):
     from finlogic_spark.operators.bpe import bpe_doc_stats
 
     d = _t(spark, sf_dir, "documents")
-    enc = bpe_doc_stats(d, _bpe_merges(spark, sf_dir)).select(
+    m, lk = _bpe_index_store(spark, sf_dir)
+    enc = bpe_doc_stats(d, m, pieces_lookup=lk).select(
         "doc_id", "n_pieces"
     )
     budget = 2048
@@ -7376,7 +7401,8 @@ def doc_bpe_shingle_pairs(spark, sf_dir):
     from finlogic_spark.operators.text_dedup import array_shingles
 
     d = _t(spark, sf_dir, "documents")
-    p = bpe_pieces(d, _bpe_merges(spark, sf_dir))
+    m, lk = _bpe_index_store(spark, sf_dir)
+    p = bpe_pieces(d, m, pieces_lookup=lk)
     sh = p.select(
         "doc_id",
         F.explode(
@@ -7463,7 +7489,8 @@ def doc_bpe_pack_segments(spark, sf_dir):
     from finlogic_spark.operators.corpus import pack_segments
 
     d = _t(spark, sf_dir, "documents")
-    enc = bpe_doc_stats(d, _bpe_merges(spark, sf_dir)).select(
+    m, lk = _bpe_index_store(spark, sf_dir)
+    enc = bpe_doc_stats(d, m, pieces_lookup=lk).select(
         "doc_id", "n_pieces"
     )
     sized = (

@@ -44,11 +44,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "append_bpe_index",
     "bpe_doc_stats",
     "bpe_pieces",
+    "build_bpe_index",
     "corpus_word_counts",
     "encode_word",
     "learn_bpe_merges",
+    "load_pieces_lookup",
+    "read_bpe_index",
 ]
 
 # Java \s (non-UNICODE_CHARACTER_CLASS), same class freq.py pins
@@ -170,6 +174,7 @@ def bpe_doc_stats(
     merges: Sequence[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    pieces_lookup: dict[str, tuple[str, ...]] | None = None,
 ) -> DataFrame:
     """Per-document BPE statistics: (id, n_words, n_pieces,
     n_distinct_pieces). Documents with no tokens (null/empty text) are
@@ -180,7 +185,12 @@ def bpe_doc_stats(
     mapInPandas with a per-task word->pieces cache, so cost scales
     with distinct words per task. n_pieces is the packing length
     (doc_bpe_pack rides it) and n_distinct_pieces makes the output
-    hash sensitive to the piece IDENTITIES, not just their count."""
+    hash sensitive to the piece IDENTITIES, not just their count.
+
+    ``pieces_lookup`` (optional): a word->pieces dict from the
+    persisted index (load_pieces_lookup) SEEDS each task's cache, so
+    serving pays a lookup for known words and the merge loop only for
+    unseen ones — identical output either way (encode_word is pure)."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     out_schema = (
         f"{id_col} long, n_words long, n_pieces long, "
@@ -190,7 +200,9 @@ def bpe_doc_stats(
     def enc(batches):
         import pandas as pd
 
-        cache: dict[str, tuple[str, ...]] = {}
+        cache: dict[str, tuple[str, ...]] = (
+            dict(pieces_lookup) if pieces_lookup else {}
+        )
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
@@ -222,6 +234,7 @@ def bpe_pieces(
     merges: Sequence[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    pieces_lookup: dict[str, tuple[str, ...]] | None = None,
 ) -> DataFrame:
     """Per-document BPE piece SEQUENCE: (id, pieces array<string>) in
     document order — the input to piece-level shingling (near-dup on
@@ -229,13 +242,16 @@ def bpe_pieces(
     quirks that word shingles split on). Same drop-no-token-docs
     contract, broadcast ranks, and per-task word cache as
     bpe_doc_stats; the only difference is emitting the sequence
-    instead of its summary counts."""
+    instead of its summary counts. ``pieces_lookup`` seeds the task
+    caches from the persisted index, as in bpe_doc_stats."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
 
     def enc(batches):
         import pandas as pd
 
-        cache: dict[str, tuple[str, ...]] = {}
+        cache: dict[str, tuple[str, ...]] = (
+            dict(pieces_lookup) if pieces_lookup else {}
+        )
         for pdf in batches:
             ids, seqs = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
@@ -265,3 +281,133 @@ def bpe_pieces(
     return docs.select(id_col, text_col).mapInPandas(
         enc, schema=f"{id_col} long, pieces array<string>"
     )
+
+
+# --------------------------------------------------------------- persistence
+
+BPE_INDEX_VERSION = 1
+
+
+def _encode_words_df(
+    words: DataFrame, merges: Sequence[tuple[str, str]]
+) -> DataFrame:
+    """(word) -> (word, pieces array<string>): the distributed encode
+    of a DISTINCT-word table under broadcast merge ranks — vocab-sized
+    in and out, never occurrence-sized."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["pieces"] = [
+                list(encode_word(w, ranks)) for w in pdf["word"]
+            ]
+            yield pdf
+
+    return words.mapInPandas(enc, schema="word string, pieces array<string>")
+
+
+def build_bpe_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    num_merges: int = 200,
+    top_words: int = 30_000,
+) -> None:
+    """Durable BPE serving index (the r13 verdict's item 5: every other
+    serving structure — postings, LSH, IVF — has a persisted store with
+    an append path; the merge table was a per-session cache). Layout:
+
+    - ``{path}/merges``       (rank, left, right) — the model, ~KBs
+    - ``{path}/word_pieces``  (word, pieces) — per-word encodings for
+      every distinct corpus word (vocab-sized; serving seeds encode
+      caches from it so known words cost a lookup, not a merge loop)
+    - ``{path}/_stats``       version + build parameters (the
+      n_buckets-sidecar precedent: serving can never bind to stale
+      parameters, and a format change refuses to decode)
+
+    Scale: learning reads the vocab-bounded word-frequency table
+    (top-``top_words`` driver materialization, the centroids
+    precedent); word_pieces is ONE distinct over exploded tokens
+    (vocabulary-sized exchange) + an Arrow-batched encode of distinct
+    words only."""
+    spark = docs.sparkSession
+    wc = corpus_word_counts(docs, text_col, top_words)
+    merges = learn_bpe_merges(wc, num_merges)
+    from finlogic_spark.functions.text import tokens
+
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/merges")
+    words = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(text_col)).alias("word"))
+        .distinct()
+    )
+    _encode_words_df(words, merges).write.mode("overwrite").parquet(
+        f"{path}/word_pieces"
+    )
+    spark.createDataFrame(
+        [(BPE_INDEX_VERSION, num_merges, top_words)],
+        "version int, num_merges int, top_words int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_stats")
+
+
+def read_bpe_index(spark, path: str):
+    """-> (merges list ordered by rank, word_pieces DataFrame). The
+    merge table is bounded (num_merges rows) by construction — a
+    driver read, like every consumer of the model. Raises on a stats
+    version mismatch (the KMV __hash lesson: silent format drift makes
+    silently-wrong encodings)."""
+    st = spark.read.parquet(f"{path}/_stats").collect()[0]
+    if st["version"] != BPE_INDEX_VERSION:
+        raise ValueError(
+            f"BPE index at {path} has version {st['version']}, this build "
+            f"reads {BPE_INDEX_VERSION} — rebuild the index"
+        )
+    mrows = spark.read.parquet(f"{path}/merges").orderBy("rank").collect()
+    merges = [(r["left"], r["right"]) for r in mrows]
+    return merges, spark.read.parquet(f"{path}/word_pieces")
+
+
+def append_bpe_index(
+    new_docs: DataFrame, path: str, text_col: str = "text"
+) -> int:
+    """Incremental append for a new corpus batch under FROZEN merges
+    (the frozen-parameter ANN-append precedent: the model does not
+    move, only the lookup grows): encode ONLY the new batch's words
+    not already in word_pieces (distinct -> left-anti against the
+    store) and append them. Returns the number of words added.
+    Append == rebuild-with-frozen-merges because encode_word is a pure
+    function of (word, merges) — pinned in tests/test_bpe.py."""
+    spark = new_docs.sparkSession
+    merges, wp = read_bpe_index(spark, path)
+    from finlogic_spark.functions.text import tokens
+
+    fresh = (
+        new_docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(text_col)).alias("word"))
+        .distinct()
+        .join(wp.select("word"), "word", "left_anti")
+        # the anti-join source must not race the append below
+        .localCheckpoint(eager=True)
+    )
+    n = fresh.count()
+    if n:
+        _encode_words_df(fresh, merges).write.mode("append").parquet(
+            f"{path}/word_pieces"
+        )
+    return n
+
+
+def load_pieces_lookup(spark, path: str) -> dict[str, tuple[str, ...]]:
+    """word -> pieces dict from the persisted index — vocab-sized
+    (bounded by the corpus vocabulary, the top-30k-materialization
+    precedent), used to SEED the per-task encode caches so serving
+    pays a dict lookup for known words and the merge loop only for
+    unseen ones."""
+    _merges, wp = read_bpe_index(spark, path)
+    return {r["word"]: tuple(r["pieces"]) for r in wp.collect()}

@@ -177,3 +177,77 @@ def test_pack_segments_invariants(spark):
             assert total == B, (shard, seq, total)
     with __import__("pytest").raises(ValueError, match="budget"):
         pack_segments(df, "doc_id", "shard", "n", 0)
+
+
+def test_bpe_index_persist_append_equals_rebuild(spark, tmp_path):
+    """Persisted BPE serving index (build_bpe_index): append of a new
+    corpus batch under FROZEN merges must land exactly the word set a
+    from-scratch word_pieces rebuild over the union would (encode_word
+    is pure, so per-word pieces are identical by construction — the
+    frozen-parameter ANN-append contract); reading back must refuse a
+    version mismatch; and serving with the persisted lookup must be
+    bit-identical to the unseeded encode path."""
+    import pytest
+
+    from finlogic_spark.operators.bpe import (
+        BPE_INDEX_VERSION,
+        append_bpe_index,
+        bpe_doc_stats,
+        build_bpe_index,
+        load_pieces_lookup,
+        read_bpe_index,
+        _encode_words_df,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"lower lowest slower slow low war newer new {i}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(100 + i, f"widened widen wide wider unseen{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bpe_idx")
+    build_bpe_index(a, path, num_merges=30, top_words=1000)
+    merges, wp_before = read_bpe_index(spark, path)
+    n_before = wp_before.count()
+    added = append_bpe_index(b, path)
+    assert added > 0
+    merges_after, wp_after = read_bpe_index(spark, path)
+    assert merges_after == merges  # frozen model
+    # append == rebuild-with-frozen-merges over the union vocabulary
+    from pyspark.sql import functions as F
+    from finlogic_spark.functions.text import tokens
+
+    union_words = (
+        a.unionByName(b)
+        .select(F.explode(tokens("text")).alias("word"))
+        .distinct()
+    )
+    rebuilt = {
+        r["word"]: tuple(r["pieces"])
+        for r in _encode_words_df(union_words, merges).collect()
+    }
+    appended = {
+        r["word"]: tuple(r["pieces"]) for r in wp_after.collect()
+    }
+    assert appended == rebuilt
+    assert wp_after.count() == n_before + added
+
+    # served (seeded-cache) path == unseeded path, bit for bit
+    lk = load_pieces_lookup(spark, path)
+    got_served = sorted(
+        map(tuple, bpe_doc_stats(b, merges, pieces_lookup=lk).collect())
+    )
+    got_plain = sorted(map(tuple, bpe_doc_stats(b, merges).collect()))
+    assert got_served == got_plain
+
+    # version guard
+    stats = spark.read.parquet(f"{path}/_stats").collect()[0]
+    spark.createDataFrame(
+        [(BPE_INDEX_VERSION + 1, stats["num_merges"], stats["top_words"])],
+        "version int, num_merges int, top_words int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_stats")
+    with pytest.raises(ValueError, match="version"):
+        read_bpe_index(spark, path)
