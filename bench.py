@@ -162,6 +162,10 @@ BENCH_QUERIES = [
     "doc_bpe_shingle_pairs",
     "doc_bpe_pack_segments",
     "data_profile_approx",
+    # round 14: learned quality gate (expression-only scoring) +
+    # RRF fusion of the two persisted serving indexes
+    "doc_quality_classifier",
+    "doc_hybrid_search",
 ]
 
 

@@ -203,12 +203,15 @@ def bloom_pruned_join(
     the threshold, the plain join broadcasts on those same stats, so
     it is returned untouched, no checkpoint, no count (this was ~0.34 s
     of pure decision overhead at sf100 when the answer was "do
-    nothing"); (2) otherwise the checkpoint+count decision, where the
-    size estimate now MEASURES string/binary bytes in the same single
-    job (``octet_length`` sums on top of the planner's fixed widths) —
-    a flat per-string default would let a wide-string dim pass the
+    nothing"); (2) otherwise ONE measurement job over the
+    un-checkpointed dim — row count + MEASURED string/binary bytes
+    (``octet_length`` sums on top of the planner's fixed widths; a
+    flat per-string default would let a wide-string dim pass the
     threshold on paper and then force a driver-heavy broadcast via the
-    explicit hint. In the
+    explicit hint). A bypassed dim is never materialized: the bypass
+    branch costs exactly one pushdown-filtered dim scan over the bare
+    plain join, and only the bloom branch checkpoints (where
+    scan-once across build+join pays). In the
     broadcast regime the exact join already prunes probe rows inside
     the scan stage for free — the bloom is pure overhead there
     (measured sf100 decomposition: plain broadcast join 1.28 s, bloom
@@ -269,13 +272,18 @@ def bloom_pruned_join(
                 return probe.join(
                     build, F.col(probe_key) == F.col(build_key)
                 )
-        build = build.localCheckpoint(eager=True)
-        # One job over the checkpointed dim: row count + MEASURED
-        # variable-width bytes. The old flat 20-bytes-per-string
-        # planner default let a wide-string dim (URLs, payloads) pass
-        # n*width <= threshold while its real broadcast size was far
-        # above it — the explicit hint below would then force the very
-        # driver-heavy broadcast the threshold exists to prevent.
+        # One measurement job over the UN-checkpointed dim: row count +
+        # MEASURED variable-width bytes (the old flat 20-bytes-per-
+        # string planner default let a wide-string dim pass n*width <=
+        # threshold while its real broadcast size was far above it —
+        # the explicit hint below would then force the very driver-
+        # heavy broadcast the threshold exists to prevent). Measuring
+        # BEFORE checkpointing keeps the bypass branch — the common
+        # case — free of any materialization: its total cost over the
+        # bare plain join is one pushdown-filtered dim scan. Only the
+        # bloom branch checkpoints, where scan-once across build+join
+        # actually pays (the dim is small by this operator's contract,
+        # so its one extra scan there is noise).
         var_cols = [
             f.name
             for f in build.schema.fields
@@ -286,25 +294,25 @@ def bloom_pruned_join(
             for i, c in enumerate(var_cols)
         ]
         sized = build.agg(*aggs).collect()[0]
-        n = sized["__n"]
+        n = sized["__n"] or 0
         var_bytes = sum(
             sized[f"__b{i}"] or 0 for i in range(len(var_cols))
         )
         est_bytes = n * _est_row_bytes(build.schema) + var_bytes
-        if auto_bypass and 0 < threshold:
-            if est_bytes <= threshold:
-                # broadcast regime: the exact broadcast hash join prunes
-                # in the scan stage already — skip the redundant k-hash
-                # filter pass over the probe. The hint is explicit
-                # because the checkpointed RDD carries no size stats
-                # (the static planner would SMJ first and leave the fix
-                # to AQE after the probe's shuffle files are written);
-                # we just MEASURED it under the threshold.
-                if probe_key == build_key:
-                    return probe.join(F.broadcast(build), [probe_key])
-                return probe.join(
-                    F.broadcast(build), F.col(probe_key) == F.col(build_key)
-                )
+        if auto_bypass and 0 < threshold and est_bytes <= threshold:
+            # broadcast regime: the exact broadcast hash join prunes
+            # in the scan stage already — skip the redundant k-hash
+            # filter pass over the probe. The hint is explicit because
+            # the dim's plan stats said "too big" (or unknown) while
+            # the measurement says it fits — without the hint the
+            # static planner would SMJ first and leave the fix to AQE
+            # after the probe's shuffle files are written.
+            if probe_key == build_key:
+                return probe.join(F.broadcast(build), [probe_key])
+            return probe.join(
+                F.broadcast(build), F.col(probe_key) == F.col(build_key)
+            )
+        build = build.localCheckpoint(eager=True)
         num_bits = 1 << max(10, (bits_per_key * max(n, 1) - 1).bit_length())
     bloom = build_bloom_filter(build, build_key, num_bits, num_hashes)
     pruned = bloom_prune(probe, probe_key, bloom, num_bits, num_hashes)

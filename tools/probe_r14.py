@@ -281,35 +281,125 @@ def probe_pagerank(out, runs):
 # ------------------------------------------------------------------ bloom
 
 def probe_bloom(out, sf100, runs):
-    """Bypassed-path overhead vs the bare plain join (r13 watch item)."""
+    """Bypassed-path overhead vs the bare plain join (r13 watch item:
+    1.25 s vs 0.91 s ≈ 0.34 s of localCheckpoint+count on the 'do
+    nothing' branch). Same regime setup as the r13 probe: selective
+    customer dim (fits broadcast after measurement), orders probe,
+    aggregate on top so the join's output doesn't dominate."""
     from finlogic_spark.operators.bloomjoin import bloom_pruned_join
 
-    li = SPARK.read.parquet(f"{sf100}/orders.parquet")
-    cust = SPARK.read.parquet(f"{sf100}/customer.parquet")
-    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
-        F.col("c_custkey").alias("o_custkey")
+    o = SPARK.read.parquet(f"{sf100}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    )
+    dim = (
+        SPARK.read.parquet(f"{sf100}/customer.parquet")
+        .filter(
+            (F.col("c_mktsegment") == "MACHINERY")
+            & (F.col("c_acctbal") > 9000.0)
+        )
+        .select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
     )
 
+    def agg(j):
+        return j.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+
     def plain():
-        noop(li.join(dim, ["o_custkey"]))
+        noop(agg(o.join(dim, ["o_custkey"])))
+
+    def plain_hinted():
+        noop(agg(o.join(F.broadcast(dim), ["o_custkey"])))
 
     def bypassed():
-        noop(bloom_pruned_join(li, dim, "o_custkey", "o_custkey"))
+        noop(agg(bloom_pruned_join(o, dim, "o_custkey", "o_custkey")))
 
     tp = timed(plain, runs)
+    th = timed(plain_hinted, runs)
     tb = timed(bypassed, runs)
     out["sf100:join_bloom_bypassed_vs_plain"] = {
         "plain_join_s": tp,
+        "plain_broadcast_hinted_s": th,
         "bloom_pruned_join_bypassed_s": tb,
-        "overhead_s": round(tb - tp, 2),
+        "overhead_vs_plain_s": round(tb - tp, 2),
         "note": (
-            "r13 paid ~0.34 s of localCheckpoint+count on the 'do "
-            "nothing' branch; r14 decides from Catalyst's optimized-plan "
-            "stats when they are already under the threshold — zero "
-            "jobs, the returned plan IS the plain join."
+            "r14: the bypass decision measures the UN-checkpointed dim "
+            "(one pushdown-filtered scan) and never materializes a "
+            "bypassed dim; the zero-job Catalyst-stats fast path "
+            "short-circuits when plan stats are already under the "
+            "threshold."
         ),
     }
     print(out["sf100:join_bloom_bypassed_vs_plain"], flush=True)
+
+
+# ----------------------------------------------------------- quality gate
+
+def probe_qclf(out, sf100, runs):
+    """Corpus-wide scoring throughput of the learned quality gate at
+    sf100 documents (5M docs): the Spark side is the expression-only
+    folded-literal plan; DuckDB runs the SAME generated SQL (the
+    oracle) — a direct engine-vs-engine row on identical semantics."""
+    import duckdb
+
+    from finlogic_spark.operators.quality_model import (
+        classify_quality,
+        train_quality_classifier,
+    )
+
+    sf001 = "/root/testdata/sf0.01"
+    # train once on the small corpus (the bounded-sample contract);
+    # scoring at 5M docs uses the same frozen weights
+    w, b = train_quality_classifier(f"{sf001}/documents.parquet")
+    docs = SPARK.read.parquet(f"{sf100}/documents.parquet")
+
+    def score():
+        noop(classify_quality(docs, "text", "doc_id", w, b))
+
+    t = timed(score, runs)
+    from finlogic_spark import driver_queries as dq
+
+    sql = dq._quality_clf_oracle_sql.__wrapped__(sf001) if hasattr(
+        dq._quality_clf_oracle_sql, "__wrapped__"
+    ) else None
+    # regenerate the oracle against the big corpus: same weights (the
+    # trainer caches per sf_dir; bake directly to avoid the cache)
+    from finlogic_spark.operators.quality_model import MICRO, N_BUCKETS
+
+    w_sql = "[" + ", ".join(str(v) for v in w) + "]"
+    toks = dq._TOKS_SQL
+    sql = f"""
+    WITH toks AS (SELECT doc_id, {toks} AS ts FROM documents),
+    nz AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
+    s AS (SELECT doc_id, n,
+            CAST(list_sum(list_transform(ts,
+              t -> ({w_sql})[
+                ('0x' || substr(md5(t), 1, 4))::BIGINT % {N_BUCKETS} + 1
+              ])) AS BIGINT)
+            + CAST(n AS BIGINT) * CAST({b} AS BIGINT) AS raw
+          FROM nz)
+    SELECT count(*), sum(CASE WHEN raw >= 0 THEN 1 ELSE 0 END)
+    FROM s
+    """
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={os.cpu_count()}")
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf100}/documents.parquet'"
+    )
+    d = duck_timed(con, sql, max(1, runs - 1))
+    n_docs = docs.count()
+    out["sf100:doc_quality_classifier_scoring"] = {
+        "docs": n_docs,
+        "spark_s": t,
+        "duckdb_same_semantics_s": d,
+        "ratio": round(t / d, 2),
+        "docs_per_s_spark": round(n_docs / t),
+        "note": (
+            "frozen weights from the bounded-sample trainer; both "
+            "engines run the identical md5-bucket + integer-fold "
+            "semantics corpus-wide. Spark plan: scan -> project, zero "
+            "exchanges (plan pinned in test_quality_model)."
+        ),
+    }
+    print(out["sf100:doc_quality_classifier_scoring"], flush=True)
 
 
 # --------------------------------------------------------------- multimodal
@@ -377,15 +467,39 @@ def probe_multimodal(out, runs, n_images=100_000):
         noop(extract_features(media, decoder=png_decoder))
 
     t = timed(extract, max(1, runs - 1))
-    import resource
 
-    peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    # peak PYTHON-WORKER rss + Arrow batch shape, measured inside the
+    # same mapInPandas boundary the extract uses (the executor-side
+    # number a cluster operator actually provisions for)
+    def meter(it):
+        import resource
+
+        import pandas as pd
+
+        for pdf in it:
+            for kind, data in zip(pdf["kind"], pdf["data"]):
+                png_decoder(kind, bytes(data))
+            rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+            yield pd.DataFrame(
+                {"rows": [len(pdf)], "worker_rss_mb": [int(rss)]}
+            )
+
+    batches = (
+        media.select("media_id", "kind", "data")
+        .mapInPandas(meter, "rows long, worker_rss_mb long")
+        .agg(
+            F.max("rows").alias("max_rows"),
+            F.max("worker_rss_mb").alias("max_rss"),
+        )
+        .collect()[0]
+    )
     out["multimodal:media_feature_extract_png"] = {
         "images": n,
         "image_shape": "64x48x3 RGB PNG (zlib, real decode)",
         "extract_s": t,
         "images_per_s": round(n / t),
-        "driver_peak_rss_mb": int(peak_mb),
+        "max_arrow_batch_rows": int(batches["max_rows"]),
+        "peak_python_worker_rss_mb": int(batches["max_rss"]),
         "note": (
             "Arrow-batched mapInPandas over binary payload columns; "
             "pure-Python zlib+Paeth PNG decode per image (PIL absent "
@@ -402,7 +516,7 @@ def main() -> int:
     argv = sys.argv[1:]
     json_out = None
     runs = 3
-    only = {"profile", "pagerank", "bloom", "multimodal"}
+    only = {"profile", "pagerank", "bloom", "qclf", "multimodal"}
     if "--json" in argv:
         i = argv.index("--json")
         json_out = argv[i + 1]
@@ -430,6 +544,8 @@ def main() -> int:
         probe_pagerank(out, runs)
     if "bloom" in only:
         probe_bloom(out, sf100, runs)
+    if "qclf" in only:
+        probe_qclf(out, sf100, runs)
     if "multimodal" in only:
         probe_multimodal(out, runs)
     if json_out:
