@@ -115,3 +115,36 @@ def test_logit_is_exact_integer_fold(spark, tmp_path):
         assert got[i][1] == pytest.approx(
             math.floor(raw / (n * MICRO) * 1e6 + 0.5) / 1e6, abs=0
         )
+
+
+def test_classifier_scores_a_stream(spark, tmp_path):
+    """The gate is expression-only, so the SAME classify_quality plan
+    runs unchanged under Structured Streaming (append mode, stateless
+    projection) — the shape an ingest pipeline scores documents in."""
+    from finlogic_spark.streaming import run_to_memory_sink
+
+    path, rows = _corpus_file(tmp_path)
+    w, b = train_quality_classifier(path)
+    d = str(tmp_path / "stream_docs")
+    df = spark.createDataFrame(rows[:60], "doc_id long, text string")
+    df.coalesce(2).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    handle = run_to_memory_sink(
+        classify_quality(stream, "text", "doc_id", w, b),
+        "q_test_qclf",
+        output_mode="append",
+    )
+    handle.stop()
+    got = {
+        r["doc_id"]: r["pred_quality"]
+        for r in spark.table("q_test_qclf").collect()
+    }
+    want = {
+        r["doc_id"]: r["pred_quality"]
+        for r in classify_quality(df, "text", "doc_id", w, b).collect()
+    }
+    assert got == want and len(got) == 60
