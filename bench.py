@@ -163,9 +163,11 @@ BENCH_QUERIES = [
     "doc_bpe_pack_segments",
     "data_profile_approx",
     # round 14: learned quality gate (expression-only scoring) +
-    # RRF fusion of the two persisted serving indexes
+    # RRF fusion of the two persisted serving indexes + budgeted
+    # selection on the learned score
     "doc_quality_classifier",
     "doc_hybrid_search",
+    "doc_budget_select",
 ]
 
 

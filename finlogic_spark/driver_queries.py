@@ -7755,6 +7755,69 @@ def doc_quality_classifier(spark, sf_dir):
     return classify_quality(d, "text", "doc_id", w, b).orderBy("doc_id")
 
 
+_BUDGET_TOKENS = 30_000
+
+
+def _budget_select_oracle_sql(sf_dir: str) -> str:
+    from finlogic_spark.operators.quality_model import MICRO, N_BUCKETS
+
+    w, b = _qclf_params(sf_dir)
+    w_sql = "[" + ", ".join(str(v) for v in w) + "]"
+    return f"""
+    -- same baked weights as doc_quality_classifier; the budget cutoff
+    -- is chosen on the BOUNDED 3-dp logit-bucket table (the Spark
+    -- side's no-global-sort shape), then applied as one filter.
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+    nz AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
+    s AS (SELECT doc_id, n,
+            CAST(list_sum(list_transform(ts,
+              t -> ({w_sql})[
+                ('0x' || substr(md5(t), 1, 4))::BIGINT % {N_BUCKETS} + 1
+              ])) AS BIGINT)
+            + CAST(n AS BIGINT) * CAST({b} AS BIGINT) AS raw
+          FROM nz),
+    scored AS (
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             floor(CAST(raw AS DOUBLE) / (CAST(n AS DOUBLE) * {MICRO}.0)
+                   * 1000000.0 + 0.5) / 1000000.0 AS logit
+      FROM s),
+    q AS (SELECT *, floor(logit * 1000.0 + 0.5) / 1000.0 AS q3
+          FROM scored),
+    buckets AS (SELECT q3, sum(n_tokens) AS tok FROM q GROUP BY 1),
+    cum AS (SELECT q3, tok,
+                   sum(tok) OVER (ORDER BY q3 DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+            FROM buckets),
+    cut AS (SELECT min(q3) AS cut FROM cum
+            WHERE c - tok < {_BUDGET_TOKENS})
+    SELECT doc_id, n_tokens, logit, q3 >= (SELECT cut FROM cut) AS selected
+    FROM q ORDER BY doc_id
+    """
+
+
+LAZY_ORACLES["doc_budget_select"] = _budget_select_oracle_sql
+
+
+@q("doc_budget_select")  # data-dependent oracle: LAZY_ORACLES above.
+def doc_budget_select(spark, sf_dir):
+    # Budgeted curation ("take the best ~30k tokens by learned
+    # quality"): the selection step above the classifier. NO global
+    # sort and NO corpus-wide cumulative window — the cutoff comes
+    # from a bounded 3-dp logit-bucket aggregate (thousands of rows at
+    # any corpus size), then one broadcast threshold filter; the
+    # budget is honored to bucket granularity (whole threshold bucket
+    # included, deterministic).
+    from finlogic_spark.operators.quality_model import (
+        select_by_token_budget,
+    )
+
+    w, b = _qclf_params(sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    return select_by_token_budget(
+        d, "text", "doc_id", w, b, _BUDGET_TOKENS
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------

@@ -209,3 +209,64 @@ def classify_quality(
         ).alias("logit"),
         (raw >= 0).alias("pred_quality"),
     )
+
+
+def select_by_token_budget(
+    df,
+    text_col: str,
+    id_col: str,
+    weights_micro: list[int],
+    bias_micro: int,
+    token_budget: int,
+    n_buckets: int = N_BUCKETS,
+):
+    """Budgeted curation: keep the highest-quality documents (by the
+    learned logit) until ~``token_budget`` whitespace tokens are
+    selected — "take the best N billion tokens", the selection step
+    every curation pipeline runs after scoring.
+
+    100 TB shape — NO global sort, NO global cumulative window: the
+    exact approach (ORDER BY logit, running SUM(n_tokens)) serializes
+    the cumsum through one partition. Instead the logit is quantized
+    to 3-dp BUCKETS and the cutoff is chosen on the bucket table:
+
+    1. one aggregate: (logit_q3 -> sum of tokens) — thousands of rows
+       at any corpus size (logits live in a few units' range);
+    2. a cumulative window over the SORTED BUCKET TABLE (bounded rows,
+       fine on one partition) picks the lowest bucket that still fits
+       before the budget is exhausted;
+    3. one broadcast-able threshold filter over the corpus.
+
+    The budget is honored to BUCKET granularity: every doc in the
+    threshold bucket is included (deterministic — no tie-breaking
+    inside a bucket), so the selected token count may overshoot by at
+    most one bucket's tokens. Output: (id, n_tokens, logit, selected).
+    Documents below the cutoff are RETAINED with selected=false so the
+    caller can audit the boundary; filter on `selected` to materialize
+    the kept corpus."""
+    scored = classify_quality(
+        df, text_col, id_col, weights_micro, bias_micro, n_buckets
+    )
+    q3 = (F.floor(F.col("logit") * 1000.0 + 0.5) / 1000.0).alias("__q3")
+    scored = scored.select("*", q3)
+    buckets = scored.groupBy("__q3").agg(
+        F.sum("n_tokens").alias("__tok")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("__q3").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cut = (
+        buckets.withColumn("__cum", F.sum("__tok").over(w))
+        # lowest bucket whose PRECEDING cumulative total is still under
+        # budget — the bucket that crosses the line is included whole
+        .filter(F.col("__cum") - F.col("__tok") < F.lit(int(token_budget)))
+        .agg(F.min("__q3").alias("__cut"))
+    )
+    return scored.join(F.broadcast(cut)).select(
+        F.col(id_col),
+        "n_tokens",
+        "logit",
+        (F.col("__q3") >= F.col("__cut")).alias("selected"),
+    )

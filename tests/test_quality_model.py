@@ -148,3 +148,35 @@ def test_classifier_scores_a_stream(spark, tmp_path):
         for r in classify_quality(df, "text", "doc_id", w, b).collect()
     }
     assert got == want and len(got) == 60
+
+
+def test_select_by_token_budget_bucket_semantics(spark, tmp_path):
+    """Budgeted selection: (a) selection is monotone in the logit —
+    every selected doc scores >= every unselected one at 3-dp bucket
+    granularity; (b) the budget is honored up to one bucket: selected
+    tokens < budget + (threshold bucket's tokens), and dropping the
+    whole threshold bucket lands UNDER budget; (c) all docs retained
+    with an audit flag."""
+    from finlogic_spark.operators.quality_model import (
+        select_by_token_budget,
+    )
+
+    path, rows = _corpus_file(tmp_path)
+    w, b = train_quality_classifier(path)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 3000
+    out = select_by_token_budget(df, "text", "doc_id", w, b, budget).collect()
+    assert len(out) == len(rows)  # every scoring doc retained
+    sel = [r for r in out if r["selected"]]
+    uns = [r for r in out if not r["selected"]]
+    assert sel and uns
+    q3 = lambda x: __import__("math").floor(x * 1000 + 0.5) / 1000  # noqa: E731
+    assert min(q3(r["logit"]) for r in sel) >= max(
+        q3(r["logit"]) for r in uns
+    )
+    cut = min(q3(r["logit"]) for r in sel)
+    sel_tokens = sum(r["n_tokens"] for r in sel)
+    cut_bucket_tokens = sum(
+        r["n_tokens"] for r in sel if q3(r["logit"]) == cut
+    )
+    assert sel_tokens - cut_bucket_tokens < budget <= sel_tokens + 1
