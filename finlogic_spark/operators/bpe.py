@@ -285,15 +285,17 @@ def bpe_pieces(
 
 # --------------------------------------------------------------- persistence
 
-BPE_INDEX_VERSION = 1
+BPE_INDEX_VERSION = 2  # v2: word_pieces carries per-word corpus counts
 
 
 def _encode_words_df(
     words: DataFrame, merges: Sequence[tuple[str, str]]
 ) -> DataFrame:
-    """(word) -> (word, pieces array<string>): the distributed encode
-    of a DISTINCT-word table under broadcast merge ranks — vocab-sized
-    in and out, never occurrence-sized."""
+    """(word, n) -> (word, n, pieces array<string>): the distributed
+    encode of a DISTINCT-word table under broadcast merge ranks —
+    vocab-sized in and out, never occurrence-sized. ``n`` (the word's
+    corpus occurrence count) rides along so the serving lookup can be
+    capped to the FREQUENCY HEAD instead of an arbitrary subset."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
 
     def enc(batches):
@@ -306,7 +308,9 @@ def _encode_words_df(
             ]
             yield pdf
 
-    return words.mapInPandas(enc, schema="word string, pieces array<string>")
+    return words.mapInPandas(
+        enc, schema="word string, n long, pieces array<string>"
+    )
 
 
 def build_bpe_index(
@@ -321,9 +325,10 @@ def build_bpe_index(
     an append path; the merge table was a per-session cache). Layout:
 
     - ``{path}/merges``       (rank, left, right) — the model, ~KBs
-    - ``{path}/word_pieces``  (word, pieces) — per-word encodings for
-      every distinct corpus word (vocab-sized; serving seeds encode
-      caches from it so known words cost a lookup, not a merge loop)
+    - ``{path}/word_pieces``  (word, n, pieces) — per-word encodings
+      + occurrence counts for every distinct corpus word (vocab-sized;
+      serving seeds encode caches from its FREQUENCY HEAD so known
+      words cost a lookup, not a merge loop)
     - ``{path}/_stats``       version + build parameters (the
       n_buckets-sidecar precedent: serving can never bind to stale
       parameters, and a format change refuses to decode)
@@ -345,7 +350,8 @@ def build_bpe_index(
     words = (
         docs.filter(F.col(text_col).isNotNull())
         .select(F.explode(tokens(text_col)).alias("word"))
-        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     _encode_words_df(words, merges).write.mode("overwrite").parquet(
         f"{path}/word_pieces"
@@ -382,7 +388,10 @@ def append_bpe_index(
     not already in word_pieces (distinct -> left-anti against the
     store) and append them. Returns the number of words added.
     Append == rebuild-with-frozen-merges because encode_word is a pure
-    function of (word, merges) — pinned in tests/test_bpe.py."""
+    function of (word, merges) — pinned in tests/test_bpe.py. A word's
+    stored ``n`` is its count in the batch that INTRODUCED it (a
+    cache-seeding priority, not a verified statistic — recount on
+    rebuild if exact corpus frequencies are needed)."""
     spark = new_docs.sparkSession
     merges, wp = read_bpe_index(spark, path)
     from finlogic_spark.functions.text import tokens
@@ -390,7 +399,8 @@ def append_bpe_index(
     fresh = (
         new_docs.filter(F.col(text_col).isNotNull())
         .select(F.explode(tokens(text_col)).alias("word"))
-        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
         .join(wp.select("word"), "word", "left_anti")
         # the anti-join source must not race the append below
         .localCheckpoint(eager=True)
@@ -403,11 +413,21 @@ def append_bpe_index(
     return n
 
 
-def load_pieces_lookup(spark, path: str) -> dict[str, tuple[str, ...]]:
-    """word -> pieces dict from the persisted index — vocab-sized
-    (bounded by the corpus vocabulary, the top-30k-materialization
-    precedent), used to SEED the per-task encode caches so serving
-    pays a dict lookup for known words and the merge loop only for
-    unseen ones."""
+def load_pieces_lookup(
+    spark, path: str, max_words: int = 200_000
+) -> dict[str, tuple[str, ...]]:
+    """word -> pieces dict from the persisted index, CAPPED to the
+    ``max_words`` most frequent words (count desc, word asc — the
+    top-30k-materialization precedent made explicit: a real corpus's
+    vocabulary is unbounded, so an uncapped collect here would be a
+    driver hazard at 100 TB). Seeding with the frequency head is the
+    right cap: cache hits are weighted by occurrence, and misses fall
+    back to the pure merge loop — correctness is unaffected by which
+    subset loads (encode_word is deterministic)."""
     _merges, wp = read_bpe_index(spark, path)
-    return {r["word"]: tuple(r["pieces"]) for r in wp.collect()}
+    head = (
+        wp.orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(max_words)
+        .collect()
+    )
+    return {r["word"]: tuple(r["pieces"]) for r in head}

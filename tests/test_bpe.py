@@ -223,7 +223,8 @@ def test_bpe_index_persist_append_equals_rebuild(spark, tmp_path):
     union_words = (
         a.unionByName(b)
         .select(F.explode(tokens("text")).alias("word"))
-        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     rebuilt = {
         r["word"]: tuple(r["pieces"])
@@ -251,3 +252,21 @@ def test_bpe_index_persist_append_equals_rebuild(spark, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_stats")
     with pytest.raises(ValueError, match="version"):
         read_bpe_index(spark, path)
+
+
+def test_pieces_lookup_caps_to_frequency_head(spark, tmp_path):
+    """The serving lookup is BOUNDED: max_words caps the collect to the
+    most frequent words (count desc, word asc) — an uncapped vocabulary
+    collect would be a driver hazard on a real corpus."""
+    from finlogic_spark.operators.bpe import (
+        build_bpe_index,
+        load_pieces_lookup,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha alpha alpha beta beta gamma")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "bpe_cap")
+    build_bpe_index(docs, path, num_merges=5, top_words=100)
+    lk = load_pieces_lookup(spark, path, max_words=2)
+    assert set(lk) == {"alpha", "beta"}  # the frequency head, not gamma
