@@ -357,9 +357,6 @@ def probe_qclf(out, sf100, runs):
     t = timed(score, runs)
     from finlogic_spark import driver_queries as dq
 
-    sql = dq._quality_clf_oracle_sql.__wrapped__(sf001) if hasattr(
-        dq._quality_clf_oracle_sql, "__wrapped__"
-    ) else None
     # regenerate the oracle against the big corpus: same weights (the
     # trainer caches per sf_dir; bake directly to avoid the cache)
     from finlogic_spark.operators.quality_model import MICRO, N_BUCKETS
