@@ -462,12 +462,22 @@ def pagerank(
     rank_bytes = n_nodes * (_est_row_bytes(nodes.schema) + 8)
     broadcast_ranks = 0 < threshold and rank_bytes <= threshold
     if not broadcast_ranks:
-        part = (
-            ed.repartition("src").sortWithinPartitions("src").persist(_SPILL)
+        # SMJ regime (big graph): drop the unpartitioned cache FIRST
+        # (blocking — the disk budget is the constraint at this size)
+        # and rebuild the partitioned copy from the raw lineage.
+        # Repartitioning FROM the cache would hold both copies plus
+        # the shuffle files at once (~3x the edge bytes transient —
+        # at the sf100 1.17B-edge scale that filled the disk budget);
+        # rebuilding costs one upstream recompute, exactly what the
+        # r13 shape paid, and only in this regime. The node cache is
+        # already materialized, so later rounds never re-derive it.
+        ed.unpersist(blocking=True)
+        ed = (
+            e.join(deg, "src")
+            .repartition("src")
+            .sortWithinPartitions("src")
+            .persist(_SPILL)
         )
-        part.count()
-        ed.unpersist()
-        ed = part
     ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("long"))
     teleport = (damping_den - damping_num) * scale // damping_den
     spark = edges.sparkSession

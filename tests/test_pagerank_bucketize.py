@@ -317,3 +317,23 @@ def test_pagerank_resume_from_last_complete_round(spark, tmp_path):
         ).collect()
     }
     assert regapped == full
+
+
+def test_pagerank_smj_regime_end_to_end_bitwise(spark):
+    """Force the big-graph (SMJ) regime through the public API
+    (broadcast disabled) and require bit-exact ranks: exercises the
+    unpersist-then-rebuild path that keeps the transient disk budget
+    at one edge cache + one shuffle (repartitioning FROM the cache
+    held ~3x at the sf100 scale)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        rng = np.random.RandomState(5)
+        raw = {(int(a), int(b))
+               for a, b in rng.randint(0, 60, (400, 2)) if a != b}
+        df = spark.createDataFrame(sorted(raw), "src long, dst long")
+        got = {r["node"]: r["rank"]
+               for r in pagerank(df, iterations=4).collect()}
+        assert got == _reference_pagerank(sorted(raw), 4)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
