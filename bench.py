@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "doc_quality_classifier",
     "doc_hybrid_search",
     "doc_budget_select",
+    "doc_domain_mix",
 ]
 
 

@@ -7755,6 +7755,54 @@ def doc_quality_classifier(spark, sf_dir):
     return classify_quality(d, "text", "doc_id", w, b).orderBy("doc_id")
 
 
+_MIX_TARGETS = {f"src{i}": (i + 1) * 1_000_000 // 210 for i in range(20)}
+_MIX_BUDGET = 20_000
+
+
+@q(
+    "doc_domain_mix",
+    f"""
+    -- same exact integer threshold arithmetic as domain_mix_sample:
+    -- desired = (w_micro * budget) // 1e6, thr_byte = desired*256 // T
+    WITH t AS (SELECT doc_id, source,
+                 CAST(len({_TOKS_SQL}) AS BIGINT) AS n FROM documents),
+    agg AS (SELECT source, sum(n) AS T FROM t GROUP BY 1),
+    w(source, wm) AS (VALUES {", ".join(
+        f"('src{i}', {(i + 1) * 1_000_000 // 210})" for i in range(20)
+    )}),
+    r AS (SELECT a.source,
+            CASE WHEN a.T <= 0 OR w.wm IS NULL THEN '00'
+                 WHEN ((w.wm * {_MIX_BUDGET}) // 1000000) * 256 // a.T >= 256
+                   THEN 'g0'
+                 ELSE format('{{:02x}}', CAST(
+                        ((w.wm * {_MIX_BUDGET}) // 1000000) * 256 // a.T
+                      AS BIGINT))
+            END AS thr
+          FROM agg a LEFT JOIN w USING (source))
+    SELECT t.doc_id, t.source, t.n AS n_tokens,
+           substr(md5('mix|' || CAST(t.doc_id AS VARCHAR)), 1, 2) < r.thr
+             AS kept
+    FROM t JOIN r USING (source)
+    ORDER BY doc_id
+    """,
+)
+def doc_domain_mix(spark, sf_dir):
+    # Domain-mixture sampling (operators/corpus.domain_mix_sample):
+    # fit a Pile/DCLM-style target source mixture under a token budget.
+    # One map-side-combining aggregate (per-source totals, bounded
+    # collect — the centroids precedent; exact Python-int thresholds,
+    # int64 column math would overflow at a 100 TB budget), then one
+    # projection with the thresholds as literals and the engine's
+    # deterministic hash sample. No join, no RNG, reshuffle-proof.
+    from finlogic_spark.functions.text import token_count
+    from finlogic_spark.operators.corpus import domain_mix_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return domain_mix_sample(
+        d, "source", "doc_id", token_count("text"), _MIX_TARGETS, _MIX_BUDGET
+    ).orderBy("doc_id")
+
+
 _BUDGET_TOKENS = 30_000
 
 

@@ -516,3 +516,70 @@ def pack_segments(
             - F.greatest(F.col("seq_id") * B, F.col("__start"))
         ).alias("seg_len"),
     )
+
+
+def domain_mix_sample(
+    docs: DataFrame,
+    source_col: str,
+    id_col: str,
+    tokens_col: Column,
+    targets_micro: Mapping[str, int],
+    budget_tokens: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Domain-mixture sampling: fit a target source mixture under a
+    total token budget — the step that turns per-domain weights (the
+    Pile/DCLM-style mixture table) into a concrete keep/drop decision
+    per document.
+
+    For each source s with available tokens T_s and target share w_s
+    (integer micro-units), the desired take is
+    ``desired_s = (w_s * budget) // 1e6`` and the keep-rate threshold
+    is the 1/256-granular hash stratum
+    ``thr_s = (desired_s * 256) // T_s`` (>= 256 keeps everything).
+    The threshold arithmetic runs DRIVER-SIDE in arbitrary-precision
+    Python ints over the BOUNDED per-source totals (the centroids
+    precedent — source cardinality, not corpus size; int64 column math
+    would overflow at w*budget*256 ≈ 2.6e20 for a 100 TB token
+    budget), so every engine derives identical thresholds from
+    identical exact token counts. The per-doc decision is the engine's
+    standard deterministic hash sample (``hash_frac(id) < thr``) —
+    reshuffle-proof, RNG-free, the only sampling that reproduces at
+    100 TB.
+
+    Plan: ONE map-side-combining aggregate over the corpus (per-source
+    token totals, bounded collect), then one PROJECTION with the
+    thresholds as literals — no join at all. Sources absent from
+    ``targets_micro`` get threshold '00' (dropped — an unlisted domain
+    in a mixture spec is a drop, not a silent keep). Output:
+    (id, source, n_tokens, kept); filter on ``kept`` to materialize
+    the mixed corpus."""
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    base = docs.select(
+        F.col(id_col),
+        F.col(source_col).alias("__src"),
+        tokens_col.cast("long").alias("__n"),
+    )
+    totals = {
+        r["__src"]: int(r["__T"] or 0)
+        for r in base.groupBy("__src").agg(F.sum("__n").alias("__T")).collect()
+    }
+    thresholds: dict[str, str] = {}
+    for src, total in totals.items():
+        w = targets_micro.get(src)
+        if w is None or total <= 0:
+            thresholds[src] = "00"
+            continue
+        desired = (int(w) * int(budget_tokens)) // 1_000_000
+        byte = (desired * 256) // total
+        thresholds[src] = "g0" if byte >= 256 else f"{byte:02x}"
+    thr = F.lit("00")
+    for src, hx in thresholds.items():
+        thr = F.when(F.col("__src") == src, F.lit(hx)).otherwise(thr)
+    return base.select(
+        F.col(id_col),
+        F.col("__src").alias(source_col),
+        F.col("__n").alias("n_tokens"),
+        (hash_frac(F.col(id_col), salt) < thr).alias("kept"),
+    )

@@ -108,3 +108,50 @@ def test_repetition_signals_single_pass_plan(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert plan.count("split") == 1
+
+
+def test_domain_mix_sample_thresholds_and_determinism(spark):
+    """Mixture sampling: exact integer thresholds (a source whose
+    desired take exceeds its supply keeps EVERYTHING; an unlisted
+    source drops), and the keep decision is reshuffle-proof (same kept
+    set at any partitioning — hash sampling, not RNG)."""
+    from finlogic_spark.functions.text import token_count
+    from finlogic_spark.operators.corpus import domain_mix_sample
+
+    rows = []
+    for i in range(300):
+        src = ["big", "small", "unlisted"][i % 3]
+        rows.append((i, src, "tok " * 10))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    targets = {"big": 100_000, "small": 900_000}  # 10% / 90%
+    budget = 4_000  # tokens; each source holds 1000
+    out = domain_mix_sample(
+        df, "source", "doc_id", token_count("text"), targets, budget
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 300  # audit rows for every doc
+    by_src: dict = {}
+    for r in got.values():
+        by_src.setdefault(r["source"], []).append(r["kept"])
+    assert not any(by_src["unlisted"])  # unlisted domain drops
+    # small: desired 3600 tokens > 1000 available -> keep ALL
+    assert all(by_src["small"])
+    # big: desired 400 of 1000 tokens -> thr floor(400*256/1000)=102
+    # of 256; kept fraction must be strictly partial
+    kept_big = sum(by_src["big"])
+    assert 0 < kept_big < len(by_src["big"])
+    # reshuffle-proof: same kept set at a different partitioning
+    got2 = {
+        r["doc_id"]: r["kept"]
+        for r in domain_mix_sample(
+            df.repartition(7), "source", "doc_id",
+            token_count("text"), targets, budget
+        ).collect()
+    }
+    assert got2 == {i: r["kept"] for i, r in got.items()}
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        domain_mix_sample(
+            df, "source", "doc_id", token_count("text"), targets, -1
+        )
