@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "doc_hybrid_search",
     "doc_budget_select",
     "doc_domain_mix",
+    "doc_exact_dedup_incremental",
 ]
 
 

@@ -7755,6 +7755,71 @@ def doc_quality_classifier(spark, sf_dir):
     return classify_quality(d, "text", "doc_id", w, b).orderBy("doc_id")
 
 
+def _fingerprint_store(spark, sf_dir):
+    """Build-once persisted exact-dedup fingerprint store over the
+    EVEN-doc_id half of documents (the corpus history; odd ids play
+    the ingest batch) — same lifecycle as _postings_index."""
+    key = ("fp_store", sf_dir)
+    if _ann_cached(key, spark) is None:
+        from finlogic_spark.operators.text_dedup import (
+            build_fingerprint_store,
+        )
+
+        safe = "".join(c if c.isalnum() else "_" for c in sf_dir)
+        path = os.path.join(_scratch_root(), f"fp{safe}", "idx")
+        build_fingerprint_store(
+            _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0),
+            path,
+            "text",
+            "doc_id",
+        )
+        store = spark.read.parquet(path).persist()
+        store.count()
+        _ANN_INDEX[key] = store
+    return _ANN_INDEX[key]
+
+
+@q(
+    "doc_exact_dedup_incremental",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             CASE WHEN text IS NOT NULL
+                  THEN md5(array_to_string({_TOKS_SQL}, ' ')) END AS hx
+      FROM documents),
+    store AS (SELECT hx, min(doc_id) AS owner FROM h
+              WHERE doc_id % 2 = 0 AND hx IS NOT NULL GROUP BY 1),
+    batch AS (SELECT * FROM h WHERE doc_id % 2 = 1),
+    bm AS (SELECT hx, min(doc_id) AS bmin FROM batch
+           WHERE hx IS NOT NULL GROUP BY 1)
+    SELECT b.doc_id, b.hx AS text_hash,
+           (b.hx IS NULL
+            OR (s.owner IS NULL AND b.doc_id = m.bmin)) AS is_novel,
+           CASE WHEN s.owner IS NOT NULL THEN s.owner
+                WHEN b.hx IS NOT NULL AND b.doc_id <> m.bmin THEN m.bmin
+           END AS dup_of
+    FROM batch b LEFT JOIN store s ON b.hx = s.hx
+                 LEFT JOIN bm m ON b.hx = m.hx
+    ORDER BY doc_id
+    """,
+)
+def doc_exact_dedup_incremental(spark, sf_dir):
+    # Incremental ingestion dedup against corpus HISTORY (the missing
+    # sibling of the batch exact_dedup and the append-capable LSH/BPE
+    # stores): the persisted fingerprint store holds one (hash, owner)
+    # row per distinct historical document; each ingest batch joins
+    # against it — the only history-sized exchange moves (hash, owner)
+    # pairs, never text — and dedups within itself by min id. History
+    # precedes the batch: a store owner wins dup_of attribution.
+    from finlogic_spark.operators.text_dedup import dedup_against_store
+
+    store = _fingerprint_store(spark, sf_dir)
+    batch = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    return dedup_against_store(batch, store, "text", "doc_id").orderBy(
+        "doc_id"
+    )
+
+
 _MIX_TARGETS = {f"src{i}": (i + 1) * 1_000_000 // 210 for i in range(20)}
 _MIX_BUDGET = 20_000
 

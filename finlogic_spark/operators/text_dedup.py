@@ -1192,3 +1192,110 @@ def dup_spans(
             ).alias("dup_ratio"),
         )
     )
+
+
+# ----------------------------------------------- incremental exact dedup
+
+def build_fingerprint_store(
+    docs: DataFrame, path: str, text_col: str, id_col: str
+) -> None:
+    """Persisted exact-dedup fingerprint store: ONE row per distinct
+    canonical-text md5 with its lowest owning id — the corpus-history
+    side of incremental ingestion dedup ("have we seen this exact text
+    before"), the exact-dedup sibling of the persisted LSH/postings
+    indexes. Null-text docs carry no fingerprint and are not stored
+    (the exact_dedup null contract). At 100 TB the store is one row
+    per DISTINCT document — write it partitioned/bucketed by a hash
+    prefix if the ingest join needs co-location; the store schema is
+    (hash, owner)."""
+    keyed = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.md5(canonical_text(text_col)).alias("hash"),
+            F.col(id_col).alias("owner"),
+        )
+        .groupBy("hash")
+        .agg(F.min("owner").alias("owner"))
+    )
+    keyed.write.mode("overwrite").parquet(path)
+
+
+def dedup_against_store(
+    new_docs: DataFrame, store: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Flag each batch document against corpus history AND its own
+    batch: ``is_novel`` iff its canonical hash is not in the store and
+    no smaller-id batch doc carries it; ``dup_of`` names the owning id
+    (store owner wins over batch-mate — history precedes the batch),
+    NULL for novel docs. Null-text docs are novel by the exact_dedup
+    contract (no comparable content) with a NULL hash.
+
+    Plan: batch hashes once (projection), one partial-min aggregate
+    over the BATCH (batch-sized), one equi-join against the store —
+    the only history-sized exchange, and it moves only (hash, owner)
+    pairs, never text."""
+    keyed = new_docs.select(
+        F.col(id_col),
+        F.when(
+            F.col(text_col).isNotNull(), F.md5(canonical_text(text_col))
+        ).alias("text_hash"),
+    )
+    batch_min = (
+        keyed.filter(F.col("text_hash").isNotNull())
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("__bmin"))
+    )
+    st = store.select(
+        F.col("hash").alias("text_hash"), F.col("owner").alias("__owner")
+    )
+    return (
+        keyed.join(batch_min, "text_hash", "left")
+        .join(st, "text_hash", "left")
+        .select(
+            F.col(id_col),
+            "text_hash",
+            (
+                F.col("text_hash").isNull()
+                | (
+                    F.col("__owner").isNull()
+                    & (F.col(id_col) == F.col("__bmin"))
+                )
+            ).alias("is_novel"),
+            F.when(F.col("__owner").isNotNull(), F.col("__owner"))
+            .when(
+                F.col("text_hash").isNotNull()
+                & (F.col(id_col) != F.col("__bmin")),
+                F.col("__bmin"),
+            )
+            .alias("dup_of"),
+        )
+    )
+
+
+def append_fingerprints(
+    new_docs: DataFrame, path: str, text_col: str, id_col: str
+) -> int:
+    """Ingest-commit for the fingerprint store: append the batch's
+    NOVEL hashes (min batch id per hash, anti-joined against the
+    store — the frozen-parameter append shape shared with the BPE and
+    ANN indexes). Returns the number of hashes added. Append ≡ rebuild
+    over the union because min() is associative and history owners
+    precede batch ids by the ingest contract (pinned in
+    tests/test_text_dedup_incremental.py)."""
+    spark = new_docs.sparkSession
+    store = spark.read.parquet(path)
+    fresh = (
+        new_docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.md5(canonical_text(text_col)).alias("hash"),
+            F.col(id_col).alias("owner"),
+        )
+        .groupBy("hash")
+        .agg(F.min("owner").alias("owner"))
+        .join(store.select("hash"), "hash", "left_anti")
+        .localCheckpoint(eager=True)  # don't race the append below
+    )
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(path)
+    return n
