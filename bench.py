@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "doc_budget_select",
     "doc_domain_mix",
     "doc_exact_dedup_incremental",
+    "doc_curation_learned",
 ]
 
 

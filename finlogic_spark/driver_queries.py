@@ -7824,6 +7824,90 @@ _MIX_TARGETS = {f"src{i}": (i + 1) * 1_000_000 // 210 for i in range(20)}
 _MIX_BUDGET = 20_000
 
 
+def _curation_learned_oracle_sql(sf_dir: str) -> str:
+    from finlogic_spark.operators.quality_model import N_BUCKETS
+
+    w, b = _qclf_params(sf_dir)
+    w_sql = "[" + ", ".join(str(v) for v in w) + "]"
+    wm_vals = ", ".join(
+        f"('src{i}', {(i + 1) * 1_000_000 // 210})" for i in range(20)
+    )
+    return f"""
+    -- learned curation pipeline: classifier gate (integer logit >= 0)
+    -- -> exact dedup among survivors (min id per canonical hash)
+    -- -> domain mixture under a token budget computed over SURVIVOR
+    -- token totals (same exact integer arithmetic as doc_domain_mix)
+    WITH toks AS (SELECT doc_id, source, {_TOKS_SQL} AS ts FROM documents),
+    nz AS (SELECT doc_id, source, ts, len(ts) AS n
+           FROM toks WHERE len(ts) > 0),
+    s AS (SELECT doc_id, source, ts, n,
+            CAST(list_sum(list_transform(ts,
+              t -> ({w_sql})[
+                ('0x' || substr(md5(t), 1, 4))::BIGINT % {N_BUCKETS} + 1
+              ])) AS BIGINT)
+            + CAST(n AS BIGINT) * CAST({b} AS BIGINT) AS raw
+          FROM nz),
+    gate AS (SELECT doc_id, source, n,
+                    md5(array_to_string(ts, ' ')) AS hx
+             FROM s WHERE raw >= 0),
+    reps AS (SELECT hx, min(doc_id) AS keep FROM gate GROUP BY 1),
+    surv AS (SELECT g.doc_id, g.source, g.n FROM gate g
+             JOIN reps r ON g.hx = r.hx AND g.doc_id = r.keep),
+    agg AS (SELECT source, sum(n) AS T FROM surv GROUP BY 1),
+    w(source, wm) AS (VALUES {wm_vals}),
+    r AS (SELECT a.source,
+            CASE WHEN a.T <= 0 OR w.wm IS NULL THEN '00'
+                 WHEN ((w.wm * {_MIX_BUDGET}) // 1000000) * 256 // a.T >= 256
+                   THEN 'g0'
+                 ELSE format('{{:02x}}', CAST(
+                        ((w.wm * {_MIX_BUDGET}) // 1000000) * 256 // a.T
+                      AS BIGINT))
+            END AS thr
+          FROM agg a LEFT JOIN w USING (source))
+    SELECT surv.doc_id, surv.source, CAST(surv.n AS BIGINT) AS n_tokens,
+           substr(md5('mix|' || CAST(surv.doc_id AS VARCHAR)), 1, 2) < r.thr
+             AS kept
+    FROM surv JOIN r USING (source)
+    ORDER BY doc_id
+    """
+
+
+LAZY_ORACLES["doc_curation_learned"] = _curation_learned_oracle_sql
+
+
+@q("doc_curation_learned")  # data-dependent oracle: LAZY_ORACLES above.
+def doc_curation_learned(spark, sf_dir):
+    # The r14 pipeline composed end-to-end — the LEARNED counterpart of
+    # doc_curation_pipeline's heuristic gates: classifier gate
+    # (expression-only integer logit) -> exact dedup among survivors
+    # (one hash-shuffle, min id per canonical class) -> domain mixture
+    # under a token budget whose thresholds come from SURVIVOR totals.
+    # The token array tokenizes ONCE and feeds all three stages (the
+    # logit fold, the canonical hash, the length).
+    from finlogic_spark.functions.text import tokens as _tok
+    from finlogic_spark.operators.corpus import domain_mix_sample
+    from finlogic_spark.operators.quality_model import _logit_from_tokens
+
+    w, b = _qclf_params(sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source", _tok(F.col("text")).alias("__ts")
+    ).filter(F.size("__ts") > 0)
+    gated = base.filter(
+        _logit_from_tokens(F.col("__ts"), w, b) >= 0
+    ).select(
+        "doc_id",
+        "source",
+        F.size("__ts").cast("long").alias("__n"),
+        F.md5(F.array_join("__ts", " ")).alias("__hx"),
+    )
+    reps = gated.groupBy("__hx").agg(F.min("doc_id").alias("doc_id"))
+    surv = gated.join(reps, ["__hx", "doc_id"], "left_semi")
+    return domain_mix_sample(
+        surv, "source", "doc_id", F.col("__n"), _MIX_TARGETS, _MIX_BUDGET
+    ).orderBy("doc_id")
+
+
 @q(
     "doc_domain_mix",
     f"""

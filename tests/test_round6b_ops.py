@@ -758,6 +758,7 @@ def test_registry_consistency():
         "doc_bpe_pack_segments",
         "doc_bpe_shingle_pairs",
         "doc_budget_select",
+        "doc_curation_learned",
         "doc_quality_classifier",
         "emb_pca_project",
     ]
