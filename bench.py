@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "doc_domain_mix",
     "doc_exact_dedup_incremental",
     "doc_curation_learned",
+    "doc_quality_calibration",
 ]
 
 

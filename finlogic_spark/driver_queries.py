@@ -7824,6 +7824,90 @@ _MIX_TARGETS = {f"src{i}": (i + 1) * 1_000_000 // 210 for i in range(20)}
 _MIX_BUDGET = 20_000
 
 
+def _quality_calibration_oracle_sql(sf_dir: str) -> str:
+    from finlogic_spark.operators.quality_model import MICRO, N_BUCKETS
+
+    w, b = _qclf_params(sf_dir)
+    w_sql = "[" + ", ".join(str(v) for v in w) + "]"
+    return f"""
+    -- calibration of the learned gate against the heuristic proxy:
+    -- per 0.05-logit band, doc count and mean heuristic quality
+    -- (exact integer micro-unit mean — order-independent)
+    WITH toks AS (SELECT doc_id, text, {_TOKS_SQL} AS ts FROM documents),
+    nz AS (SELECT doc_id, text, ts, len(ts) AS n
+           FROM toks WHERE len(ts) > 0),
+    s AS (SELECT doc_id, text, n,
+            CAST(list_sum(list_transform(ts,
+              t -> ({w_sql})[
+                ('0x' || substr(md5(t), 1, 4))::BIGINT % {N_BUCKETS} + 1
+              ])) AS BIGINT)
+            + CAST(n AS BIGINT) * CAST({b} AS BIGINT) AS raw
+          FROM nz),
+    scored AS (
+      SELECT doc_id,
+             floor(CAST(raw AS DOUBLE) / (CAST(n AS DOUBLE) * {MICRO}.0)
+                   * 1000000.0 + 0.5) / 1000000.0 AS logit
+      FROM s),
+    q AS (SELECT doc_id, floor(logit * 20.0) / 20.0 AS band,
+                 CAST(floor(((least(length(text) / 500.0, 1.0)
+                   + (1.0 - least((len(regexp_extract_all(text,
+                       '[^A-Za-z0-9\\s]'))
+                       / greatest(length(text), 1)) * 4.0, 1.0))
+                   + CASE WHEN (CAST(list_sum(list_transform({_TOKS_SQL},
+                                x -> length(x))) AS DOUBLE)
+                          / greatest(len({_TOKS_SQL}), 1)) BETWEEN 3 AND 10
+                          THEN 1.0 ELSE 0.5 END) / 3.0)
+                   * 1000000.0 + 0.5) AS BIGINT) AS q_micro
+          FROM scored JOIN documents USING (doc_id))
+    SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+           floor(CAST(sum(q_micro) AS DOUBLE) / count(*) + 0.5)
+             / 1000000.0 AS mean_quality
+    FROM q GROUP BY band ORDER BY band
+    """
+
+
+LAZY_ORACLES["doc_quality_calibration"] = _quality_calibration_oracle_sql
+
+
+@q("doc_quality_calibration")  # data-dependent oracle: LAZY_ORACLES.
+def doc_quality_calibration(spark, sf_dir):
+    # Evaluation tier for the learned gate: per 0.05-logit band, doc
+    # count + mean heuristic quality (the training proxy) — a
+    # monotone-ish calibration table is what a curation operator
+    # checks before trusting the classifier at 100 TB. Exact integer
+    # micro-unit mean (order-independent partial sums), one scan +
+    # one bounded groupBy (bands are a few dozen rows).
+    from finlogic_spark.functions.text import quality_score
+    from finlogic_spark.operators.quality_model import classify_quality
+
+    w, b = _qclf_params(sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    scored = classify_quality(d, "text", "doc_id", w, b).select(
+        "doc_id", (F.floor(F.col("logit") * 20.0) / 20.0).alias("band")
+    )
+    q = d.select(
+        "doc_id",
+        F.floor(quality_score("text") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("__qm"),
+    )
+    return (
+        scored.join(q, "doc_id")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.floor(
+                    F.sum("__qm").cast("double") / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("mean_quality"),
+        )
+        .orderBy("band")
+    )
+
+
 def _curation_learned_oracle_sql(sf_dir: str) -> str:
     from finlogic_spark.operators.quality_model import N_BUCKETS
 
