@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "doc_exact_dedup_incremental",
     "doc_curation_learned",
     "doc_quality_calibration",
+    "emb_lsh_recall",
 ]
 
 

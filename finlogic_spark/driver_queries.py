@@ -7824,6 +7824,73 @@ _MIX_TARGETS = {f"src{i}": (i + 1) * 1_000_000 // 210 for i in range(20)}
 _MIX_BUDGET = 20_000
 
 
+@q(
+    "emb_lsh_recall",
+    f"""
+    -- in-registry recall evaluation of the approximate tier: both
+    -- legs are the two component oracles verbatim, joined per query.
+    WITH exact5 AS (
+      SELECT query_id, vec_id FROM ({ORACLES["emb_cosine_topk"]})),
+    lsh5 AS (
+      SELECT query_id, vec_id FROM ({ORACLES["emb_lsh_topk"]})),
+    hits AS (
+      SELECT e.query_id, count(*) AS n_hits
+      FROM exact5 e JOIN lsh5 l USING (query_id, vec_id)
+      GROUP BY 1)
+    SELECT q.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(h.n_hits, 0) / 5.0 AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM exact5) q
+    LEFT JOIN hits h USING (query_id)
+    ORDER BY query_id
+    """,
+)
+def emb_lsh_recall(spark, sf_dir):
+    # The engine measures its own approximate tier in-registry:
+    # recall@5 of the served LSH top-k against the exact brute-force
+    # top-k, per query — the quality contract every ANN deployment
+    # monitors (tools/measure_recall.py made it an offline study; this
+    # makes it a standing query over the same persisted index). Both
+    # legs are existing oracle-certified components; the fusion is
+    # exact set arithmetic.
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    corpus = e.select("vec_id", as_double.alias("embedding"))
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), as_double.alias("query_vec")
+    )
+    exact5 = cosine_topk(corpus, queries, k=5).select("query_id", "vec_id")
+    lsh5 = lsh_cosine_topk(
+        _lsh_index(spark, sf_dir),
+        queries.withColumnRenamed("query_vec", "query_vec"),
+        k=5,
+        dim=64,
+        num_planes=_LSH_PLANES,
+        num_tables=_LSH_TABLES,
+        probe_radius=_LSH_RADIUS,
+        corpus_bucketed=True,
+        local_query_probes=True,
+    ).select("query_id", "vec_id")
+    hits = exact5.join(lsh5, ["query_id", "vec_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        exact5.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias(
+                "n_hits"
+            ),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0)
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _quality_calibration_oracle_sql(sf_dir: str) -> str:
     from finlogic_spark.operators.quality_model import MICRO, N_BUCKETS
 
