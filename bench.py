@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "doc_curation_learned",
     "doc_quality_calibration",
     "emb_lsh_recall",
+    "emb_vector_profile",
 ]
 
 

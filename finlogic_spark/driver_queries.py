@@ -7891,6 +7891,63 @@ def emb_lsh_recall(spark, sf_dir):
     )
 
 
+@q(
+    "emb_vector_profile",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cls AS (
+      SELECT vec_id,
+             (v IS NULL) AS is_null,
+             (v IS NOT NULL AND len(v) <> 64) AS wrong,
+             (v IS NOT NULL AND len(v) = 64) AS ok,
+             CASE WHEN v IS NOT NULL AND len(v) = 64
+                  THEN len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0
+                  ELSE FALSE END AS nonfinite,
+             CASE WHEN v IS NOT NULL AND len(v) = 64
+                  THEN list_sum(list_transform(range(1, 65),
+                                               i -> v[i] * v[i]))
+             END AS norm2
+      FROM v),
+    c2 AS (SELECT *, (ok AND NOT nonfinite) AS clean FROM cls)
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(sum(CASE WHEN wrong THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_wrong_dim,
+           CAST(sum(CASE WHEN nonfinite THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonfinite,
+           CAST(sum(CASE WHEN clean AND norm2 = 0.0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_zero,
+           min(CASE WHEN clean
+                    THEN floor(norm2 * 1000000.0 + 0.5) / 1000000.0 END)
+             AS min_norm2,
+           max(CASE WHEN clean
+                    THEN floor(norm2 * 1000000.0 + 0.5) / 1000000.0 END)
+             AS max_norm2,
+           floor(CAST(sum(CASE WHEN clean THEN
+                   CAST(floor(norm2 * 1000000.0 + 0.5) AS BIGINT) END)
+                 AS DOUBLE)
+                 / greatest(sum(CASE WHEN clean THEN 1 ELSE 0 END), 1)
+                 + 0.5) / 1000000.0 AS mean_norm2
+    FROM c2
+    """,
+)
+def emb_vector_profile(spark, sf_dir):
+    # Vector data-quality profile (operators/profile.vector_profile):
+    # the QA gate an embedding-ingest pipeline runs before indexing —
+    # nulls, wrong dims, NaN/Inf elements (counted, not silently
+    # poisoning aggregates), zero vectors, and norm² extremes/mean in
+    # ONE scan + ONE aggregate. Per-row fold order and micro-unit
+    # quantization follow the cosine-oracle parity contract.
+    from finlogic_spark.operators.profile import vector_profile
+
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    return vector_profile(
+        e.select(as_double.alias("embedding")), "embedding", 64
+    )
+
+
 def _quality_calibration_oracle_sql(sf_dir: str) -> str:
     from finlogic_spark.operators.quality_model import MICRO, N_BUCKETS
 

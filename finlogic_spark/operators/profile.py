@@ -898,3 +898,50 @@ def _winsorize_compact(
             / (F.lit(100.0) * F.col("n"))
         ).alias("win_mean"),
     )
+
+
+def vector_profile(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Vector data-quality profile — the embedding-column sibling of
+    profile_columns, the QA gate an embedding-ingest pipeline runs
+    before indexing: ONE row of (n_vectors, n_null, n_wrong_dim,
+    n_nonfinite, n_zero, min/max/mean norm²) from ONE scan and ONE
+    aggregate (no per-check passes).
+
+    Norm² is a per-row left-to-right fold over the array (the same
+    fold-order parity contract the cosine oracles pin), rounded to
+    6 dp per row BEFORE min/max (order-independent extremes) and
+    micro-quantized before the mean (exact integer partial sums, so
+    the mean is independent of partitioning). Rows counted
+    ``n_nonfinite`` (any NaN/±Inf element) are excluded from the norm
+    statistics — a NaN would otherwise poison every aggregate silently;
+    here it is a counted, visible defect class."""
+    v = F.col(vec_col)
+    is_null = v.isNull()
+    wrong = (~is_null) & (F.size(v) != dim)
+    ok = (~is_null) & (F.size(v) == dim)
+    nonfinite = ok & F.exists(
+        v, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    clean = ok & ~nonfinite
+    norm2 = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    n2r = F.floor(norm2 * 1e6 + F.lit(0.5)) / F.lit(1e6)
+    n2m = F.floor(norm2 * 1e6 + F.lit(0.5)).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(is_null.cast("long")).alias("n_null"),
+        F.sum(wrong.cast("long")).alias("n_wrong_dim"),
+        F.sum(nonfinite.cast("long")).alias("n_nonfinite"),
+        F.sum((clean & (norm2 == 0.0)).cast("long")).alias("n_zero"),
+        F.min(F.when(clean, n2r)).alias("min_norm2"),
+        F.max(F.when(clean, n2r)).alias("max_norm2"),
+        (
+            F.floor(
+                F.sum(F.when(clean, n2m)).cast("double")
+                / F.greatest(F.sum(clean.cast("long")), F.lit(1))
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("mean_norm2"),
+    )

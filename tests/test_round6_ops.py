@@ -276,3 +276,32 @@ def test_fuzzy_join_blocked_within_blocks_only(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in out}
     assert pairs == {(1, 2)}
     assert out[0]["dist"] == 1
+
+
+def test_vector_profile_counts_defect_classes(spark):
+    """vector_profile: every defect class counted, defect rows excluded
+    from the norm statistics (a NaN element must not poison min/max/
+    mean), exact micro-unit mean."""
+    import math
+
+    from finlogic_spark.operators.profile import vector_profile
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),          # norm2 = 1
+        (2, [0.0, 2.0, 0.0]),          # norm2 = 4
+        (3, None),                      # null
+        (4, [1.0, 2.0]),                # wrong dim
+        (5, [float("nan"), 0.0, 0.0]),  # nonfinite
+        (6, [float("inf"), 0.0, 0.0]),  # nonfinite
+        (7, [0.0, 0.0, 0.0]),           # zero vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    got = vector_profile(df, "v", 3).collect()[0]
+    assert got["n_vectors"] == 7
+    assert got["n_null"] == 1
+    assert got["n_wrong_dim"] == 1
+    assert got["n_nonfinite"] == 2
+    assert got["n_zero"] == 1
+    assert got["min_norm2"] == 0.0
+    assert got["max_norm2"] == 4.0
+    assert got["mean_norm2"] == math.floor((1 + 4 + 0) / 3 * 1e6 + 0.5) / 1e6
