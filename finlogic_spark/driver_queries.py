@@ -2199,6 +2199,72 @@ def doc_pack_sequences(spark, sf_dir):
 
 
 @q(
+    "doc_epoch_order",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents),
+    ord AS (
+      SELECT doc_id, n_tokens,
+             md5('7:' || CAST(doc_id AS VARCHAR)) AS k,
+             CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)),
+                                  1, 4))::BIGINT % 8 AS INTEGER) AS shard
+      FROM toks),
+    pos AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                  AS BIGINT) AS position
+      FROM ord),
+    spans AS (
+      SELECT doc_id, shard, position, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY position)
+                  AS BIGINT) AS e
+      FROM pos),
+    seg AS (
+      SELECT doc_id, shard, position, e - n_tokens AS s, e
+      FROM spans WHERE n_tokens > 0)
+    SELECT doc_id, shard, position,
+           CAST(sq AS INTEGER) AS seq_id,
+           CAST(greatest(sq * 2048, s) - s AS BIGINT) AS doc_offset,
+           CAST(least((sq + 1) * 2048, e) - greatest(sq * 2048, s)
+                AS BIGINT) AS seg_len
+    FROM seg,
+         LATERAL (SELECT unnest(generate_series(s // 2048, (e - 1) // 2048))
+                  AS sq)
+    ORDER BY doc_id, seq_id
+    """,
+)
+def doc_epoch_order(spark, sf_dir):
+    # Deterministic epoch ordering + shard assignment (r14 verdict
+    # item 3), composed with pack_segments so the emitted segment
+    # table CARRIES the loader order: each doc's epoch key is
+    # md5(seed:doc_id) (reshuffle-proof, engine-independent — no RNG),
+    # its shard the key's hex bucket, its position the key's rank
+    # within the shard (per-shard sort, never a global TakeOrdered),
+    # and the concat-and-chunk segmentation runs in POSITION order —
+    # the exact (shard, seq, offset) map a reproducible training
+    # loader replays, identical on any cluster for the same seed.
+    from finlogic_spark.operators.corpus import epoch_order, pack_segments
+
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    ordered = epoch_order(sized, "doc_id", seed=7, n_shards=8)
+    segs = pack_segments(
+        ordered,
+        id_col="position",
+        shard_col="shard",
+        len_col="n_tokens",
+        budget=2048,
+        carry_cols=["doc_id"],
+    )
+    return segs.select(
+        "doc_id", "shard", "position", "seq_id", "doc_offset", "seg_len"
+    ).orderBy("doc_id", "seq_id")
+
+
+@q(
     "doc_dedup_clusters",
     f"""
     WITH RECURSIVE s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
@@ -2251,6 +2317,50 @@ def doc_dedup_clusters(spark, sf_dir):
     return cc.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster")
     ).orderBy("doc_id")
+
+
+@q("doc_cluster_split")  # oracle composed below from the component SQL
+def doc_cluster_split(spark, sf_dir):
+    # Leakage-safe train/val split (r14 verdict item 2): the classic
+    # eval-contamination bug is hashing the DOC id, so near-duplicates
+    # straddle train/val and the model is graded on paraphrases of its
+    # training set. Compose the owned halves: LSH pairs → connected-
+    # component cluster labels (doc_dedup_clusters) → md5-hash split ON
+    # THE CANONICAL LABEL — every member of a duplicate class lands on
+    # the same side by construction (pinned in
+    # tests/test_round15_props.py: no LSH pair straddles splits).
+    # Scale shape: the split itself is a narrow map over the cluster
+    # column; all heavy lifting is the already-graded LSH + CC plan.
+    from finlogic_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", k=3, num_hashes=6, bands=2)
+    cc = connected_components(
+        pairs, d.select("doc_id"), src="id_a", dst="id_b", id_col="doc_id"
+    )
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster"),
+        F.when(
+            F.substring(F.md5(F.col("label").cast("string")), 1, 2) < "e6",
+            "train",
+        )
+        .otherwise("val")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+# oracle composition (the emb_lsh_recall / doc_hybrid_search precedent):
+# the component's recursive-CTE closure SQL verbatim in a derived table,
+# the split applied on its cluster label — same md5 threshold as
+# sample_split_hash, but keyed on the CLUSTER.
+ORACLES["doc_cluster_split"] = f"""
+    SELECT doc_id, cluster,
+           CASE WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'train' ELSE 'val' END AS split
+    FROM ({ORACLES["doc_dedup_clusters"]}) t
+    ORDER BY doc_id
+    """
 
 
 @q(
@@ -7158,7 +7268,15 @@ def _bpe_index_store(spark, sf_dir):
         safe = "".join(c if c.isalnum() else "_" for c in sf_dir)
         path = os.path.join(_scratch_root(), f"bpe{safe}", "idx")
         try:
-            merges, _wp = read_bpe_index(spark, path)
+            # expected-params check (ADVICE r14): a scratch root that
+            # outlives a _BPE_NUM_MERGES/_BPE_TOP_WORDS change must
+            # rebuild, not silently serve the stale-parameter model
+            merges, _wp = read_bpe_index(
+                spark,
+                path,
+                expected_num_merges=_BPE_NUM_MERGES,
+                expected_top_words=_BPE_TOP_WORDS,
+            )
         except Exception:
             build_bpe_index(
                 _t(spark, sf_dir, "documents"),
@@ -7167,7 +7285,12 @@ def _bpe_index_store(spark, sf_dir):
                 num_merges=_BPE_NUM_MERGES,
                 top_words=_BPE_TOP_WORDS,
             )
-            merges, _wp = read_bpe_index(spark, path)
+            merges, _wp = read_bpe_index(
+                spark,
+                path,
+                expected_num_merges=_BPE_NUM_MERGES,
+                expected_top_words=_BPE_TOP_WORDS,
+            )
         _BPE_MERGES_CACHE[key] = (merges, load_pieces_lookup(spark, path))
     return _BPE_MERGES_CACHE[key]
 
@@ -7901,7 +8024,8 @@ def emb_lsh_recall(spark, sf_dir):
              (v IS NOT NULL AND len(v) <> 64) AS wrong,
              (v IS NOT NULL AND len(v) = 64) AS ok,
              CASE WHEN v IS NOT NULL AND len(v) = 64
-                  THEN len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0
+                  THEN len(list_filter(v, x -> x IS NULL OR isnan(x)
+                                              OR isinf(x))) > 0
                   ELSE FALSE END AS nonfinite,
              CASE WHEN v IS NOT NULL AND len(v) = 64
                   THEN list_sum(list_transform(range(1, 65),

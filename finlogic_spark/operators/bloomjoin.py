@@ -284,11 +284,19 @@ def bloom_pruned_join(
         # bloom branch checkpoints, where scan-once across build+join
         # actually pays (the dim is small by this operator's contract,
         # so its one extra scan there is noise).
-        var_cols = [
-            f.name
-            for f in build.schema.fields
-            if isinstance(f.dataType, (T.StringType, T.BinaryType))
-        ]
+        # the byte measurement only feeds the bypass decision — with
+        # auto_bypass=False the only thing this job must produce is the
+        # row count for the bloom sizer, so the per-string octet sums
+        # would be dead work (ADVICE r14)
+        var_cols = (
+            [
+                f.name
+                for f in build.schema.fields
+                if isinstance(f.dataType, (T.StringType, T.BinaryType))
+            ]
+            if auto_bypass
+            else []
+        )
         aggs = [F.count(F.lit(1)).alias("__n")] + [
             F.sum(F.octet_length(F.col(c))).alias(f"__b{i}")
             for i, c in enumerate(var_cols)

@@ -462,6 +462,7 @@ def pack_segments(
     shard_col: str,
     len_col: str,
     budget: int,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """True concat-and-chunk packing INDEX: per shard, documents
     concatenate in id order into fixed-``budget`` training sequences,
@@ -482,12 +483,18 @@ def pack_segments(
     ceil(len/B) + 1 rows per doc — data-sized, never quadratic; the
     only exchange is the window's shard hash (packing is per-shard by
     design: a single global cumsum would serialize on one partition
-    at 100 TB)."""
+    at 100 TB).
+
+    ``carry_cols``: extra input columns appended unchanged to every
+    emitted segment row (e.g. the document id when ``id_col`` is a
+    synthetic ordering key, as in epoch_order composition) — a select
+    passthrough, no extra exchange."""
     from pyspark.sql import Window
 
     B = int(budget)
     if B < 1:
         raise ValueError(f"budget must be >= 1, got {B}")
+    carry = list(carry_cols or [])
     w = (
         Window.partitionBy(shard_col)
         .orderBy(id_col)
@@ -503,7 +510,9 @@ def pack_segments(
             F.expr(f"__start DIV {B}"), F.expr(f"(__end - 1) DIV {B}")
         )
     ).alias("seq_id")
-    return spans.select(id_col, shard_col, "__start", "__end", seq).select(
+    return spans.select(
+        id_col, shard_col, "__start", "__end", seq, *carry
+    ).select(
         id_col,
         shard_col,
         F.col("seq_id").cast("int").alias("seq_id"),
@@ -515,6 +524,7 @@ def pack_segments(
             F.least((F.col("seq_id") + 1) * B, F.col("__end"))
             - F.greatest(F.col("seq_id") * B, F.col("__start"))
         ).alias("seg_len"),
+        *carry,
     )
 
 
@@ -582,4 +592,51 @@ def domain_mix_sample(
         F.col("__src").alias(source_col),
         F.col("__n").alias("n_tokens"),
         (hash_frac(F.col(id_col), salt) < thr).alias("kept"),
+    )
+
+
+def epoch_order(
+    df: DataFrame,
+    id_col: str,
+    seed: int,
+    n_shards: int,
+) -> DataFrame:
+    """Deterministic, reshuffle-proof training-epoch ordering + shard
+    assignment (engine-scope addition: every reproducible-training
+    pipeline needs a global document order that survives job restarts,
+    repartitioning, and engine changes — "random with a seed" is none
+    of those at 100 TB).
+
+    The order is a COLUMN, not a sort contract: each doc's epoch key
+    is ``md5('{seed}:' || id)`` (the portable keyed-hash idiom —
+    xxhash64 exists only in Spark, md5 is md5 everywhere), its shard
+    is the key's first-4-hex-digit bucket mod ``n_shards`` (the
+    conv/substring pattern shared with the quality classifier's
+    feature buckets), and its position is the key's rank WITHIN its
+    shard (row_number over (shard, key) — a per-shard sort, the
+    pack_segments exchange shape, never a global TakeOrdered; ties
+    broken by id for determinism under md5-collision paranoia). A new
+    seed = a new epoch permutation; the same seed reproduces the
+    exact loader order on any cluster.
+
+    Output: all input columns + (order_key, shard int, position long,
+    position 1-based within shard). Compose with ``pack_segments``
+    using ``id_col='position'`` + ``carry_cols=[id]`` to emit a
+    segment table that carries the loader order."""
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.md5(
+        F.concat(F.lit(f"{int(seed)}:"), F.col(id_col).cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 4), 16, 10).cast("long")
+        % F.lit(int(n_shards))
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("order_key", id_col)
+    return (
+        df.withColumn("order_key", key)
+        .withColumn("shard", shard)
+        .withColumn("position", F.row_number().over(w).cast("long"))
     )

@@ -359,6 +359,8 @@ def pagerank(
     dst_col: str = "dst",
     round_table_dir: str | None = None,
     resume: bool = False,
+    small_graph_max_bytes: int = 128 << 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """PageRank in exact integer micro-units (engine-scope addition:
     iterative graph analytics beyond connected components — e.g.
@@ -403,7 +405,35 @@ def pagerank(
     sf100 (tools/probe_pagerank_sf100.py): the per-round parquet
     round-trip adds seconds per round against executor-local
     checkpoints — the price of restartability, paid per round, not
-    per edge."""
+    per edge. Resume is parameter-checked: round 0 stamps a
+    ``{dir}/_params`` sidecar (damping, scale, node/edge counts, an
+    order-independent edge fingerprint — NOT ``iterations``, so a
+    3-round run can legitimately be extended to 5) and ``resume=True``
+    refuses tables written under different parameters or a different
+    edge set instead of silently continuing from wrong ranks.
+
+    ``small_graph_max_bytes`` (in-memory variant only): when the
+    distinct edge list itself is at most this many estimated bytes —
+    i.e. the WHOLE graph is broadcast-sized, not just the rank table —
+    all rounds collapse into ONE Spark job (``_pagerank_single_job``:
+    repartition(1) + an exact-int64 numpy recurrence in mapInArrow).
+    The multi-round plan's fixed price (~2 jobs/round of
+    checkpoint+join scheduling) dwarfs the arithmetic at this size:
+    the sf0.1 bench graph (~600k edges) spent ~4.5 s running ~11
+    materialization jobs whose actual integer math is milliseconds.
+    Bit-identical by construction (non-negative floor division ==
+    DIV; np.add.at is exact int64) and pinned cross-regime in
+    tests/test_pagerank_bucketize.py. Set 0 to force the distributed
+    rounds; disabled when broadcasting is off
+    (autoBroadcastJoinThreshold <= 0 — that session-level "treat
+    everything as big" signal governs this regime too) and on the
+    durable-rounds path (single-job has no per-round tables to
+    restart from).
+
+    ``stats``: optional dict populated with the chosen ``regime``
+    (single_job / broadcast / smj) and the measured counts that drove
+    the decision — the same observability pattern as
+    connected_components."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     e = edges.select(
@@ -430,14 +460,12 @@ def pagerank(
     # tests/test_pagerank_bucketize.py.
     #
     # The signal is derived from the already-persisted edge cache, not
-    # from a separate pass over the raw input: the (edge, degree) list
+    # from a separate pass over the raw input: the distinct edge list
     # is persisted FIRST, the node set and its exact count are then
     # cache scans (the r12/r13 shape recomputed the whole upstream
     # edge pipeline — a join at bench scale — once for the count and
     # once for the cache fill; the r13 A/B priced that decision at
-    # ~0.7 s on a sub-3 s query). In the SMJ regime the partitioned
-    # copy is ALSO built from the cache, then the unpartitioned one is
-    # dropped — one transient double-cache instead of a second join.
+    # ~0.7 s on a sub-3 s query).
     from finlogic_spark.operators.bloomjoin import _est_row_bytes
     from finlogic_spark.sources import parse_size_bytes
 
@@ -447,11 +475,33 @@ def pagerank(
         ),
         default=10 * 1024 * 1024,
     )
-    ed = e.join(deg, "src").persist(_SPILL)
-    # node set FROM the cached edge list (deg covers every src, so the
-    # inner join preserves e's rows exactly): the first union branch
-    # fills ed's cache, the second reads it — the upstream edge
-    # pipeline runs ONCE, total.
+    ed = e.persist(_SPILL)
+    if (
+        round_table_dir is None
+        and 0 < threshold
+        and small_graph_max_bytes > 0
+    ):
+        # Small-graph gate: ONE count over the bare edge cache — this
+        # job IS the cache fill the multi-round path pays anyway
+        # (previously triggered by nodes.count(), now split: the big
+        # path's nodes.count() below reads the already-filled cache).
+        # Degrees are NOT joined in for the gate or the single-job
+        # path: the worker has the whole edge list and bincounts them
+        # in exact int64 — the deg groupBy+join cost ~0.5 s of the
+        # 3 s sf0.1 row for a column one numpy call reproduces.
+        n_edges = ed.count()
+        if n_edges * _est_row_bytes(ed.schema) <= small_graph_max_bytes:
+            if stats is not None:
+                stats["regime"] = "single_job"
+                stats["n_edges"] = n_edges
+            out = _pagerank_single_job(
+                ed, iterations, scale, damping_num, damping_den
+            )
+            ed.unpersist()
+            return out
+    # node set FROM the cached edge list: the first union branch fills
+    # the cache (when the small-graph gate didn't already), the second
+    # reads it — the upstream edge pipeline runs ONCE, total.
     nodes = (
         ed.select(F.col("src").alias("node"))
         .union(ed.select(F.col("dst").alias("node")))
@@ -461,16 +511,28 @@ def pagerank(
     n_nodes = nodes.count()  # fills ed + nodes caches in one lineage
     rank_bytes = n_nodes * (_est_row_bytes(nodes.schema) + 8)
     broadcast_ranks = 0 < threshold and rank_bytes <= threshold
-    if not broadcast_ranks:
+    degt = None
+    if broadcast_ranks:
+        # Broadcast regime keeps the BARE edge list cached (one string
+        # pair per row — the r14 shape cached (edge, degree) fused,
+        # paying a groupBy+join materialization for a column that is
+        # broadcast-sized by this very regime's definition: |deg| <=
+        # |V| rows). The degree table is checkpointed ONCE from the
+        # cache (tiny job, |V|-bounded rows) and broadcast-joined into
+        # every round — stats-less after the checkpoint, so the
+        # explicit hint below, same rationale as the rank side.
+        degt = deg.localCheckpoint(eager=True, storageLevel=_SPILL)
+    else:
         # SMJ regime (big graph): drop the unpartitioned cache FIRST
         # (blocking — the disk budget is the constraint at this size)
-        # and rebuild the partitioned copy from the raw lineage.
-        # Repartitioning FROM the cache would hold both copies plus
-        # the shuffle files at once (~3x the edge bytes transient —
-        # at the sf100 1.17B-edge scale that filled the disk budget);
-        # rebuilding costs one upstream recompute, exactly what the
-        # r13 shape paid, and only in this regime. The node cache is
-        # already materialized, so later rounds never re-derive it.
+        # and rebuild the partitioned (edge, degree) copy from the raw
+        # lineage. Repartitioning FROM the cache would hold both
+        # copies plus the shuffle files at once (~3x the edge bytes
+        # transient — at the sf100 1.17B-edge scale that filled the
+        # disk budget); rebuilding costs one upstream recompute,
+        # exactly what the r13 shape paid, and only in this regime.
+        # The node cache is already materialized, so later rounds
+        # never re-derive it.
         ed.unpersist(blocking=True)
         ed = (
             e.join(deg, "src")
@@ -478,20 +540,37 @@ def pagerank(
             .sortWithinPartitions("src")
             .persist(_SPILL)
         )
+    if stats is not None:
+        stats["regime"] = "broadcast" if broadcast_ranks else "smj"
+        stats["n_nodes"] = n_nodes
     ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("long"))
     teleport = (damping_den - damping_num) * scale // damping_den
     spark = edges.sparkSession
     start = 0
-    if resume and round_table_dir is not None:
-        last = _last_complete_round(spark, round_table_dir, iterations)
-        if last >= 0:
-            ranks = spark.read.parquet(f"{round_table_dir}/round{last}")
-            start = last + 1
+    if round_table_dir is not None:
+        start = _durable_round_start(
+            spark,
+            ed,
+            round_table_dir,
+            resume,
+            iterations,
+            damping_num,
+            damping_den,
+            scale,
+            n_nodes,
+        )
+        if start > 0:
+            ranks = spark.read.parquet(
+                f"{round_table_dir}/round{start - 1}"
+            )
     for i in range(start, iterations):
         rank_side = ranks.withColumnRenamed("node", "src")
         if broadcast_ranks:
             rank_side = F.broadcast(rank_side)
-        contrib = ed.join(rank_side, "src").select(
+        edge_side = (
+            ed.join(F.broadcast(degt), "src") if broadcast_ranks else ed
+        )
+        contrib = edge_side.join(rank_side, "src").select(
             F.col("dst").alias("node"),
             F.expr(
                 f"CAST({damping_num} AS BIGINT) * rank "
@@ -536,3 +615,176 @@ def _last_complete_round(spark, round_table_dir: str, iterations: int) -> int:
         else:
             break
     return last
+
+
+def _durable_round_start(
+    spark,
+    ed,
+    round_table_dir: str,
+    resume: bool,
+    iterations: int,
+    damping_num: int,
+    damping_den: int,
+    scale: int,
+    n_nodes: int,
+) -> int:
+    """Validate-or-stamp the ``{dir}/_params`` sidecar and return the
+    round index to start from (0 = fresh).
+
+    ADVICE r14: resume used to trust any ``round{i}/_SUCCESS`` under
+    the directory — a dir left over from a run with different
+    damping/scale or a different edge set would silently resume from
+    wrong ranks. The sidecar pins (damping, scale, |V|, |E|, an
+    order-independent edge fingerprint: sum of per-edge
+    ``pmod(xxhash64(src, dst), 1e9+7)`` — commutative int64 partial
+    sums, exact under any partitioning, < 2^63 up to ~9e9 edges).
+    ``iterations`` is deliberately NOT pinned: round i's content does
+    not depend on how many rounds follow, so extending a finished
+    3-round run to 5 is a legitimate resume. The fingerprint costs one
+    aggregate over the already-cached edge list — the durable path
+    only, where a per-round parquet round-trip already dominates.
+
+    Refuses (ValueError) on a parameter/edge mismatch, and on round
+    tables with NO sidecar (pre-sidecar or foreign provenance — clear
+    the directory to proceed)."""
+    fp = ed.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.pmod(F.xxhash64("src", "dst"), F.lit(1_000_000_007))
+        ).alias("__fp"),
+    ).collect()[0]
+    params = {
+        "version": 1,
+        "damping_num": int(damping_num),
+        "damping_den": int(damping_den),
+        "scale": int(scale),
+        "n_nodes": int(n_nodes),
+        "n_edges": int(fp["__n"] or 0),
+        "edge_fp": int(fp["__fp"] or 0),
+    }
+    pdir = f"{round_table_dir}/_params"
+    if resume:
+        try:
+            row = spark.read.parquet(pdir).collect()[0]
+            stored = {k: int(row[k]) for k in params}
+        except Exception:
+            stored = None
+        if stored is not None:
+            if stored != params:
+                diffs = {
+                    k: {"stored": stored[k], "requested": params[k]}
+                    for k in params
+                    if stored[k] != params[k]
+                }
+                raise ValueError(
+                    "pagerank resume refused: round tables at "
+                    f"{round_table_dir} were written under different "
+                    f"parameters or a different edge set ({diffs}); "
+                    "clear the directory or rerun with the original "
+                    "inputs"
+                )
+            last = _last_complete_round(spark, round_table_dir, iterations)
+            return last + 1 if last >= 0 else 0
+        if _last_complete_round(spark, round_table_dir, iterations) >= 0:
+            raise ValueError(
+                f"pagerank resume refused: {round_table_dir} holds round "
+                "tables but no _params sidecar, so their provenance "
+                "cannot be verified; clear the directory to start fresh"
+            )
+    spark.createDataFrame(
+        [tuple(params.values())],
+        "version int, damping_num int, damping_den int, scale long, "
+        "n_nodes long, n_edges long, edge_fp long",
+    ).coalesce(1).write.mode("overwrite").parquet(pdir)
+    return 0
+
+
+def _pagerank_single_job(
+    ed: DataFrame,
+    iterations: int,
+    scale: int,
+    damping_num: int,
+    damping_den: int,
+) -> DataFrame:
+    """All ``iterations`` PageRank rounds in ONE Spark job — the
+    small-graph regime behind ``pagerank(small_graph_max_bytes=...)``.
+
+    The multi-round plan pays a fixed per-round price (checkpoint +
+    join scheduling, ~2 jobs/round) that dwarfs the arithmetic on a
+    small graph: the sf0.1 bench graph (~600k edges) ran ~11
+    materialization jobs for ~4.5 s while the integer math itself is
+    milliseconds. When the distinct-edge cache is broadcast-sized by
+    the caller's explicit gate, the whole power iteration collapses
+    into a single Arrow pass: repartition(1) — the upstream pipeline
+    stays parallel; only the bounded result funnels — then the EXACT
+    int64 recurrence in numpy inside mapInPandas (the justified-Arrow
+    class: a bounded working set fenced by a measured regime gate, the
+    MMR/k-means precedent).
+
+    Bit-identical to the distributed rounds: floor division on
+    non-negative int64 == Spark's DIV, and inflow accumulates via
+    ``np.add.at`` in exact int64 (``np.bincount`` would route through
+    float64 — the wrong class for a value-hash contract). The worker
+    is ``mapInArrow``, not mapInPandas: node ids stay Arrow arrays
+    end-to-end and the node-id → dense-index mapping is Arrow's
+    C-level ``dictionary_encode`` (hash-based, order-of-appearance) —
+    converting the sf0.1 graph's 2.2M string endpoints into pandas
+    objects and factorizing cost ~0.4 s, and np.unique's SORT 3.1 s;
+    the mapping is internal, never emitted, so its order is free to
+    choose. Cross-regime equality is pinned in
+    tests/test_pagerank_bucketize.py and by the DuckDB unrolled-CTE
+    oracle of ``orders_supplier_pagerank``."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("node", ed.schema["src"].dataType),
+            T.StructField("rank", T.LongType()),
+        ]
+    )
+    iters = int(iterations)
+    sc = int(scale)
+    dn = int(damping_num)
+    dd = int(damping_den)
+    teleport = (dd - dn) * sc // dd
+
+    def _run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        tbls = [pa.Table.from_batches([b]) for b in batches]
+        if not tbls:
+            return
+        t = pa.concat_tables(tbls)
+        src = t.column("src").combine_chunks()
+        dst = t.column("dst").combine_chunks()
+        enc = pa.chunked_array([src, dst]).combine_chunks().dictionary_encode()
+        nodes = enc.dictionary
+        inv = enc.indices.to_numpy().astype(np.int64, copy=False)
+        m = len(src)
+        si, di = inv[:m], inv[m:]
+        # out-degrees from the (distinct) edge list itself — exact
+        # int64 counts; the distributed regimes pay a groupBy+join for
+        # this column, here it is one bincount over the src codes
+        counts = np.bincount(si, minlength=len(nodes))
+        denom = np.int64(dd) * counts[si]
+        rank = np.full(len(nodes), sc, dtype=np.int64)
+        num = np.int64(dn)
+        tele = np.int64(teleport)
+        for _ in range(iters):
+            contrib = (num * rank[si]) // denom
+            inflow = np.zeros(len(nodes), dtype=np.int64)
+            np.add.at(inflow, di, contrib)
+            rank = tele + inflow
+        yield pa.record_batch(
+            [nodes, pa.array(rank, type=pa.int64())], ["node", "rank"]
+        )
+
+    res = (
+        ed.select("src", "dst")
+        .repartition(1)
+        .mapInArrow(_run, out_schema)
+    )
+    # one eager job end-to-end (cache scan -> funnel -> recurrence),
+    # after which the caller can release the edge cache
+    return res.localCheckpoint(eager=True, storageLevel=_SPILL)

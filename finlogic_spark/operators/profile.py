@@ -912,15 +912,20 @@ def vector_profile(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     6 dp per row BEFORE min/max (order-independent extremes) and
     micro-quantized before the mean (exact integer partial sums, so
     the mean is independent of partitioning). Rows counted
-    ``n_nonfinite`` (any NaN/±Inf element) are excluded from the norm
-    statistics — a NaN would otherwise poison every aggregate silently;
-    here it is a counted, visible defect class."""
+    ``n_nonfinite`` (any NULL/NaN/±Inf element) are excluded from the
+    norm statistics — a NaN would otherwise poison every aggregate
+    silently; here it is a counted, visible defect class. NULL
+    elements are in that class too (ADVICE r14: F.exists skips them,
+    so a null-element vector used to read as clean while its norm²
+    folded to NULL and silently dropped out of the mean's numerator
+    but not its denominator)."""
     v = F.col(vec_col)
     is_null = v.isNull()
     wrong = (~is_null) & (F.size(v) != dim)
     ok = (~is_null) & (F.size(v) == dim)
     nonfinite = ok & F.exists(
-        v, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+        v,
+        lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
     )
     clean = ok & ~nonfinite
     norm2 = F.aggregate(

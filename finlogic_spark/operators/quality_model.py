@@ -268,5 +268,11 @@ def select_by_token_budget(
         F.col(id_col),
         "n_tokens",
         "logit",
-        (F.col("__q3") >= F.col("__cut")).alias("selected"),
+        # coalesce: with token_budget <= 0 (or an empty scored set) the
+        # cut aggregate yields NULL and ">= NULL" would make every row's
+        # selected NULL instead of false — the public contract is a real
+        # boolean a caller can filter on (ADVICE r14)
+        F.coalesce(
+            F.col("__q3") >= F.col("__cut"), F.lit(False)
+        ).alias("selected"),
     )

@@ -319,6 +319,74 @@ def test_pagerank_resume_from_last_complete_round(spark, tmp_path):
     assert regapped == full
 
 
+def test_pagerank_single_job_regime_bitwise_and_stats(spark):
+    """The small-graph (single-job) regime must (a) actually be chosen
+    for a broadcast-sized edge cache, (b) produce bit-identical ranks
+    to the distributed broadcast regime (small_graph_max_bytes=0
+    forces it) and to the driver reference — exact integer arithmetic
+    has ONE answer regardless of which engine shape computes it."""
+    rng = np.random.RandomState(23)
+    raw = {(int(a), int(b)) for a, b in rng.randint(0, 70, (500, 2)) if a != b}
+    sym = sorted(raw | {(b, a) for a, b in raw})
+    df = spark.createDataFrame(sym, "src long, dst long")
+    st_small: dict = {}
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=4, stats=st_small).collect()
+    }
+    assert st_small["regime"] == "single_job"
+    assert st_small["n_edges"] == len(sym)
+    st_multi: dict = {}
+    multi = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df, iterations=4, small_graph_max_bytes=0, stats=st_multi
+        ).collect()
+    }
+    assert st_multi["regime"] == "broadcast"
+    want = _reference_pagerank(sym, 4)
+    assert got == want and multi == want
+
+
+def test_pagerank_resume_refuses_foreign_round_tables(spark, tmp_path):
+    """The _params sidecar (ADVICE r14): resume must refuse round
+    tables written under different parameters (damping here) or a
+    different edge set, and refuse tables with no sidecar at all —
+    silently resuming from wrong ranks is the failure mode."""
+    edges = [(1, 2), (2, 3), (3, 1), (2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    d = str(tmp_path / "pr")
+    pagerank(df, iterations=2, round_table_dir=d)
+
+    with pytest.raises(ValueError, match="resume refused"):
+        pagerank(
+            df, iterations=4, round_table_dir=d, resume=True,
+            damping_num=80,
+        )
+    other = spark.createDataFrame(edges + [(3, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="resume refused"):
+        pagerank(other, iterations=4, round_table_dir=d, resume=True)
+
+    # no sidecar but rounds present -> provenance unverifiable
+    import shutil
+
+    shutil.rmtree(f"{d}/_params")
+    with pytest.raises(ValueError, match="_params sidecar"):
+        pagerank(df, iterations=4, round_table_dir=d, resume=True)
+
+    # matching params on an intact dir still resumes and extends
+    d2 = str(tmp_path / "pr2")
+    pagerank(df, iterations=2, round_table_dir=d2)
+    full = {r["node"]: r["rank"] for r in pagerank(df, iterations=4).collect()}
+    resumed = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df, iterations=4, round_table_dir=d2, resume=True
+        ).collect()
+    }
+    assert resumed == full
+
+
 def test_pagerank_smj_regime_end_to_end_bitwise(spark):
     """Force the big-graph (SMJ) regime through the public API
     (broadcast disabled) and require bit-exact ranks: exercises the

@@ -1,0 +1,110 @@
+"""Round-15 contract pins: the leakage-safe cluster split (no LSH
+candidate pair may straddle train/val) and the deterministic epoch
+ordering (repartition-invariant, seed-sensitive, dense per-shard
+positions)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from finlogic_spark.operators.corpus import epoch_order
+
+
+def _docs(spark, n=120, dups=True):
+    """Tiny corpus with deliberate near-duplicate groups: ids i and
+    i+1000 share identical text for every i % 5 == 0, so LSH must pair
+    them and the cluster split must co-locate them."""
+    rows = []
+    for i in range(n):
+        body = f"alpha beta gamma delta epsilon zeta eta theta doc {i}"
+        rows.append((i, body))
+        if dups and i % 5 == 0:
+            rows.append((i + 1000, body))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cluster_split_never_straddles_lsh_pairs(spark):
+    """The contamination invariant itself, end-to-end on the real
+    operators: for EVERY LSH candidate pair, both docs land on the
+    same side of the split (split is a function of the shared cluster
+    label, but this pins the composition, not the algebra)."""
+    from finlogic_spark.operators.graph import connected_components
+    from finlogic_spark.operators.text_dedup import minhash_lsh_pairs
+
+    d = _docs(spark)
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", k=3, num_hashes=6, bands=2)
+    cc = connected_components(
+        pairs, d.select("doc_id"), src="id_a", dst="id_b", id_col="doc_id"
+    )
+    split = {
+        r["doc_id"]: (r["cluster"], r["split"])
+        for r in cc.select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("cluster"),
+            F.when(
+                F.substring(F.md5(F.col("label").cast("string")), 1, 2)
+                < "e6",
+                "train",
+            )
+            .otherwise("val")
+            .alias("split"),
+        ).collect()
+    }
+    got_pairs = pairs.collect()
+    assert got_pairs, "fixture must produce LSH candidate pairs"
+    for r in got_pairs:
+        ca, sa = split[r["id_a"]]
+        cb, sb = split[r["id_b"]]
+        assert ca == cb and sa == sb, (r["id_a"], r["id_b"], sa, sb)
+    # and the split actually matches the md5-threshold definition
+    for doc, (cluster, s) in split.items():
+        want = (
+            "train"
+            if hashlib.md5(str(cluster).encode()).hexdigest()[:2] < "e6"
+            else "val"
+        )
+        assert s == want
+
+
+def test_epoch_order_repartition_invariant_and_seeded(spark):
+    """The doc_domain_mix precedent: the epoch permutation must be a
+    pure function of (seed, id) — identical under any input
+    partitioning — and a different seed must produce a different
+    permutation. Positions are dense 1..n per shard."""
+    d = spark.createDataFrame(
+        [(i, i * 3) for i in range(300)], "doc_id long, payload long"
+    )
+    base = {
+        r["doc_id"]: (r["shard"], r["position"])
+        for r in epoch_order(d, "doc_id", seed=7, n_shards=4).collect()
+    }
+    re = {
+        r["doc_id"]: (r["shard"], r["position"])
+        for r in epoch_order(
+            d.repartition(13, "payload"), "doc_id", seed=7, n_shards=4
+        ).collect()
+    }
+    assert base == re
+    other = {
+        r["doc_id"]: (r["shard"], r["position"])
+        for r in epoch_order(d, "doc_id", seed=8, n_shards=4).collect()
+    }
+    assert other != base
+    # dense positions per shard, and the shard bucket matches md5 hex
+    per_shard: dict = {}
+    for doc, (shard, pos) in base.items():
+        per_shard.setdefault(shard, []).append(pos)
+        h = hashlib.md5(f"7:{doc}".encode()).hexdigest()
+        assert shard == int(h[:4], 16) % 4
+    for shard, ps in per_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_epoch_order_rejects_bad_shards(spark):
+    import pytest
+
+    d = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="n_shards"):
+        epoch_order(d, "doc_id", seed=1, n_shards=0)
