@@ -174,6 +174,12 @@ BENCH_QUERIES = [
     "doc_quality_calibration",
     "emb_lsh_recall",
     "emb_vector_profile",
+    # round 15: leakage-safe cluster split, deterministic epoch
+    # ordering composed with packing, repeated-substring excision
+    "doc_cluster_split",
+    "doc_epoch_order",
+    "doc_substring_excise",
+    "doc_training_export",
 ]
 
 

@@ -2363,6 +2363,87 @@ ORACLES["doc_cluster_split"] = f"""
     """
 
 
+@q("doc_training_export")  # oracle composed below from the pieces
+def doc_training_export(spark, sf_dir):
+    # The end-to-end loader-shard export a pretraining run actually
+    # consumes, in ONE query: leakage-safe TRAIN side (near-dup
+    # clusters hashed on the canonical label, so no LSH pair straddles
+    # the eval boundary) -> seeded epoch permutation + shard
+    # assignment -> concat-and-chunk segment map in epoch order.
+    # Output rows are exactly what a reproducible training loader
+    # replays: (doc_id, shard, position, seq_id, doc_offset, seg_len).
+    # Scale shape: the LSH+CC legs are the already-graded candidate
+    # plans; the split/order/pack tail adds one narrow map + one
+    # per-shard window — no new data-sized exchange beyond the
+    # components'.
+    from finlogic_spark.operators.corpus import epoch_order, pack_segments
+    from finlogic_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", k=3, num_hashes=6, bands=2)
+    cc = connected_components(
+        pairs, d.select("doc_id"), src="id_a", dst="id_b", id_col="doc_id"
+    )
+    train = cc.filter(
+        F.substring(F.md5(F.col("label").cast("string")), 1, 2) < "e6"
+    ).select(F.col("id").alias("doc_id"))
+    sized = d.join(train, "doc_id", "left_semi").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    ordered = epoch_order(sized, "doc_id", seed=7, n_shards=8)
+    segs = pack_segments(
+        ordered,
+        id_col="position",
+        shard_col="shard",
+        len_col="n_tokens",
+        budget=2048,
+        carry_cols=["doc_id"],
+    )
+    return segs.select(
+        "doc_id", "shard", "position", "seq_id", "doc_offset", "seg_len"
+    ).orderBy("doc_id", "seq_id")
+
+
+# composition: the cluster-split oracle picks the train docs; the epoch
+# order/pack SQL is the doc_epoch_order oracle restricted to them.
+ORACLES["doc_training_export"] = f"""
+    WITH train AS (
+      SELECT doc_id FROM ({ORACLES["doc_cluster_split"]}) s
+      WHERE split = 'train'),
+    toks AS (
+      SELECT d.doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents d JOIN train USING (doc_id)),
+    ord AS (
+      SELECT doc_id, n_tokens,
+             md5('7:' || CAST(doc_id AS VARCHAR)) AS k,
+             CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)),
+                                  1, 4))::BIGINT % 8 AS INTEGER) AS shard
+      FROM toks),
+    pos AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                  AS BIGINT) AS position
+      FROM ord),
+    spans AS (
+      SELECT doc_id, shard, position, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY position)
+                  AS BIGINT) AS e
+      FROM pos),
+    seg AS (
+      SELECT doc_id, shard, position, e - n_tokens AS s, e
+      FROM spans WHERE n_tokens > 0)
+    SELECT doc_id, shard, position,
+           CAST(sq AS INTEGER) AS seq_id,
+           CAST(greatest(sq * 2048, s) - s AS BIGINT) AS doc_offset,
+           CAST(least((sq + 1) * 2048, e) - greatest(sq * 2048, s)
+                AS BIGINT) AS seg_len
+    FROM seg,
+         LATERAL (SELECT unnest(generate_series(s // 2048, (e - 1) // 2048))
+                  AS sq)
+    ORDER BY doc_id, seq_id
+    """
+
+
 @q(
     "events_interval_join",
     """
@@ -5157,12 +5238,16 @@ def emb_covariance(spark, sf_dir):
 )
 def doc_tfidf_similar(spark, sf_dir):
     # Lexical "more like this" served from the persisted postings
-    # index: df / corpus stats / per-doc norms are prebuilt, the
-    # candidate scan partition-prunes to the query docs' token buckets,
-    # and candidates still come only from the token equi-join against
-    # the 5 broadcast query docs' postings — bounded by |Q| x df, never
-    # all-pairs. Micro-unit-quantized dot/norm sums keep the cosine
-    # identical across engines, partitionings, AND the two paths.
+    # index: df / corpus stats / per-doc norms are prebuilt, the query
+    # vectors come from a pruned forward-index scan checkpointed ONCE,
+    # and the candidate scan reads ONLY the query terms' postings
+    # lists (literal bucket partition filter + pushed token IN — r15:
+    # the bucket-only pruning degenerated to a full scan because a few
+    # query docs' vocabulary hits every bucket). Candidates come from
+    # the token equi-join against the 5 broadcast query docs' postings
+    # — bounded by |Q| x df, never all-pairs. Micro-unit-quantized
+    # dot/norm sums keep the cosine identical across engines,
+    # partitionings, AND the two paths.
     from finlogic_spark.operators.search import tfidf_similar
 
     idx = _postings_index(spark, sf_dir)
@@ -6198,6 +6283,74 @@ def doc_dup_spans(spark, sf_dir):
         F.col("n_spans").cast("long").alias("n_spans"),
         F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
         "dup_ratio",
+    ).orderBy("doc_id")
+
+
+@q(
+    "doc_substring_excise",
+    """
+    WITH sp AS (
+      SELECT doc_id, u.s AS s, u.h AS h
+      FROM (SELECT doc_id, unnest(list_filter(list_transform(
+              range(1, greatest(length(text) - 39, 1) + 1, 1),
+              i -> {'s': i, 'h': md5(substr(text, i, 40))}),
+              x -> right(x.h, 1) = '0')) AS u
+            FROM documents)),
+    sd AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM sp)
+           GROUP BY h HAVING count(*) >= 2),
+    so AS (SELECT doc_id, s FROM sp JOIN sd USING (h)),
+    brk AS (SELECT doc_id, s,
+             CASE WHEN s <= MAX(s + 40) OVER (PARTITION BY doc_id
+                    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING)
+                  THEN 0 ELSE 1 END AS b
+            FROM so),
+    grp AS (SELECT doc_id, s, SUM(b) OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+            FROM brk),
+    iv AS (SELECT doc_id, min(s) AS s, max(s) + 40 AS e
+           FROM grp GROUP BY doc_id, g),
+    stats AS (SELECT doc_id, count(*) AS n_intervals,
+                     sum(e - s) AS excised_chars FROM iv GROUP BY 1),
+    pre AS (SELECT doc_id,
+             COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s),
+                      CAST(1 AS BIGINT)) AS ks,
+             s AS ke FROM iv),
+    tl AS (SELECT doc_id, max(e) AS ks, CAST(NULL AS BIGINT) AS ke
+           FROM iv GROUP BY 1),
+    segs AS (SELECT * FROM pre UNION ALL SELECT * FROM tl),
+    reb AS (SELECT s.doc_id,
+             string_agg(substr(d.text, CAST(s.ks AS BIGINT),
+                        greatest(COALESCE(s.ke, length(d.text) + 1) - s.ks,
+                                 0)),
+                        '' ORDER BY s.ks) AS new_text
+            FROM segs s JOIN documents d USING (doc_id) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(st.n_intervals, 0) AS BIGINT) AS n_intervals,
+           CAST(COALESCE(st.excised_chars, 0) AS BIGINT) AS excised_chars,
+           CASE WHEN st.doc_id IS NOT NULL THEN r.new_text
+                ELSE d.text END AS new_text
+    FROM documents d LEFT JOIN stats st USING (doc_id)
+    LEFT JOIN reb r USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def doc_substring_excise(spark, sf_dir):
+    # Repeated-substring EXCISION (r14 verdict item 7) — detection
+    # existed (doc_dup_spans); this is the removal: coalesce each doc's
+    # cross-document sampled spans into maximal intervals, cut them
+    # out, rebuild the text (the Lee-et-al/C4 boilerplate treatment at
+    # document granularity — the doc survives, the shared block does
+    # not). Exact integer span arithmetic end to end, so the rebuilt
+    # strings are bit-identical across engines (full value hash, no
+    # band). The oracle rebuilds via per-segment string_agg; the
+    # engine folds a sorted interval array with one expression-only
+    # aggregate() — different mechanism, same bytes.
+    from finlogic_spark.operators.text_dedup import substring_excise
+
+    d = _t(spark, sf_dir, "documents")
+    return substring_excise(
+        d, "text", "doc_id", span_len=40, sel_nibbles=1
     ).orderBy("doc_id")
 
 
@@ -7944,7 +8097,15 @@ def doc_exact_dedup_incremental(spark, sf_dir):
 
 
 _MIX_TARGETS = {f"src{i}": (i + 1) * 1_000_000 // 210 for i in range(20)}
-_MIX_BUDGET = 20_000
+# Scale-proportional mixture budget (r15: the r14 registry rows carried
+# an absolute 20k-token budget that was gate-scale — at sf100 it
+# deterministically selected NOTHING, a degenerate selection stage at
+# exactly the scale the row exists to prove). budget = survivor-total
+# // 3 is computed from the SAME bounded per-source aggregate on both
+# engines (driver-side Python ints in Spark; a one-row CTE in the
+# oracle), so the row selects ~a third of the corpus at sf0.01 AND at
+# sf100.
+_MIX_BUDGET_DEN = 3
 
 
 @q(
@@ -8186,16 +8347,18 @@ def _curation_learned_oracle_sql(sf_dir: str) -> str:
     surv AS (SELECT g.doc_id, g.source, g.n FROM gate g
              JOIN reps r ON g.hx = r.hx AND g.doc_id = r.keep),
     agg AS (SELECT source, sum(n) AS T FROM surv GROUP BY 1),
+    bud AS (SELECT CAST(sum(n) AS BIGINT) // {_MIX_BUDGET_DEN} AS B
+            FROM surv),
     w(source, wm) AS (VALUES {wm_vals}),
     r AS (SELECT a.source,
             CASE WHEN a.T <= 0 OR w.wm IS NULL THEN '00'
-                 WHEN ((w.wm * {_MIX_BUDGET}) // 1000000) * 256 // a.T >= 256
+                 WHEN ((w.wm * bud.B) // 1000000) * 256 // a.T >= 256
                    THEN 'g0'
                  ELSE format('{{:02x}}', CAST(
-                        ((w.wm * {_MIX_BUDGET}) // 1000000) * 256 // a.T
+                        ((w.wm * bud.B) // 1000000) * 256 // a.T
                       AS BIGINT))
             END AS thr
-          FROM agg a LEFT JOIN w USING (source))
+          FROM agg a LEFT JOIN w USING (source), bud)
     SELECT surv.doc_id, surv.source, CAST(surv.n AS BIGINT) AS n_tokens,
            substr(md5('mix|' || CAST(surv.doc_id AS VARCHAR)), 1, 2) < r.thr
              AS kept
@@ -8236,7 +8399,12 @@ def doc_curation_learned(spark, sf_dir):
     reps = gated.groupBy("__hx").agg(F.min("doc_id").alias("doc_id"))
     surv = gated.join(reps, ["__hx", "doc_id"], "left_semi")
     return domain_mix_sample(
-        surv, "source", "doc_id", F.col("__n"), _MIX_TARGETS, _MIX_BUDGET
+        surv,
+        "source",
+        "doc_id",
+        F.col("__n"),
+        _MIX_TARGETS,
+        lambda total: total // _MIX_BUDGET_DEN,
     ).orderBy("doc_id")
 
 
@@ -8248,18 +8416,19 @@ def doc_curation_learned(spark, sf_dir):
     WITH t AS (SELECT doc_id, source,
                  CAST(len({_TOKS_SQL}) AS BIGINT) AS n FROM documents),
     agg AS (SELECT source, sum(n) AS T FROM t GROUP BY 1),
+    bud AS (SELECT CAST(sum(n) AS BIGINT) // {_MIX_BUDGET_DEN} AS B FROM t),
     w(source, wm) AS (VALUES {", ".join(
         f"('src{i}', {(i + 1) * 1_000_000 // 210})" for i in range(20)
     )}),
     r AS (SELECT a.source,
             CASE WHEN a.T <= 0 OR w.wm IS NULL THEN '00'
-                 WHEN ((w.wm * {_MIX_BUDGET}) // 1000000) * 256 // a.T >= 256
+                 WHEN ((w.wm * bud.B) // 1000000) * 256 // a.T >= 256
                    THEN 'g0'
                  ELSE format('{{:02x}}', CAST(
-                        ((w.wm * {_MIX_BUDGET}) // 1000000) * 256 // a.T
+                        ((w.wm * bud.B) // 1000000) * 256 // a.T
                       AS BIGINT))
             END AS thr
-          FROM agg a LEFT JOIN w USING (source))
+          FROM agg a LEFT JOIN w USING (source), bud)
     SELECT t.doc_id, t.source, t.n AS n_tokens,
            substr(md5('mix|' || CAST(t.doc_id AS VARCHAR)), 1, 2) < r.thr
              AS kept
@@ -8280,7 +8449,12 @@ def doc_domain_mix(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return domain_mix_sample(
-        d, "source", "doc_id", token_count("text"), _MIX_TARGETS, _MIX_BUDGET
+        d,
+        "source",
+        "doc_id",
+        token_count("text"),
+        _MIX_TARGETS,
+        lambda total: total // _MIX_BUDGET_DEN,
     ).orderBy("doc_id")
 
 

@@ -14,7 +14,7 @@ All three are shapes a 100 TB curation run actually needs:
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Callable, Mapping
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -534,7 +534,7 @@ def domain_mix_sample(
     id_col: str,
     tokens_col: Column,
     targets_micro: Mapping[str, int],
-    budget_tokens: int,
+    budget_tokens: int | Callable[[int], int],
     salt: str = "mix",
 ) -> DataFrame:
     """Domain-mixture sampling: fit a target source mixture under a
@@ -563,8 +563,17 @@ def domain_mix_sample(
     ``targets_micro`` get threshold '00' (dropped — an unlisted domain
     in a mixture spec is a drop, not a silent keep). Output:
     (id, source, n_tokens, kept); filter on ``kept`` to materialize
-    the mixed corpus."""
-    if budget_tokens < 0:
+    the mixed corpus.
+
+    ``budget_tokens`` may be a callable ``total_tokens -> budget``: it
+    receives the corpus-wide token total (sum of the same bounded
+    per-source aggregate — no extra pass) and returns the budget, so a
+    registry row can carry a SCALE-PROPORTIONAL budget (e.g.
+    ``lambda t: t // 3``) that selects a meaningful mixture at sf0.01
+    AND at 100 TB, where any fixed absolute budget is degenerate at
+    one end (r14 verdict item 5). The callable runs driver-side on
+    exact Python ints — same overflow-proofing as the thresholds."""
+    if not callable(budget_tokens) and budget_tokens < 0:
         raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
     base = docs.select(
         F.col(id_col),
@@ -575,13 +584,20 @@ def domain_mix_sample(
         r["__src"]: int(r["__T"] or 0)
         for r in base.groupBy("__src").agg(F.sum("__n").alias("__T")).collect()
     }
+    budget = (
+        int(budget_tokens(sum(totals.values())))
+        if callable(budget_tokens)
+        else int(budget_tokens)
+    )
+    if budget < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget}")
     thresholds: dict[str, str] = {}
     for src, total in totals.items():
         w = targets_micro.get(src)
         if w is None or total <= 0:
             thresholds[src] = "00"
             continue
-        desired = (int(w) * int(budget_tokens)) // 1_000_000
+        desired = (int(w) * budget) // 1_000_000
         byte = (desired * 256) // total
         thresholds[src] = "g0" if byte >= 256 else f"{byte:02x}"
     thr = F.lit("00")

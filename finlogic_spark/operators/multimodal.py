@@ -356,3 +356,85 @@ def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
         .select("media_id", "data")
         .mapInPandas(batches, FRAME_SCHEMA)
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("clip_rate", T.DoubleType(), True),
+        T.StructField("byte_len", T.IntegerType(), True),
+    ]
+)
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """PCM WAV feature extraction — the audio sibling of
+    ``extract_features`` and the second REAL codec next to
+    ``png_decoder`` (stdlib ``wave`` parses the container, numpy does
+    the sample math; no audio library needed, so this path runs even
+    in the hermetic container). Per clip: sample rate, channel count,
+    sample count, duration, RMS level, and clip rate (fraction of
+    samples within 8 LSB of full scale — the go/no-go signal an audio
+    ingest gate checks before transcription). 16-bit PCM only (what
+    ``wave`` itself writes); anything else raises rather than
+    silently mis-scaling.
+
+    Same scale shape as every decode kernel here: Arrow-batched
+    ``mapInPandas``, scan → decode → project, the binary column does
+    not survive into the output, no shuffle — throughput scales with
+    executors. Amplitudes are normalized by 32768 and the two rates
+    are exact ratios of integer counts, so results are deterministic
+    and engine-independent."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in it:
+            recs = []
+            for media_id, data in zip(pdf["media_id"], pdf["data"]):
+                raw = bytes(data)
+                with wave.open(io.BytesIO(raw)) as w:
+                    sr = w.getframerate()
+                    ch = w.getnchannels()
+                    nf = w.getnframes()
+                    if w.getsampwidth() != 2:
+                        raise ValueError(
+                            "wav_features supports 16-bit PCM only, got "
+                            f"sample width {w.getsampwidth()}"
+                        )
+                    frames = w.readframes(nf)
+                x = np.frombuffer(frames, dtype="<i2")
+                n = int(x.size)
+                if n:
+                    xf = x.astype(np.float64) / 32768.0
+                    rms = float(np.sqrt(np.mean(xf * xf)))
+                    clip = float(np.count_nonzero(np.abs(x) >= 32760) / n)
+                else:
+                    rms, clip = 0.0, 0.0
+                recs.append(
+                    {
+                        "media_id": media_id,
+                        "sample_rate": sr,
+                        "n_channels": ch,
+                        "n_samples": n,
+                        "duration_s": (nf / sr) if sr else 0.0,
+                        "rms": rms,
+                        "clip_rate": clip,
+                        "byte_len": len(raw),
+                    }
+                )
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in AUDIO_FEATURES_SCHEMA]
+            )
+
+    return media.select("media_id", "data").mapInPandas(
+        batches, AUDIO_FEATURES_SCHEMA
+    )

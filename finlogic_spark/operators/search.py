@@ -436,25 +436,35 @@ def tfidf_similar(
             q_rows = postings.postings.filter(
                 F.col("doc_id").isin(query_ids)
             )
-        qp = _tfidf_weight(q_rows.join(nd_b)).select(
-            F.col("doc_id").alias("query_id"), "token", F.col("w").alias("wq")
-        )
-        # Partition-prune the candidate side to the query tokens'
-        # buckets: the distinct __tok_bkt list is bounded by n_buckets
-        # (ints, not tokens), so the collect is O(n_buckets) whatever
-        # the corpus or query-vocabulary size.
-        q_bkts = sorted(
-            int(r[0])
-            for r in qp.select(
-                _token_bucket(F.col("token"), postings.n_buckets)
+        # The query vectors are |Q|-bounded by the more-like-this
+        # contract, and BOTH the candidate pruning below and the dots
+        # broadcast consume them — eagerly checkpoint so the pruned
+        # forward scan runs ONCE (the r15 serve decomposition measured
+        # the un-checkpointed shape re-running it per consumer).
+        qp = (
+            _tfidf_weight(q_rows.join(nd_b))
+            .select(
+                F.col("doc_id").alias("query_id"),
+                "token",
+                F.col("w").alias("wq"),
             )
-            .distinct()
-            .collect()
+            .localCheckpoint(eager=True)
         )
+        # Candidate side = the query terms' POSTINGS LISTS, nothing
+        # else: a literal __tok_bkt partition filter plus a pushed
+        # token IN-filter (_bucket_pruned_terms, the term-lookup serve
+        # path). The r14 shape pruned by bucket ONLY — a handful of
+        # query docs carry enough distinct tokens to hit every bucket,
+        # so "pruned" degenerated to a full postings scan feeding the
+        # join; the token filter is what actually bounds the read (the
+        # dot product only ever involves shared tokens, so the result
+        # is bit-identical). The term-list collect is |Q|-doc-vocab
+        # bounded — same class as the query vectors themselves.
+        qtok = [r[0] for r in qp.select("token").distinct().collect()]
         cand = _tfidf_weight(
-            postings.postings.filter(F.col("__tok_bkt").isin(q_bkts)).join(
-                nd_b
-            )
+            _bucket_pruned_terms(
+                postings.postings, qtok, postings.n_buckets
+            ).join(nd_b)
         )
         norms = postings.norms
     else:

@@ -1194,6 +1194,124 @@ def dup_spans(
     )
 
 
+def substring_excise(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_len: int = 40,
+    sel_nibbles: int = 1,
+) -> DataFrame:
+    """Repeated-substring EXCISION — the removal step on top of
+    ``dup_spans``' detection (the Lee et al. "Deduplicating Training
+    Data" / C4 boilerplate treatment at document granularity): find the
+    content-sampled spans shared across documents, coalesce each
+    document's shared spans into maximal character intervals, CUT the
+    intervals out, and rebuild the host text — the document survives,
+    the verbatim license block / navigation chrome / quoted boilerplate
+    does not. Returns every input row as
+    (id, n_intervals, excised_chars, new_text); documents with no
+    cross-document span keep their text BYTE-IDENTICAL.
+
+    Same alignment-robust Broder/Manber sampling as dup_spans (span
+    selection rides on the span's own md5, so every copy of a
+    duplicated region keeps the same spans), same no-pair-expansion
+    guarantee (a block in a million docs costs a million interval rows,
+    never 10^12 pairs). New pieces, all exact integer arithmetic so the
+    result is engine-bit-identical:
+
+    - intervals: per doc, sort shared offsets and merge overlap/adjacency
+      (gaps-and-islands: break where s > max(prev s + span_len), island
+      id = running sum of breaks — two window passes over SHARED
+      offsets only, keyed by doc id);
+    - rebuild: intervals collect into ONE sorted array per doc, a
+      single equi-join puts it next to the text (no per-interval
+      fan-out of the text), and one ``aggregate`` fold walks the
+      intervals left to right concatenating the kept slices —
+      expression-only, JVM-side, no UDF.
+
+    Caveat shared with every single-pass excision: cutting can create
+    NEW seams, and for two FULLY identical documents the rebuilt texts
+    are again identical (their seam spans re-collide) — whole-doc
+    duplicates are exact_dedup's job before this operator; this one is
+    for shared REGIONS inside otherwise-distinct documents (pinned in
+    tests/test_round15_props.py)."""
+    zeros = "0" * sel_nibbles
+    t = f"`{text_col}`"
+    span_expr = F.expr(
+        f"filter(transform(sequence(1, greatest(length({t}) -"
+        f" {span_len - 1}, 1), 1), i -> struct(i AS s,"
+        f" md5(substr({t}, i, {span_len})) AS h)),"
+        f" x -> right(x.h, {sel_nibbles}) = '{zeros}')"
+    )
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    sp = (
+        df.select(F.col(id_col).alias("id"), span_expr.alias("__sp"))
+        .select("id", F.explode("__sp").alias("x"))
+        .select("id", F.col("x.s").alias("s"), F.col("x.h").alias("h"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    shared = (
+        sp.select("id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("h")
+    )
+    so = sp.join(shared, "h", "left_semi").select("id", "s")
+    w_prev = (
+        Window.partitionBy("id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = so.withColumn(
+        "__brk",
+        F.when(
+            F.col("s") <= F.max(F.col("s") + span_len).over(w_prev), 0
+        ).otherwise(1),
+    ).withColumn("__g", F.sum("__brk").over(w_run))
+    iv = grp.groupBy("id", "__g").agg(
+        F.min("s").alias("s"), (F.max("s") + span_len).alias("e")
+    )
+    ivs = iv.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__iv"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("excised_chars"),
+    )
+    rebuilt = F.expr(
+        f"aggregate(__iv, named_struct('pos', 1, 'acc', ''),"
+        f" (a, x) -> named_struct('pos', x.e,"
+        f" 'acc', concat(a.acc, substr({t}, a.pos, x.s - a.pos))),"
+        f" a -> concat(a.acc, substr({t}, a.pos,"
+        f" length({t}) - a.pos + 1)))"
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .join(
+            ivs.withColumnRenamed("id", id_col), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce("n_intervals", F.lit(0).cast("long")).alias(
+                "n_intervals"
+            ),
+            F.coalesce("excised_chars", F.lit(0).cast("long")).alias(
+                "excised_chars"
+            ),
+            F.when(F.col("__iv").isNull(), F.col(text_col))
+            .otherwise(rebuilt)
+            .alias("new_text"),
+        )
+    )
+
+
 # ----------------------------------------------- incremental exact dedup
 
 def build_fingerprint_store(

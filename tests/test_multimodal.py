@@ -221,3 +221,74 @@ def test_png_decoder_color_conversions():
     rgba = _make_png(2, 1, 6, [(0, rgba_row)])
     d = png_decoder("image", rgba)
     assert d["body"] == bytes([10, 20, 30, 40, 50, 60])
+
+
+def _make_wav(sr: int, samples) -> bytes:
+    import io
+    import struct as _struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(b"".join(_struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_wav_features_real_pcm_parse(spark):
+    """Real stdlib-wave decode path (r15: the second modality with a
+    real codec): a known square wave must report exact sample counts,
+    duration, RMS, and clip rate; a silent clip reports zeros."""
+    import math
+
+    # full-scale square wave: every sample clips; RMS = 32767/32768
+    square = [32767, -32767] * 1000
+    silent = [0] * 500
+    half = [16384, -16384] * 400
+    df = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(_make_wav(8000, square))),
+            (2, "audio", bytearray(_make_wav(16000, silent))),
+            (3, "audio", bytearray(_make_wav(8000, half))),
+        ],
+        "media_id long, kind string, data binary",
+    )
+    from finlogic_spark.operators.multimodal import wav_features
+
+    rows = {r["media_id"]: r for r in wav_features(df).collect()}
+    r1 = rows[1]
+    assert (r1["sample_rate"], r1["n_channels"], r1["n_samples"]) == (
+        8000, 1, 2000,
+    )
+    assert abs(r1["duration_s"] - 0.25) < 1e-12
+    assert abs(r1["rms"] - 32767 / 32768) < 1e-9
+    assert r1["clip_rate"] == 1.0
+    r2 = rows[2]
+    assert r2["rms"] == 0.0 and r2["clip_rate"] == 0.0
+    assert abs(r2["duration_s"] - 500 / 16000) < 1e-12
+    r3 = rows[3]
+    assert abs(r3["rms"] - 0.5) < 1e-9 and r3["clip_rate"] == 0.0
+
+
+def test_wav_features_rejects_non_16bit(spark):
+    import io
+    import wave
+
+    import pytest
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit
+        w.setframerate(8000)
+        w.writeframes(b"\x80" * 100)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(buf.getvalue()))],
+        "media_id long, kind string, data binary",
+    )
+    from finlogic_spark.operators.multimodal import wav_features
+
+    with pytest.raises(Exception, match="16-bit"):
+        wav_features(df).collect()

@@ -187,6 +187,35 @@ def test_postings_index_serves_with_partition_pruning(spark, tmp_path):
     assert live == served
 
 
+def test_tfidf_candidate_scan_reads_query_term_postings_only(
+    spark, tmp_path
+):
+    # r15 serve fix: the tf-idf candidate side must be the query
+    # terms' POSTINGS LISTS (PartitionFilters on __tok_bkt AND a
+    # pushed token IN-filter), not a bucket-only "pruned" scan that a
+    # multi-token query vocabulary degenerates into a full read.
+    from finlogic_spark.operators.search import (
+        build_postings_table,
+        read_postings,
+        tfidf_similar,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * j) % 31}" for j in range(1, 20)))
+         for i in range(80)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "postings")
+    build_postings_table(docs, path, n_buckets=16)
+    idx = read_postings(spark, path)
+    plan = plans.formatted_plan(
+        tfidf_similar(None, [0, 1], k=3, postings=idx)
+    )
+    # candidate parquet scan: bucket partition filter + token pushdown
+    assert "PartitionFilters" in plan and "__tok_bkt" in plan
+    assert "PushedFilters" in plan and "token" in plan
+
+
 def test_pq_ivf_serving_plan(spark):
     # The fused PQ-IVF serve path must be (a) an equi-join on cell id —
     # never a nested-loop/cartesian candidate expansion — and (b) fed

@@ -102,6 +102,80 @@ def test_epoch_order_repartition_invariant_and_seeded(spark):
         assert sorted(ps) == list(range(1, len(ps) + 1))
 
 
+def _excise_docs(spark):
+    """Shared 400-char block embedded at different offsets inside
+    otherwise-distinct documents, plus clean docs — the operator's
+    target shape (regions, not whole-doc duplicates)."""
+    import random
+
+    rng = random.Random(99)
+    words = ["w%03d" % i for i in range(500)]
+    block = " ".join("common%02d" % (i % 40) for i in range(80))[:400]
+    rows = []
+    for i in range(6):
+        pre = " ".join(rng.choice(words) for _ in range(30 + i * 7))
+        post = " ".join(rng.choice(words) for _ in range(40 + i * 5))
+        rows.append((i, f"{pre} {block} {post}"))
+    for i in range(6, 12):
+        rows.append((i, " ".join(rng.choice(words) for _ in range(90))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_excise_removes_shared_and_preserves_clean(spark):
+    """The Lee-et-al invariant pair: (a) after excision NO sampled
+    span is shared across documents (checked by re-running the
+    operator on its own output — a fixpoint), (b) documents with no
+    shared span come back byte-identical, (c) every block-carrying doc
+    actually lost characters."""
+    from finlogic_spark.operators.text_dedup import substring_excise
+
+    d = _excise_docs(spark)
+    out = substring_excise(d, "text", "doc_id", span_len=40, sel_nibbles=1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    orig = {r["doc_id"]: r["text"] for r in d.collect()}
+    for i in range(6):
+        assert rows[i]["n_intervals"] >= 1, rows[i]
+        assert rows[i]["excised_chars"] > 0
+        assert len(rows[i]["new_text"]) == len(orig[i]) - rows[i][
+            "excised_chars"
+        ]
+    for i in range(6, 12):
+        assert rows[i]["n_intervals"] == 0
+        assert rows[i]["new_text"] == orig[i]  # byte-identical
+    # fixpoint: re-run on the rebuilt corpus -> zero shared spans
+    again = substring_excise(
+        out.select("doc_id", F.col("new_text").alias("text")),
+        "text",
+        "doc_id",
+        span_len=40,
+        sel_nibbles=1,
+    )
+    assert again.agg(F.sum("n_intervals")).collect()[0][0] == 0
+
+
+def test_substring_excise_interval_merge_exact(spark):
+    """Adjacent/overlapping sampled spans must coalesce into ONE
+    interval whose arithmetic is exact: a doc whose entire text is the
+    shared block excises to the empty string, not a crash or a
+    partial."""
+    from finlogic_spark.operators.text_dedup import substring_excise
+
+    block = " ".join("zz%02d" % (i % 25) for i in range(100))
+    d = spark.createDataFrame(
+        [(1, block), (2, block), (3, "totally unrelated text here")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in substring_excise(
+        d, "text", "doc_id", span_len=40, sel_nibbles=1
+    ).collect()}
+    # identical whole docs: every sampled span is shared; the merged
+    # interval(s) cover nearly everything sampled
+    assert rows[1]["excised_chars"] > 0
+    assert rows[1]["new_text"] == rows[2]["new_text"]
+    assert len(rows[1]["new_text"]) == len(block) - rows[1]["excised_chars"]
+    assert rows[3]["new_text"] == "totally unrelated text here"
+
+
 def test_epoch_order_rejects_bad_shards(spark):
     import pytest
 

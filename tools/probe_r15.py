@@ -157,16 +157,353 @@ def main() -> int:
     return 0
 
 
-def probe_tfidf(out, runs):  # placeholder, filled by the tfidf item
-    raise NotImplementedError
+def probe_tfidf(out, runs):
+    """doc_tfidf_similar serve-path decomposition + the missing sf10
+    baseline column (r14 verdict item 4). Measures, per scale: index
+    open/build, full warm serve (r15 token-pruned candidate scan),
+    the two serve legs (pruned forward-index query-vector read;
+    candidate postings-list read), and the DuckDB from-scratch
+    baseline in the same session."""
+    import duckdb
+
+    from finlogic_spark import driver_queries as dq
+    from finlogic_spark.operators import search as S
+    from finlogic_spark.operators.search import tfidf_similar
+
+    ids = [0, 1, 2, 3, 4]
+    for sf_name in ["sf1", "sf10"]:
+        sf = f"/root/repo/testdata/{sf_name}"
+        t0 = time.perf_counter()
+        idx = dq._postings_index(SPARK, sf)
+        open_s = round(time.perf_counter() - t0, 2)
+
+        def serve():
+            noop(tfidf_similar(None, ids, k=5, postings=idx))
+
+        serve_s = timed(serve, runs)
+        # decomposition legs (the serve's two index reads)
+        nd_b = F.broadcast(
+            idx.stats.select(F.col("n_docs").cast("double").alias("n_docs"))
+        )
+        stored_t = idx.forward.schema["doc_id"].dataType
+        bkts = sorted(
+            int(r[0])
+            for r in SPARK.createDataFrame([(i,) for i in ids], ["doc_id"])
+            .select(
+                S._doc_bucket(F.col("doc_id").cast(stored_t), idx.n_buckets)
+            )
+            .distinct()
+            .collect()
+        )
+        q_rows = idx.forward.filter(F.col("__doc_bkt").isin(bkts)).filter(
+            F.col("doc_id").isin(ids)
+        )
+        leg_q = timed(
+            lambda: noop(S._tfidf_weight(q_rows.join(nd_b))), runs
+        )
+        qtok = [
+            r[0] for r in q_rows.select("token").distinct().collect()
+        ]
+        leg_c = timed(
+            lambda: noop(
+                S._tfidf_weight(
+                    S._bucket_pruned_terms(
+                        idx.postings, qtok, idx.n_buckets
+                    ).join(nd_b)
+                )
+            ),
+            runs,
+        )
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf}/documents.parquet'"
+        )
+        duck_s = duck_timed(
+            con, dq.ORACLES["doc_tfidf_similar"], max(1, runs - 1)
+        )
+        con.close()
+        out[f"{sf_name}:tfidf_serve"] = {
+            "index_open_s": open_s,
+            "serve_warm_s": serve_s,
+            "leg_query_vectors_s": leg_q,
+            "leg_candidate_postings_s": leg_c,
+            "n_query_tokens": len(qtok),
+            "duckdb_from_scratch_s": duck_s,
+            "ratio": round(serve_s / duck_s, 2) if duck_s else None,
+            "note": (
+                "r15 serve: query vectors checkpointed once (pruned "
+                "forward read), candidates = the query terms' postings "
+                "lists (literal bucket filter + pushed token IN) — the "
+                "r14 bucket-only pruning read the whole postings table "
+                "because a few query docs hit every bucket. DuckDB "
+                "column is the previously-missing same-session "
+                "from-scratch baseline."
+            ),
+        }
+        print(out[f"{sf_name}:tfidf_serve"], flush=True)
 
 
-def probe_curation(out, sf100, runs):  # placeholder, filled by item 5
-    raise NotImplementedError
+def probe_curation(out, sf100, runs):
+    """doc_curation_learned through the REGISTRY code path at sf100 —
+    the r14 row's absolute 20k-token budget deterministically selected
+    nothing at this scale; the r15 scale-proportional budget
+    (survivor-total // 3) must keep a non-empty, roughly-on-target
+    mixture."""
+    from finlogic_spark import driver_queries as dq
+
+    t0 = time.perf_counter()
+    res = dq.QUERIES["doc_curation_learned"](SPARK, sf100)
+    agg = res.agg(
+        F.count(F.lit(1)).alias("survivors"),
+        F.sum(F.col("kept").cast("long")).alias("mixture_kept_docs"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens"))).alias("kept_tokens"),
+        F.sum("n_tokens").alias("survivor_tokens"),
+    ).collect()[0]
+    wall = round(time.perf_counter() - t0, 2)
+    out["sf100:curation_learned_registry"] = {
+        "wall_s": wall,
+        "survivors": int(agg["survivors"]),
+        "mixture_kept_docs": int(agg["mixture_kept_docs"] or 0),
+        "kept_tokens": int(agg["kept_tokens"] or 0),
+        "survivor_tokens": int(agg["survivor_tokens"] or 0),
+        "note": (
+            "the registry function verbatim (same code path the gate "
+            "grades), budget = survivor token total // 3 computed in "
+            "the same bounded per-source aggregate; non-empty "
+            "mixture_kept_docs is the r14-item-5 done condition."
+        ),
+    }
+    print(out["sf100:curation_learned_registry"], flush=True)
 
 
-def probe_multimodal(out, runs):  # placeholder, filled by item 6
-    raise NotImplementedError
+def _encode_png_mixed(i: int, w: int = 64, h: int = 48) -> bytes:
+    """Deterministic RGB PNG whose scanlines cycle through ALL five
+    filter types (None/Sub/Up/Average/Paeth, offset by image id) —
+    the r14 corpus was filter-0 only, so the decoder's filter
+    reconstruction arms never ran at scale. Filtering is applied
+    encoder-side (stored = raw - prediction, mod 256) with vectorized
+    numpy, then zlib-compressed like any real encoder."""
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(i)
+    px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    ch = 3
+    stride = w * ch
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int16)
+    for r in range(h):
+        cur = px[r].reshape(-1).astype(np.int16)
+        ftype = (r + i) % 5
+        left = np.zeros(stride, dtype=np.int16)
+        left[ch:] = cur[:-ch]
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:  # Sub
+            enc = cur - left
+        elif ftype == 2:  # Up
+            enc = cur - prev
+        elif ftype == 3:  # Average
+            enc = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            ul = np.zeros(stride, dtype=np.int16)
+            ul[ch:] = prev[:-ch]
+            p = left + prev - ul
+            pa, pb, pc = (
+                np.abs(p - left),
+                np.abs(p - prev),
+                np.abs(p - ul),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prev, ul),
+            )
+            enc = cur - pred
+        raw += bytes([ftype]) + (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(tag, data):
+        body = tag + data
+        return (
+            len(data).to_bytes(4, "big")
+            + body
+            + (zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 1))
+        + chunk(b"IEND", b"")
+    ), px
+
+
+def probe_multimodal(out, runs, n_images=100_000, n_clips=100_000):
+    """r14 verdict item 6: (a) re-run the PNG scale row on a MIXED-
+    filter corpus (the 85k img/s row was filter-0/inflate-dominated by
+    its own admission — Paeth/Sub/Up/Avg ran in unit tests only) and
+    (b) give a second modality (stdlib-wave PCM audio) its first scale
+    row. Both publish throughput + peak Python-worker RSS."""
+    import numpy as np
+
+    from finlogic_spark.operators.multimodal import (
+        extract_features,
+        png_decoder,
+        wav_features,
+    )
+
+    # round-trip sanity: every filter arm must reconstruct exactly
+    for i in (0, 1, 2, 3, 4):
+        data, px = _encode_png_mixed(i)
+        d = png_decoder("image", data)
+        got = np.frombuffer(d["body"], dtype=np.uint8).reshape(px.shape)
+        assert (got == px).all(), f"filter round-trip failed for seed {i}"
+
+    tmp = "/tmp/probe_r15_media"
+    if not os.path.exists(f"{tmp}/_SUCCESS"):
+        schema = "media_id long, kind string, data binary"
+        first = True
+        for lo in range(0, n_images, 20_000):
+            rows = [
+                (i, "image", bytearray(_encode_png_mixed(i)[0]))
+                for i in range(lo, min(lo + 20_000, n_images))
+            ]
+            SPARK.createDataFrame(rows, schema).write.mode(
+                "overwrite" if first else "append"
+            ).parquet(tmp)
+            first = False
+            print(f"  png corpus: {min(lo + 20_000, n_images)}", flush=True)
+    media = SPARK.read.parquet(tmp)
+    n = media.count()
+
+    def extract():
+        noop(extract_features(media, decoder=png_decoder))
+
+    t = timed(extract, max(1, runs - 1))
+
+    def meter(it):
+        import resource
+
+        import pandas as pd
+
+        for pdf in it:
+            for kind, data in zip(pdf["kind"], pdf["data"]):
+                png_decoder(kind, bytes(data))
+            rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+            yield pd.DataFrame(
+                {"rows": [len(pdf)], "worker_rss_mb": [int(rss)]}
+            )
+
+    b = (
+        media.select("media_id", "kind", "data")
+        .mapInPandas(meter, "rows long, worker_rss_mb long")
+        .agg(
+            F.max("rows").alias("max_rows"),
+            F.max("worker_rss_mb").alias("max_rss"),
+        )
+        .collect()[0]
+    )
+    out["multimodal:png_mixed_filters"] = {
+        "images": n,
+        "image_shape": "64x48x3 RGB PNG, scanline filters cycle 0-4",
+        "extract_s": t,
+        "images_per_s": round(n / t),
+        "max_arrow_batch_rows": int(b["max_rows"]),
+        "peak_python_worker_rss_mb": int(b["max_rss"]),
+        "note": (
+            "all five PNG filter arms exercised at scale (encoder-side "
+            "filtering verified by exact pixel round-trip before the "
+            "run); pure-Python per-byte reconstruction is the codec "
+            "floor — PIL absent in this container."
+        ),
+    }
+    print(out["multimodal:png_mixed_filters"], flush=True)
+
+    # ---------------- audio: PCM WAV corpus, stdlib wave decode
+    atmp = "/tmp/probe_r15_audio"
+    if not os.path.exists(f"{atmp}/_SUCCESS"):
+        import io
+        import wave
+
+        def make_wav(i: int) -> bytes:
+            rng = np.random.RandomState(i)
+            n_s = 2000  # 0.25 s @ 8 kHz
+            x = (rng.randn(n_s) * 6000).clip(-32768, 32767).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wv:
+                wv.setnchannels(1)
+                wv.setsampwidth(2)
+                wv.setframerate(8000)
+                wv.writeframes(x.tobytes())
+            return buf.getvalue()
+
+        schema = "media_id long, kind string, data binary"
+        first = True
+        for lo in range(0, n_clips, 25_000):
+            rows = [
+                (i, "audio", bytearray(make_wav(i)))
+                for i in range(lo, min(lo + 25_000, n_clips))
+            ]
+            SPARK.createDataFrame(rows, schema).write.mode(
+                "overwrite" if first else "append"
+            ).parquet(atmp)
+            first = False
+            print(f"  wav corpus: {min(lo + 25_000, n_clips)}", flush=True)
+    audio = SPARK.read.parquet(atmp)
+    na = audio.count()
+
+    def aextract():
+        noop(wav_features(audio))
+
+    ta = timed(aextract, max(1, runs - 1))
+
+    def ameter(it):
+        import resource
+
+        import pandas as pd
+
+        for pdf in it:
+            import io
+            import wave
+
+            for data in pdf["data"]:
+                with wave.open(io.BytesIO(bytes(data))) as wv:
+                    wv.readframes(wv.getnframes())
+            rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+            yield pd.DataFrame(
+                {"rows": [len(pdf)], "worker_rss_mb": [int(rss)]}
+            )
+
+    ab = (
+        audio.select("media_id", "data")
+        .mapInPandas(ameter, "rows long, worker_rss_mb long")
+        .agg(
+            F.max("rows").alias("max_rows"),
+            F.max("worker_rss_mb").alias("max_rss"),
+        )
+        .collect()[0]
+    )
+    out["multimodal:wav_features"] = {
+        "clips": na,
+        "clip_shape": "0.25 s mono 16-bit PCM @ 8 kHz (gaussian)",
+        "extract_s": ta,
+        "clips_per_s": round(na / ta),
+        "max_arrow_batch_rows": int(ab["max_rows"]),
+        "peak_python_worker_rss_mb": int(ab["max_rss"]),
+        "note": (
+            "second modality's first scale row: stdlib-wave container "
+            "parse + numpy sample math (duration/RMS/clip-rate) over "
+            "Arrow-batched mapInPandas — scan -> decode -> project, "
+            "no shuffle."
+        ),
+    }
+    print(out["multimodal:wav_features"], flush=True)
 
 
 SPARK = None
