@@ -8525,6 +8525,29 @@ def doc_budget_select(spark, sf_dir):
 # Registry ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------
 
+def _promote_newest(names: list[str]) -> None:
+    """Re-rank queries REGISTERED MID-FILE (next to their thematic
+    siblings) as the newest entries for the interleave below: the
+    driver gate's "newest ~25" window keys off registration order, and
+    a round's additions defined beside related code would otherwise
+    rank as old and fall outside the gate. Call with the current
+    round's names, oldest-first, BEFORE _interleave_registry()."""
+    for n in names:
+        QUERIES[n] = QUERIES.pop(n)  # move to the end of dict order
+        REGISTRATION_ORDER.remove(n)
+        REGISTRATION_ORDER.append(n)
+
+
+_promote_newest(
+    [
+        "doc_cluster_split",
+        "doc_epoch_order",
+        "doc_substring_excise",
+        "doc_training_export",
+    ]
+)
+
+
 def _interleave_registry() -> None:
     """The driver's hard correctness gate checks only the FIRST 50
     registry entries. Registration order is chronological (oldest
