@@ -115,6 +115,75 @@ def probe_pagerank(out, runs):
     print(out["sf0.1:pagerank_single_job_ab"], flush=True)
 
 
+def probe_newrows(out, runs):
+    """sf1 scale rows for the four r15 registry newcomers: Spark wall
+    time (median of warm runs) + a timeout-guarded DuckDB column on
+    the same parquet — the scale-up evidence the gate's sf0.1 bench
+    can't show."""
+    import threading
+
+    import duckdb
+
+    from finlogic_spark import driver_queries as dq
+
+    sf = "/root/repo/testdata/sf1"
+    names = [
+        "doc_cluster_split",
+        "doc_epoch_order",
+        "doc_substring_excise",
+        "doc_training_export",
+    ]
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={os.cpu_count()}")
+    for t in ("documents",):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracles = dq.resolve_oracles(sf)
+
+    def duck_guarded(sql, ceiling=300.0):
+        timer = threading.Timer(ceiling, con.interrupt)
+        t0 = time.perf_counter()
+        try:
+            timer.start()
+            con.sql(sql).fetchall()
+            return round(time.perf_counter() - t0, 2)
+        except duckdb.Error:
+            return None  # killed at the ceiling: lower bound only
+        finally:
+            timer.cancel()
+
+    res = {}
+    for name in names:
+        spark_s = timed(
+            lambda: noop(dq.QUERIES[name](SPARK, sf)), max(1, runs - 1)
+        )
+        d1 = duck_guarded(oracles[name])
+        duck_s = duck_guarded(oracles[name]) if d1 is not None else None
+        res[name] = {
+            "spark_s": spark_s,
+            "duckdb_s": duck_s if duck_s is not None else d1,
+            **(
+                {"duckdb_timeout_lower_bound_s": 300.0}
+                if d1 is None
+                else {}
+            ),
+            "ratio": (
+                round(spark_s / (duck_s or d1), 2)
+                if (duck_s or d1)
+                else None
+            ),
+        }
+        print(name, res[name], flush=True)
+    con.close()
+    out["sf1:new_rows"] = res | {
+        "note": (
+            "sf1 = 10x the bench scale (50k docs). Spark column is "
+            "median of warm noop-sink runs; DuckDB column is one warm "
+            "run with a 300 s interrupt ceiling (the recursive-CTE "
+            "closure oracles grow super-linearly)."
+        )
+    }
+
+
 def main() -> int:
     global SPARK
     argv = sys.argv[1:]
@@ -150,6 +219,8 @@ def main() -> int:
         probe_curation(out, sf100, runs)
     if "multimodal" in only:
         probe_multimodal(out, runs)
+    if "newrows" in only:
+        probe_newrows(out, runs)
     if json_out:
         with open(json_out, "w") as f:
             json.dump(out, f, indent=1)
