@@ -279,6 +279,54 @@ def test_pagerank_broadcast_regime_hints_rank_side(spark):
         ed.unpersist()
 
 
+def test_pagerank_broadcast_round_shape_r15(spark):
+    """r15 broadcast-regime round shape: the BARE edge cache joins a
+    broadcast degree table AND a broadcast rank table — two
+    BroadcastHashJoins, zero exchanges and zero sorts on the edge
+    branch (the r14 shape materialized a fused (edge, degree) cache;
+    r15 keeps one string-pair cache and broadcasts deg, which is
+    |V|-row bounded by the regime's own definition)."""
+    edges = spark.range(2000).selectExpr(
+        "id % 50 AS src", "(id * 7) % 50 AS dst"
+    )
+    ep = edges.persist()
+    ep.count()
+    try:
+        deg = (
+            ep.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .localCheckpoint(eager=True)
+        )
+        ranks = (
+            spark.range(50)
+            .selectExpr("id AS src", "id * 10 AS rank")
+            .localCheckpoint(eager=True)
+        )
+        plan = (
+            ep.join(F.broadcast(deg), "src")
+            .join(F.broadcast(ranks), "src")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("BroadcastHashJoin") == 2, plan
+        lines = plan.splitlines()
+        bhj = next(
+            i for i, ln in enumerate(lines) if "BroadcastHashJoin" in ln
+        )
+        left = []
+        for ln in lines[bhj + 1:]:
+            left.append(ln)
+            if "InMemoryTableScan" in ln:
+                break
+        assert left and "InMemoryTableScan" in left[-1], plan
+        assert not any(
+            "Exchange" in ln or "Sort [" in ln for ln in left[:-1]
+        ), plan
+    finally:
+        ep.unpersist()
+
+
 def test_pagerank_resume_from_last_complete_round(spark, tmp_path):
     """resume=True restarts from the highest COMPLETE round table
     (contiguous _SUCCESS scan from round 0) and must produce the same
