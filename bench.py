@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "doc_epoch_order",
     "doc_substring_excise",
     "doc_training_export",
+    "doc_length_batches",
 ]
 
 

@@ -2265,6 +2265,85 @@ def doc_epoch_order(spark, sf_dir):
 
 
 @q(
+    "doc_length_batches",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n FROM documents),
+    nz AS (
+      SELECT doc_id, n,
+             md5('9:' || CAST(doc_id AS VARCHAR)) AS k,
+             CAST(('0x' || substr(md5('9:' || CAST(doc_id AS VARCHAR)),
+                                  1, 4))::BIGINT % 8 AS INTEGER) AS shard,
+             CAST(length(bin(n)) AS INTEGER) AS len_class
+      FROM t WHERE n > 0),
+    rk AS (
+      SELECT doc_id, n, shard, len_class,
+             row_number() OVER (PARTITION BY shard, len_class
+                                ORDER BY k, doc_id) AS r
+      FROM nz),
+    b AS (SELECT doc_id, n, shard, len_class,
+                 CAST((r - 1) // 32 AS BIGINT) AS batch_id FROM rk)
+    SELECT shard, len_class, batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n) AS BIGINT) AS max_len,
+           CAST(sum(n) AS BIGINT) AS sum_tokens,
+           floor((1.0 - CAST(sum(n) AS DOUBLE) / (count(*) * max(n)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS pad_ratio
+    FROM b GROUP BY 1, 2, 3
+    ORDER BY shard, len_class, batch_id
+    """,
+)
+def doc_length_batches(spark, sf_dir):
+    # Length-bucketed batch manifest (operators/corpus.length_batches):
+    # the padded-batch loader shape fine-tuning uses — docs batch with
+    # others of the same token-count BIT LENGTH (exact integer class
+    # via length(bin(n)); floor(log2) through floating log flips at
+    # exact powers of two across libms), assignment seeded and
+    # reshuffle-proof like epoch_order. Within a batch lengths differ
+    # at most 2x by construction, so the reported per-batch padding
+    # waste 1 - sum/(count*max) is < 50% worst-case. One (shard,
+    # len_class) window exchange + the manifest aggregate.
+    from finlogic_spark.operators.corpus import length_batches
+
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    lb = length_batches(
+        sized, "doc_id", "n_tokens", seed=9, n_shards=8, batch_size=32
+    )
+    return (
+        lb.groupBy("shard", "len_class", "batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("n_tokens").alias("max_len"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "shard",
+            "len_class",
+            "batch_id",
+            "n_docs",
+            "max_len",
+            "sum_tokens",
+            (
+                F.floor(
+                    (
+                        F.lit(1.0)
+                        - F.col("sum_tokens").cast("double")
+                        / (F.col("n_docs") * F.col("max_len"))
+                    )
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("pad_ratio"),
+        )
+        .orderBy("shard", "len_class", "batch_id")
+    )
+
+
+@q(
     "doc_dedup_clusters",
     f"""
     WITH RECURSIVE s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
@@ -8544,6 +8623,7 @@ _promote_newest(
         "doc_epoch_order",
         "doc_substring_excise",
         "doc_training_export",
+        "doc_length_batches",
     ]
 )
 

@@ -662,3 +662,69 @@ def epoch_order(
         .withColumn("shard", shard)
         .withColumn("position", F.row_number().over(w).cast("long"))
     )
+
+
+def length_batches(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    seed: int,
+    n_shards: int,
+    batch_size: int,
+) -> DataFrame:
+    """Length-bucketed batch assignment — the padded-batch loader shape
+    (fine-tuning / any padded variable-length training) that
+    ``pack_segments``' concat-and-chunk does NOT cover: documents
+    batch with others of SIMILAR length so padding waste stays
+    bounded, and the assignment is deterministic and reshuffle-proof
+    (the epoch_order contract applied to batching).
+
+    Each doc's length class is its token count's BIT LENGTH
+    (``length(bin(n))`` — exact integer arithmetic; floor(log2(n))
+    via floating log is a known cross-engine hazard at exact powers
+    of two), its shard the seeded md5 hex bucket, and its batch the
+    row_number within (shard, class) in seeded-key order, divided by
+    ``batch_size``. Within a batch, lengths differ by at most 2x by
+    construction (same bit length), so per-batch padding waste
+    ``1 - sum(len)/(count*max(len))`` is < 50% worst-case and small
+    in practice.
+
+    Returns the per-doc assignment: all input columns +
+    (shard, len_class, batch_id, pos_in_batch). One exchange: the
+    (shard, len_class) window hash — size ``n_shards`` exactly as for
+    epoch_order (thousands at 100 TB). Aggregate downstream for the
+    batch manifest (see doc_length_batches: count/max/sum/pad_ratio
+    per batch — a second exchange on the same key prefix that AQE
+    coalesces)."""
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    key = F.md5(
+        F.concat(F.lit(f"{int(seed)}:"), F.col(id_col).cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 4), 16, 10).cast("long")
+        % F.lit(int(n_shards))
+    ).cast("int")
+    cls = F.length(F.bin(F.col(len_col).cast("long"))).cast("int")
+    w = Window.partitionBy("shard", "len_class").orderBy("__key", id_col)
+    out = (
+        df.filter(F.col(len_col) > 0)
+        .withColumn("__key", key)
+        .withColumn("shard", shard)
+        .withColumn("len_class", cls)
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn(
+            "batch_id",
+            ((F.col("__rk") - 1) / F.lit(int(batch_size)))
+            .cast("long"),
+        )
+        .withColumn(
+            "pos_in_batch",
+            ((F.col("__rk") - 1) % F.lit(int(batch_size))).cast("int"),
+        )
+    )
+    return out.drop("__key", "__rk")

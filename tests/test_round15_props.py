@@ -182,3 +182,55 @@ def test_epoch_order_rejects_bad_shards(spark):
     d = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="n_shards"):
         epoch_order(d, "doc_id", seed=1, n_shards=0)
+
+
+def test_length_batches_invariants(spark):
+    """The padded-batch loader contract: (a) every positive-length doc
+    lands in exactly one batch; (b) within a batch all lengths share a
+    bit length, so max/min <= 2; (c) batch positions are dense
+    0..size-1 with only the LAST batch of a (shard, class) partial;
+    (d) the assignment is repartition-invariant."""
+    from finlogic_spark.operators.corpus import length_batches
+
+    rows = [(i, (i * 37) % 500) for i in range(600)]  # lengths 0..499
+    d = spark.createDataFrame(rows, "doc_id long, n long")
+    out = length_batches(
+        d, "doc_id", "n", seed=9, n_shards=4, batch_size=8
+    ).collect()
+    pos = [r for r in rows if r[1] > 0]
+    assert len(out) == len(pos)  # zero-length docs excluded
+    groups: dict = {}
+    for r in out:
+        assert r["len_class"] == r["n"].bit_length()
+        groups.setdefault(
+            (r["shard"], r["len_class"], r["batch_id"]), []
+        ).append(r)
+    for (shard, cls, bid), rs in groups.items():
+        lens = [r["n"] for r in rs]
+        assert max(lens) <= 2 * min(lens)
+        positions = sorted(r["pos_in_batch"] for r in rs)
+        assert positions == list(range(len(rs)))
+        if len(rs) < 8:  # partial batch must be the last of its class
+            last = max(
+                b for (s, c, b) in groups if s == shard and c == cls
+            )
+            assert bid == last
+    re = length_batches(
+        d.repartition(17, "n"), "doc_id", "n", seed=9, n_shards=4,
+        batch_size=8,
+    ).collect()
+    key = lambda r: (r["doc_id"], r["shard"], r["len_class"],
+                     r["batch_id"], r["pos_in_batch"])
+    assert sorted(map(key, out)) == sorted(map(key, re))
+
+
+def test_length_batches_rejects_bad_params(spark):
+    import pytest
+
+    from finlogic_spark.operators.corpus import length_batches
+
+    d = spark.createDataFrame([(1, 5)], "doc_id long, n long")
+    with pytest.raises(ValueError, match="n_shards"):
+        length_batches(d, "doc_id", "n", seed=1, n_shards=0, batch_size=8)
+    with pytest.raises(ValueError, match="batch_size"):
+        length_batches(d, "doc_id", "n", seed=1, n_shards=4, batch_size=0)
