@@ -459,13 +459,32 @@ def tfidf_similar(
         # join; the token filter is what actually bounds the read (the
         # dot product only ever involves shared tokens, so the result
         # is bit-identical). The term-list collect is |Q|-doc-vocab
-        # bounded — same class as the query vectors themselves.
-        qtok = [r[0] for r in qp.select("token").distinct().collect()]
-        cand = _tfidf_weight(
-            _bucket_pruned_terms(
+        # bounded — same class as the query vectors themselves — and
+        # capped: past ~20k distinct terms a literal IN-list stops
+        # being a pushed filter and starts being a codegen hazard, so
+        # pathological query vocabularies fall back to bucket-only
+        # pruning + the join (same result, the pre-r15 plan).
+        qtok = [
+            r[0]
+            for r in qp.select("token").distinct().limit(20_001).collect()
+        ]
+        if len(qtok) <= 20_000:
+            pruned = _bucket_pruned_terms(
                 postings.postings, qtok, postings.n_buckets
-            ).join(nd_b)
-        )
+            )
+        else:
+            q_bkts = sorted(
+                int(r[0])
+                for r in qp.select(
+                    _token_bucket(F.col("token"), postings.n_buckets)
+                )
+                .distinct()
+                .collect()
+            )
+            pruned = postings.postings.filter(
+                F.col("__tok_bkt").isin(q_bkts)
+            )
+        cand = _tfidf_weight(pruned.join(nd_b))
         norms = postings.norms
     else:
         built = build_postings(docs, id_col, text_col)

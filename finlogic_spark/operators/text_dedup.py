@@ -1234,7 +1234,13 @@ def substring_excise(
     are again identical (their seam spans re-collide) — whole-doc
     duplicates are exact_dedup's job before this operator; this one is
     for shared REGIONS inside otherwise-distinct documents (pinned in
-    tests/test_round15_props.py)."""
+    tests/test_round15_props.py). Accounting nuance: an interval's end
+    is ``offset + span_len`` even when the (short) document ends
+    sooner, so ``excised_chars`` can exceed the characters actually
+    removed for documents shorter than ``span_len`` — the rebuild
+    clamps every slice (``greatest(·, 0)`` lengths) and the oracle
+    uses identical arithmetic, so outputs stay bit-identical; the
+    count is an upper bound for sub-span_len docs only."""
     zeros = "0" * sel_nibbles
     t = f"`{text_col}`"
     span_expr = F.expr(
