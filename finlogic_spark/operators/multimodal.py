@@ -391,6 +391,12 @@ def wav_features(media: DataFrame) -> DataFrame:
     are exact ratios of integer counts, so results are deterministic
     and engine-independent."""
 
+    # mixed-media tables: only audio rows reach the WAV parser (the
+    # extract_features kind-routing contract; a PNG byte stream would
+    # otherwise crash wave.open for the whole batch)
+    if "kind" in media.columns:
+        media = media.filter(F.col("kind") == "audio")
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
         import wave
