@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "doc_substring_excise",
     "doc_training_export",
     "doc_length_batches",
+    "doc_curriculum_order",
 ]
 
 

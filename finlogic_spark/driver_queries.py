@@ -2343,6 +2343,111 @@ def doc_length_batches(spark, sf_dir):
     )
 
 
+def _curriculum_oracle_sql(sf_dir: str) -> str:
+    from finlogic_spark.operators.quality_model import MICRO, N_BUCKETS
+
+    w, b = _qclf_params(sf_dir)
+    w_sql = "[" + ", ".join(str(v) for v in w) + "]"
+    return f"""
+    -- learned curriculum: same baked weights as doc_quality_classifier,
+    -- same batch arithmetic as doc_length_batches; per-batch mean logit
+    -- via exact integer micro sums, per-shard easy-first rank
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+    nz AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
+    s AS (SELECT doc_id, n,
+            CAST(list_sum(list_transform(ts,
+              t -> ({w_sql})[
+                ('0x' || substr(md5(t), 1, 4))::BIGINT % {N_BUCKETS} + 1
+              ])) AS BIGINT)
+            + CAST(n AS BIGINT) * CAST({b} AS BIGINT) AS raw
+          FROM nz),
+    scored AS (
+      SELECT doc_id, CAST(n AS BIGINT) AS n,
+             floor(CAST(raw AS DOUBLE) / (CAST(n AS DOUBLE) * {MICRO}.0)
+                   * 1000000.0 + 0.5) / 1000000.0 AS logit
+      FROM s),
+    lb AS (
+      SELECT doc_id, n, logit,
+             md5('9:' || CAST(doc_id AS VARCHAR)) AS k,
+             CAST(('0x' || substr(md5('9:' || CAST(doc_id AS VARCHAR)),
+                                  1, 4))::BIGINT % 8 AS INTEGER) AS shard,
+             CAST(length(bin(n)) AS INTEGER) AS len_class
+      FROM scored),
+    rk AS (
+      SELECT doc_id, logit, shard, len_class,
+             row_number() OVER (PARTITION BY shard, len_class
+                                ORDER BY k, doc_id) AS r
+      FROM lb),
+    bt AS (SELECT doc_id, logit, shard, len_class,
+                  CAST((r - 1) // 32 AS BIGINT) AS batch_id FROM rk),
+    m AS (
+      SELECT shard, len_class, batch_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             floor(CAST(sum(CAST(floor(logit * 1000000.0 + 0.5) AS BIGINT))
+                        AS DOUBLE) / count(*) + 0.5) / 1000000.0
+               AS mean_logit
+      FROM bt GROUP BY 1, 2, 3)
+    SELECT shard, len_class, batch_id, n_docs, mean_logit,
+           CAST(row_number() OVER (PARTITION BY shard
+                  ORDER BY mean_logit DESC, len_class, batch_id)
+                AS INTEGER) AS curriculum_pos
+    FROM m ORDER BY shard, curriculum_pos
+    """
+
+
+LAZY_ORACLES["doc_curriculum_order"] = _curriculum_oracle_sql
+
+
+@q("doc_curriculum_order")  # data-dependent oracle: LAZY_ORACLES above.
+def doc_curriculum_order(spark, sf_dir):
+    # Learned curriculum schedule (the loader-family capstone):
+    # length-bucketed batches (doc_length_batches arithmetic verbatim)
+    # ranked easy-first WITHIN EACH SHARD by the batch's mean learned
+    # quality — the quality classifier's logit, averaged in exact
+    # integer micro-units so the schedule is partition-order
+    # independent. Per-shard rank, never a global TakeOrdered (shards
+    # are the loader's parallel unit); ties broken by integer batch
+    # keys. One classifier scan + one (shard, len_class) window + one
+    # manifest aggregate + one |batches|-sized shard window.
+    from pyspark.sql import Window
+
+    from finlogic_spark.operators.corpus import length_batches
+    from finlogic_spark.operators.quality_model import classify_quality
+
+    w, b = _qclf_params(sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    scored = classify_quality(d, "text", "doc_id", w, b).select(
+        "doc_id", "n_tokens", "logit"
+    )
+    lb = length_batches(
+        scored, "doc_id", "n_tokens", seed=9, n_shards=8, batch_size=32
+    )
+    manifest = lb.groupBy("shard", "len_class", "batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.floor(
+                F.sum(
+                    F.floor(F.col("logit") * F.lit(1e6) + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("mean_logit"),
+    )
+    rank_w = Window.partitionBy("shard").orderBy(
+        F.col("mean_logit").desc(), "len_class", "batch_id"
+    )
+    return (
+        manifest.withColumn(
+            "curriculum_pos", F.row_number().over(rank_w)
+        )
+        .orderBy("shard", "curriculum_pos")
+    )
+
+
 @q(
     "doc_dedup_clusters",
     f"""
@@ -8624,6 +8729,7 @@ _promote_newest(
         "doc_substring_excise",
         "doc_training_export",
         "doc_length_batches",
+        "doc_curriculum_order",
     ]
 )
 
