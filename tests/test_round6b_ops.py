@@ -759,6 +759,7 @@ def test_registry_consistency():
         "doc_bpe_shingle_pairs",
         "doc_budget_select",
         "doc_curation_learned",
+        "doc_curriculum_order",
         "doc_quality_calibration",
         "doc_quality_classifier",
         "emb_pca_project",
