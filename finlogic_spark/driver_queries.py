@@ -2547,6 +2547,119 @@ ORACLES["doc_cluster_split"] = f"""
     """
 
 
+def _closure_split_sql(where: str) -> str:
+    """The LSH → closure → cluster-hashed split, parameterized by a
+    documents filter — generated, not hand-copied, so the two legs of
+    doc_split_drift stay structurally identical to each other (and to
+    the doc_dedup_clusters closure shape)."""
+    return f"""
+    WITH RECURSIVE base AS (SELECT doc_id, text FROM documents {where}),
+    s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM base),
+    sig AS (
+      SELECT doc_id,
+             list_min(list_transform(sh, x -> md5('0|' || x))) AS m0,
+             list_min(list_transform(sh, x -> md5('1|' || x))) AS m1,
+             list_min(list_transform(sh, x -> md5('2|' || x))) AS m2,
+             list_min(list_transform(sh, x -> md5('3|' || x))) AS m3,
+             list_min(list_transform(sh, x -> md5('4|' || x))) AS m4,
+             list_min(list_transform(sh, x -> md5('5|' || x))) AS m5
+      FROM s),
+    buckets AS (
+      SELECT doc_id, 0 AS band, md5(m0 || '|' || m1 || '|' || m2) AS bh
+      FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(m3 || '|' || m4 || '|' || m5) AS bh
+      FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id),
+    e2 AS (SELECT id_a AS es, id_b AS ed FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM base
+      UNION
+      SELECT e2.ed, reach.r FROM reach JOIN e2 ON e2.es = reach.id)
+    SELECT id AS doc_id, min(r) AS cluster,
+           CASE WHEN substring(md5(CAST(min(r) AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'train' ELSE 'val' END AS split
+    FROM reach GROUP BY id
+    """
+
+
+@q("doc_split_drift")  # oracle composed below from two closure legs
+def doc_split_drift(spark, sf_dir):
+    # Split STABILITY under ingest — the production hazard
+    # doc_cluster_split introduces: cluster labels are min-ids over
+    # near-dup components, so a batch of new documents can MERGE
+    # components, change a cluster's canonical label, and silently flip
+    # surviving documents across the train/val boundary (leakage that
+    # accrues over time, the incremental sibling of the contamination
+    # bug the split fixes at a point in time). This query measures it:
+    # recompute the split on yesterday's corpus (the deterministic
+    # doc_id%2 half — the doc_exact_dedup_incremental fixture shape)
+    # and on today's full corpus, and report every old document's
+    # (old, new) cluster/side with a flipped flag — the drift table an
+    # ingest pipeline alerts on. Scale shape: two runs of the graded
+    # LSH+CC plan + one id-keyed join; nothing new exchanges.
+    from finlogic_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+
+    def cluster_split(docs):
+        pairs = minhash_lsh_pairs(
+            docs, "text", "doc_id", k=3, num_hashes=6, bands=2
+        )
+        cc = connected_components(
+            pairs, docs.select("doc_id"), src="id_a", dst="id_b",
+            id_col="doc_id",
+        )
+        return cc.select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("cluster"),
+            F.when(
+                F.substring(F.md5(F.col("label").cast("string")), 1, 2)
+                < "e6",
+                "train",
+            )
+            .otherwise("val")
+            .alias("split"),
+        )
+
+    old = cluster_split(d.filter(F.col("doc_id") % 2 == 0)).select(
+        "doc_id",
+        F.col("cluster").alias("old_cluster"),
+        F.col("split").alias("old_split"),
+    )
+    new = cluster_split(d).select(
+        "doc_id",
+        F.col("cluster").alias("new_cluster"),
+        F.col("split").alias("new_split"),
+    )
+    return (
+        old.join(new, "doc_id")
+        .select(
+            "doc_id",
+            "old_cluster",
+            "new_cluster",
+            "old_split",
+            "new_split",
+            (F.col("old_split") != F.col("new_split")).alias("flipped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["doc_split_drift"] = f"""
+    SELECT o.doc_id, o.cluster AS old_cluster, n.cluster AS new_cluster,
+           o.split AS old_split, n.split AS new_split,
+           o.split <> n.split AS flipped
+    FROM ({_closure_split_sql("WHERE doc_id % 2 = 0")}) o
+    JOIN ({_closure_split_sql("")}) n USING (doc_id)
+    ORDER BY o.doc_id
+    """
+
+
 @q("doc_training_export")  # oracle composed below from the pieces
 def doc_training_export(spark, sf_dir):
     # The end-to-end loader-shard export a pretraining run actually
@@ -8730,6 +8843,7 @@ _promote_newest(
         "doc_training_export",
         "doc_length_batches",
         "doc_curriculum_order",
+        "doc_split_drift",
     ]
 )
 
