@@ -2660,6 +2660,76 @@ ORACLES["doc_split_drift"] = f"""
     """
 
 
+@q("doc_split_assign_sticky")  # oracle composed below
+def doc_split_assign_sticky(spark, sf_dir):
+    # The FIX for the drift doc_split_drift measures
+    # (operators/graph.sticky_split_assign): frozen history sides are
+    # inherited by new near-duplicates, components whose stored
+    # members straddle both sides quarantine their new docs, and
+    # fully-new components fall back to the cluster-hash rule — so an
+    # incremental pipeline keeps the no-pair-straddles guarantee
+    # WITHOUT ever reassigning a trained-on document. History here is
+    # the deterministic doc_id%2 half's cluster split (the
+    # doc_exact_dedup_incremental fixture shape); production persists
+    # the store and appends, exactly like the fingerprint store.
+    from finlogic_spark.operators.graph import (
+        connected_components,
+        sticky_split_assign,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    old_pairs = minhash_lsh_pairs(
+        old, "text", "doc_id", k=3, num_hashes=6, bands=2
+    )
+    old_cc = connected_components(
+        old_pairs, old.select("doc_id"), src="id_a", dst="id_b",
+        id_col="doc_id",
+    )
+    stored = old_cc.select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.substring(F.md5(F.col("label").cast("string")), 1, 2) < "e6",
+            "train",
+        )
+        .otherwise("val")
+        .alias("split"),
+    )
+    full_pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", k=3, num_hashes=6, bands=2
+    )
+    return sticky_split_assign(
+        full_pairs, d.select("doc_id"), stored
+    ).orderBy("doc_id")
+
+
+ORACLES["doc_split_assign_sticky"] = f"""
+    WITH stored AS (
+      SELECT doc_id, split AS stored_split
+      FROM ({_closure_split_sql("WHERE doc_id % 2 = 0")})),
+    fc AS (
+      SELECT doc_id, cluster
+      FROM ({_closure_split_sql("")})),
+    j AS (
+      SELECT fc.doc_id, fc.cluster, s.stored_split
+      FROM fc LEFT JOIN stored s USING (doc_id)),
+    per AS (
+      SELECT cluster, count(DISTINCT stored_split) AS ns,
+             max(stored_split) AS side
+      FROM j GROUP BY 1)
+    SELECT j.doc_id, j.cluster,
+           COALESCE(j.stored_split,
+                    CASE WHEN p.ns >= 2 THEN 'quarantine'
+                         WHEN p.ns = 1 THEN p.side
+                         ELSE CASE WHEN substring(md5(
+                                CAST(j.cluster AS VARCHAR)), 1, 2) < 'e6'
+                              THEN 'train' ELSE 'val' END
+                    END) AS split
+    FROM j JOIN per p USING (cluster)
+    ORDER BY j.doc_id
+    """
+
+
 @q("doc_training_export")  # oracle composed below from the pieces
 def doc_training_export(spark, sf_dir):
     # The end-to-end loader-shard export a pretraining run actually
@@ -8844,6 +8914,7 @@ _promote_newest(
         "doc_length_batches",
         "doc_curriculum_order",
         "doc_split_drift",
+        "doc_split_assign_sticky",
     ]
 )
 

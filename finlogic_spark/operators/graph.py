@@ -788,3 +788,69 @@ def _pagerank_single_job(
     # one eager job end-to-end (cache scan -> funnel -> recurrence),
     # after which the caller can release the edge cache
     return res.localCheckpoint(eager=True, storageLevel=_SPILL)
+
+
+def sticky_split_assign(
+    pairs: DataFrame,
+    ids: DataFrame,
+    stored: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    threshold: str = "e6",
+) -> DataFrame:
+    """Sticky (history-respecting) train/val assignment — the FIX for
+    the drift doc_split_drift measures: once a document is trained on,
+    its side is frozen, and a NEW document joins the side its near-dup
+    component already lives on instead of re-rolling the cluster hash
+    (which a component merge can flip).
+
+    Inputs: candidate ``pairs`` over the FULL corpus (old + new),
+    ``ids`` (one row per doc, column ``id_col``), and ``stored`` — the
+    frozen (id_col, split_col) assignments from previous ingests.
+    Output: (id_col, cluster, split) for EVERY id:
+
+    - stored docs keep their stored side VERBATIM (they are in the
+      trained model; reassignment is meaningless);
+    - a new doc in a component with exactly ONE stored side inherits
+      it (the sticky rule — leakage-free by construction even when
+      the merge changed the canonical label);
+    - a new doc in a component whose stored members span BOTH sides is
+      ``quarantine`` (the component already straddles the eval
+      boundary — the drift monitor's alert case; adding to either
+      side would compound the leak, so the safe call is neither);
+    - a new doc in a fully-new component gets the md5 hash of the
+      canonical label, exactly doc_cluster_split's rule — stable for
+      all future ingests by the same stickiness.
+
+    Plan shape: the graded connected-components plan + one |labels|-
+    keyed aggregate (count-distinct of two values — tiny state) + two
+    id/label-keyed joins. Nothing new is data-sized beyond CC itself.
+    """
+    cc = connected_components(pairs, ids, src=src, dst=dst, id_col=id_col)
+    st = stored.select(
+        F.col(id_col).alias("id"), F.col(split_col).alias("__stored")
+    )
+    j = cc.join(st, "id", "left")
+    per = j.groupBy("label").agg(
+        F.count_distinct("__stored").alias("__ns"),
+        F.max("__stored").alias("__side"),
+    )
+    hash_side = (
+        F.when(
+            F.substring(F.md5(F.col("label").cast("string")), 1, 2)
+            < threshold,
+            "train",
+        ).otherwise("val")
+    )
+    return j.join(per, "label").select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster"),
+        F.coalesce(
+            F.col("__stored"),
+            F.when(F.col("__ns") >= 2, F.lit("quarantine"))
+            .when(F.col("__ns") == 1, F.col("__side"))
+            .otherwise(hash_side),
+        ).alias(split_col),
+    )

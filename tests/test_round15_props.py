@@ -224,6 +224,77 @@ def test_length_batches_invariants(spark):
     assert sorted(map(key, out)) == sorted(map(key, re))
 
 
+def test_sticky_split_assign_semantics(spark):
+    """The four assignment rules, pinned on a hand-built graph:
+    stored docs keep their side verbatim; a new doc whose component
+    holds one stored side inherits it (even though the merge changed
+    the canonical label); a new doc bridging components stored on BOTH
+    sides quarantines; a fully-new component uses the cluster-hash
+    rule. Plus the leakage invariant: no pair straddles train/val
+    (quarantine excluded)."""
+    import hashlib
+
+    from finlogic_spark.operators.graph import sticky_split_assign
+
+    # stored: 10 (train-ish side as stored), 20 (other side), 30 alone
+    stored = spark.createDataFrame(
+        [(10, "train"), (20, "val"), (30, "train")],
+        "doc_id long, split string",
+    )
+    # pairs: new 5 joins 10's component (5 becomes the new min label);
+    # new 15 bridges 10 and 20 (conflict); 40,41 are a new-only pair;
+    # 50 is isolated-new
+    pairs = spark.createDataFrame(
+        [(5, 10), (15, 10), (15, 20), (40, 41)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in (5, 10, 15, 20, 30, 40, 41, 50)], "doc_id long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster"], r["split"])
+        for r in sticky_split_assign(pairs, ids, stored).collect()
+    }
+    # the bridge merges {5,10,15,20} into one component labeled 5
+    assert out[10] == (5, "train") and out[20] == (5, "val")  # sticky
+    assert out[5][1] == "quarantine" and out[15][1] == "quarantine"
+    assert out[30] == (30, "train")
+    # new-only component: hash of canonical label (40)
+    want = (
+        "train"
+        if hashlib.md5(b"40").hexdigest()[:2] < "e6"
+        else "val"
+    )
+    assert out[40] == (40, want) and out[41] == (40, want)
+    w50 = (
+        "train"
+        if hashlib.md5(b"50").hexdigest()[:2] < "e6"
+        else "val"
+    )
+    assert out[50] == (50, w50)
+    # leakage invariant: no pair with both ends in {train, val} differs
+    for a, b in [(5, 10), (15, 10), (15, 20), (40, 41)]:
+        sa, sb = out[a][1], out[b][1]
+        if "quarantine" not in (sa, sb):
+            assert sa == sb, (a, b, sa, sb)
+
+
+def test_sticky_split_assign_inherit_single_side(spark):
+    """No-conflict inherit: a new doc pairing with a stored doc takes
+    the stored side even when the new doc's smaller id becomes the
+    component's canonical label (the exact case where the hash rule
+    would flip)."""
+    from finlogic_spark.operators.graph import sticky_split_assign
+
+    stored = spark.createDataFrame([(100, "val")], "doc_id long, split string")
+    pairs = spark.createDataFrame([(1, 100)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(1,), (100,)], "doc_id long")
+    out = {
+        r["doc_id"]: (r["cluster"], r["split"])
+        for r in sticky_split_assign(pairs, ids, stored).collect()
+    }
+    assert out[1] == (1, "val") and out[100] == (1, "val")
+
+
 def test_length_batches_rejects_bad_params(spark):
     import pytest
 
