@@ -68,6 +68,7 @@ def connected_components(
     label_rounds: int = 8,
     stats: dict | None = None,
     star_edge_threshold: int = 10_000_000,
+    small_graph_max_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Label each vertex with the smallest vertex id reachable from it
     (= its connected component's canonical representative).
@@ -93,16 +94,84 @@ def connected_components(
     returned labels are PARTIAL (over-segmented: some components carry
     more than one label); a warning is emitted in that case so budget
     exhaustion is never silent.
+
+    ``small_graph_max_bytes`` (r16, the pagerank single-job precedent):
+    in 'auto' mode, when the DIRECTED edge list measures under this
+    many bytes (measured octet sums for string/binary ids + planner
+    fixed widths — the same job that materializes the edge cache), the
+    whole label propagation collapses into ONE Arrow pass:
+    repartition(1) funnel of the bounded edge cache into a vectorized
+    min-label/pointer-jumping worker. Bit-identical output (min
+    reachable id per component has exactly one answer; pinned
+    cross-regime in tests). 0 disables; explicit 'label'/'star' also
+    bypass it (callers asking for a specific distributed algorithm get
+    it).
     """
     if algorithm not in ("auto", "label", "star"):
         raise ValueError(
             f"algorithm must be 'auto', 'label' or 'star'; got {algorithm!r}"
         )
-    und = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .persist(_SPILL)
+    # Persist the DIRECTED edge projection and derive the symmetrized
+    # view from the cache: persisting the union itself made the cache
+    # fill evaluate the upstream pair pipeline TWICE (Spark does not
+    # share subplans across union branches — at dedup scale that is two
+    # full tokenize->minhash->bucket passes); the union over the cached
+    # projection is two in-memory scans instead.
+    e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).persist(
+        _SPILL
     )
+    und = e0.unionByName(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    if stats is None:
+        stats = {}
+    stats["label_rounds"] = 0
+    stats["star_rounds"] = 0
+    if algorithm == "auto":
+        # Materialize the edge cache with the shape/size measurement
+        # job (the first label/star round was about to pay this
+        # materialization anyway) and pick the regime: single-job under
+        # the measured byte gate, else label-first/star-first by edge
+        # count (see docstring).
+        from pyspark.sql import types as T
+
+        var_cols = [
+            f.name
+            for f in e0.schema.fields
+            if isinstance(f.dataType, (T.StringType, T.BinaryType))
+        ]
+        measure = [F.count(F.lit(1)).alias("__n")]
+        if small_graph_max_bytes > 0:
+            measure += [
+                F.sum(F.octet_length(F.col(c))).alias(f"__b{i}")
+                for i, c in enumerate(var_cols)
+            ]
+        sized = e0.agg(*measure).collect()[0]
+        n_edges = sized["__n"] or 0
+        if small_graph_max_bytes > 0:
+            from finlogic_spark.operators.bloomjoin import _est_row_bytes
+
+            var_bytes = sum(
+                sized[f"__b{i}"] or 0 for i in range(len(var_cols))
+            )
+            if (
+                n_edges * _est_row_bytes(e0.schema) + var_bytes
+                <= small_graph_max_bytes
+            ):
+                stats["auto_choice"] = "single-job"
+                stats["converged"] = True
+                labels = _cc_single_job(e0)
+                isolated = (
+                    vertices.select(F.col(id_col).alias("id"))
+                    .join(labels.select("id"), "id", "left_anti")
+                    .withColumn("label", F.col("id"))
+                )
+                out = labels.unionByName(isolated)
+                e0.unpersist()
+                return out
+        if n_edges >= star_edge_threshold:
+            algorithm = "star"
+            stats["auto_choice"] = "star-first"
+        else:
+            stats["auto_choice"] = "label-first"
     # Only vertices that touch an edge can change label — iterate on
     # that (typically tiny) subgraph and union the untouched majority
     # back at the end. In a dedup corpus most documents are in NO
@@ -114,20 +183,6 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=False, storageLevel=_SPILL)
     )
-    if stats is None:
-        stats = {}
-    stats["label_rounds"] = 0
-    stats["star_rounds"] = 0
-    if algorithm == "auto":
-        # Materialize the edge cache with a count (the first label/star
-        # round was about to pay this materialization anyway) and pick
-        # the phase order by shape — see docstring. und holds each edge
-        # twice (both directions), so compare against 2x the threshold.
-        if und.count() >= 2 * star_edge_threshold:
-            algorithm = "star"
-            stats["auto_choice"] = "star-first"
-        else:
-            stats["auto_choice"] = "label-first"
     # max_iters is a TOTAL round budget across both phases: in 'auto'
     # the label fast path draws from it first and star gets the
     # remainder, so a caller capping shuffle-round count gets at most
@@ -174,7 +229,7 @@ def connected_components(
                 "id", F.coalesce("label", F.col("mid")).alias("label")
             )
         )
-    und.unpersist()
+    e0.unpersist()
     stats["converged"] = converged
     if not converged:
         import warnings
@@ -192,6 +247,82 @@ def connected_components(
         .withColumn("label", F.col("id"))
     )
     return labels.unionByName(isolated)
+
+
+def _cc_single_job(e0: DataFrame) -> DataFrame:
+    """All connected-components rounds in ONE Spark job — the
+    small-graph regime behind ``connected_components(
+    small_graph_max_bytes=...)``, the exact analogue of
+    ``_pagerank_single_job``.
+
+    The distributed label path pays a fixed per-round price (join +
+    aggregate + certificate job) that dwarfs the label arithmetic on a
+    small graph. When the measured edge bytes fit the caller's gate,
+    funnel the cached DIRECTED edge list through ``repartition(1)``
+    (the upstream pair pipeline stays parallel; only the bounded edge
+    list funnels) into one Arrow worker that runs vectorized
+    min-label propagation with pointer jumping:
+
+    - node ids (any orderable type) are dictionary-encoded by Arrow,
+      then ranked via ``sort_indices`` so comparing RANKS is comparing
+      values (utf8 sort order == Spark's binary string min ordering);
+    - each round relaxes labels across edges both ways
+      (``np.minimum.at``) and then pointer-jumps
+      (``lab = min(lab, lab[node_of_rank(lab)])``) — the hash-to-min
+      shape, O(log n) rounds on adversarial chains, one on cliques;
+    - labels are monotone non-increasing integer vectors, so the loop
+      terminates at the first unchanged round — that IS the fixpoint.
+
+    Output: (id, label) for every edge ENDPOINT, label = min reachable
+    id — bit-identical to the distributed rounds (one answer exists;
+    pinned cross-regime in tests/test_operators.py)."""
+    from pyspark.sql import types as T
+
+    id_type = e0.schema["s"].dataType
+    out_schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("label", id_type)]
+    )
+
+    def _run(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tbls = [pa.Table.from_batches([b]) for b in batches]
+        if not tbls:
+            return
+        t = pa.concat_tables(tbls)
+        s = t.column("s").combine_chunks()
+        d = t.column("d").combine_chunks()
+        enc = pa.chunked_array([s, d]).combine_chunks().dictionary_encode()
+        nodes = enc.dictionary
+        n = len(nodes)
+        if n == 0:
+            return
+        # rank -> node index, and node index -> rank (value order)
+        order = pc.sort_indices(nodes).to_numpy().astype(np.int64, copy=False)
+        rank_of = np.empty(n, dtype=np.int64)
+        rank_of[order] = np.arange(n, dtype=np.int64)
+        idx = enc.indices.to_numpy().astype(np.int64, copy=False)
+        m = len(s)
+        si, di = idx[:m], idx[m:]
+        lab = rank_of.copy()
+        while True:
+            old = lab
+            lab = lab.copy()
+            np.minimum.at(lab, di, old[si])
+            np.minimum.at(lab, si, old[di])
+            np.minimum(lab, lab[order[lab]], out=lab)
+            if np.array_equal(lab, old):
+                break
+        yield pa.record_batch(
+            [nodes, nodes.take(pa.array(order[lab]))], ["id", "label"]
+        )
+
+    res = e0.select("s", "d").repartition(1).mapInArrow(_run, out_schema)
+    # one eager job end-to-end, after which the caller can release the
+    # edge cache (same discipline as _pagerank_single_job)
+    return res.localCheckpoint(eager=True, storageLevel=_SPILL)
 
 
 # Certificates sum vertex ids, which can be arbitrarily large (sf100
@@ -481,16 +612,42 @@ def pagerank(
         and 0 < threshold
         and small_graph_max_bytes > 0
     ):
-        # Small-graph gate: ONE count over the bare edge cache — this
-        # job IS the cache fill the multi-round path pays anyway
-        # (previously triggered by nodes.count(), now split: the big
-        # path's nodes.count() below reads the already-filled cache).
-        # Degrees are NOT joined in for the gate or the single-job
-        # path: the worker has the whole edge list and bincounts them
-        # in exact int64 — the deg groupBy+join cost ~0.5 s of the
-        # 3 s sf0.1 row for a column one numpy call reproduces.
-        n_edges = ed.count()
-        if n_edges * _est_row_bytes(ed.schema) <= small_graph_max_bytes:
+        # Small-graph gate: ONE measurement job over the bare edge
+        # cache — this job IS the cache fill the multi-round path pays
+        # anyway (previously triggered by nodes.count(), now split: the
+        # big path's nodes.count() below reads the already-filled
+        # cache). Degrees are NOT joined in for the gate or the
+        # single-job path: the worker has the whole edge list and
+        # bincounts them in exact int64 — the deg groupBy+join cost
+        # ~0.5 s of the 3 s sf0.1 row for a column one numpy call
+        # reproduces. ADVICE r15: the gate sizes string/binary node ids
+        # by MEASURED octet sums (the bloomjoin pattern), not the flat
+        # 20-byte planner default — long ids could otherwise pass the
+        # gate on paper and funnel a much larger edge list through the
+        # repartition(1) task. The fixed per-type widths stay on top as
+        # per-row overhead allowance, same as bloomjoin.
+        from pyspark.sql import types as T
+
+        var_cols = [
+            f.name
+            for f in ed.schema.fields
+            if isinstance(f.dataType, (T.StringType, T.BinaryType))
+        ]
+        sized = ed.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(F.octet_length(F.col(c))).alias(f"__b{i}")
+                for i, c in enumerate(var_cols)
+            ],
+        ).collect()[0]
+        n_edges = sized["__n"] or 0
+        var_bytes = sum(
+            sized[f"__b{i}"] or 0 for i in range(len(var_cols))
+        )
+        if (
+            n_edges * _est_row_bytes(ed.schema) + var_bytes
+            <= small_graph_max_bytes
+        ):
             if stats is not None:
                 stats["regime"] = "single_job"
                 stats["n_edges"] = n_edges
@@ -691,6 +848,21 @@ def _durable_round_start(
                 "tables but no _params sidecar, so their provenance "
                 "cannot be verified; clear the directory to start fresh"
             )
+    # Fresh-stamp path (ADVICE r15): clear any pre-existing round
+    # tables BEFORE stamping. A prior run (same params, more rounds)
+    # could have left round{k} tables beyond what this run will write;
+    # a later longer resume would pass the sidecar check and walk the
+    # contiguous _SUCCESS scan into those stale foreign rounds —
+    # exactly the silent-wrong-resume the sidecar exists to prevent.
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    base = hpath(round_table_dir)
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(base):
+        for st in fs.listStatus(base):
+            name = st.getPath().getName()
+            if name.startswith("round") and name[len("round"):].isdigit():
+                fs.delete(st.getPath(), True)
     spark.createDataFrame(
         [tuple(params.values())],
         "version int, damping_num int, damping_den int, scale long, "

@@ -422,7 +422,12 @@ def wav_features(media: DataFrame) -> DataFrame:
                 if n:
                     xf = x.astype(np.float64) / 32768.0
                     rms = float(np.sqrt(np.mean(xf * xf)))
-                    clip = float(np.count_nonzero(np.abs(x) >= 32760) / n)
+                    # No np.abs on int16: abs(-32768) overflows back to
+                    # -32768 and full-scale negative (hard-clipped)
+                    # samples would never be counted.
+                    clip = float(
+                        np.count_nonzero((x >= 32760) | (x <= -32760)) / n
+                    )
                 else:
                     rms, clip = 0.0, 0.0
                 recs.append(

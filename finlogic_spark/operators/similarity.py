@@ -246,18 +246,38 @@ def lsh_index_multi(
     """Multi-table LSH index: one row per (vector, table) carrying the
     table id and that table's sign-pattern bucket. L independent plane
     sets trade L× index size for recall ≈ 1-(1-p)^L — the classic LSH
-    lever; still a narrow shuffle-free map per table. Persist (or
-    ``write.partitionBy('__tbl', '__bucket')``) once, serve forever."""
-    parts = [
-        lsh_assign_buckets(
-            corpus.select(id_col, vec_col), vec_col, dim, num_planes, table=t
-        ).withColumn("__tbl", F.lit(t))
-        for t in range(num_tables)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    lever; still a narrow shuffle-free map. Persist (or
+    ``write.partitionBy('__tbl', '__bucket')``) once, serve forever.
+
+    r16: ONE corpus pass, not an L-branch union. The union form
+    re-evaluated the corpus subtree once per table (L scans — Spark
+    shares no subplans across union branches) and multiplied the
+    output partition count by L (L x 32 = 512 cached partitions at the
+    bench shape), so every downstream serve join scheduled 512 tasks.
+    The explode form computes all L (table, bucket) structs in one
+    projection per row and keeps the input's partitioning; rows are
+    identical."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket(
+                    vec_col, _deterministic_planes(dim, num_planes, t)
+                ).alias("b"),
+            )
+            for t in range(num_tables)
+        ]
+    )
+    return (
+        corpus.select(id_col, vec_col)
+        .select(id_col, vec_col, F.explode(entries).alias("__e"))
+        .select(
+            id_col,
+            vec_col,
+            F.col("__e.b").alias("__bucket"),
+            F.col("__e.t").alias("__tbl"),
+        )
+    )
 
 
 class LshIndex:

@@ -247,11 +247,15 @@ def test_wav_features_real_pcm_parse(spark):
     square = [32767, -32767] * 1000
     silent = [0] * 500
     half = [16384, -16384] * 400
+    # -32768 is the int16 hard-clip floor: np.abs would overflow it back
+    # to -32768 and miss it; the two-sided compare must count all 4.
+    floor_clip = [-32768, -32768, 0, 0, -32768, -32768, 0, 0]
     df = spark.createDataFrame(
         [
             (1, "audio", bytearray(_make_wav(8000, square))),
             (2, "audio", bytearray(_make_wav(16000, silent))),
             (3, "audio", bytearray(_make_wav(8000, half))),
+            (4, "audio", bytearray(_make_wav(8000, floor_clip))),
         ],
         "media_id long, kind string, data binary",
     )
@@ -270,6 +274,8 @@ def test_wav_features_real_pcm_parse(spark):
     assert abs(r2["duration_s"] - 500 / 16000) < 1e-12
     r3 = rows[3]
     assert abs(r3["rms"] - 0.5) < 1e-9 and r3["clip_rate"] == 0.0
+    r4 = rows[4]
+    assert r4["clip_rate"] == 0.5
 
 
 def test_wav_features_rejects_non_16bit(spark):

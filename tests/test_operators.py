@@ -222,7 +222,7 @@ def test_connected_components_auto_escalates_and_composes(spark):
     stats: dict = {}
     out = connected_components(
         edges, vertices, algorithm="auto", label_rounds=4, max_iters=40,
-        stats=stats,
+        stats=stats, small_graph_max_bytes=0,
     )
     assert {r["label"] for r in out.collect()} == {0}
     assert stats["label_rounds"] == 4 and stats["star_rounds"] > 0, stats
@@ -235,7 +235,7 @@ def test_connected_components_auto_escalates_and_composes(spark):
     cv = spark.createDataFrame([(v,) for v in range(5)], "id long")
     stats2: dict = {}
     out2 = connected_components(
-        clique, cv, algorithm="auto", stats=stats2
+        clique, cv, algorithm="auto", stats=stats2, small_graph_max_bytes=0
     )
     assert {r["label"] for r in out2.collect()} == {0}
     assert stats2["star_rounds"] == 0, stats2
@@ -256,14 +256,17 @@ def test_connected_components_auto_is_shape_aware(spark):
     v = spark.createDataFrame([(i,) for i in range(6)], "id long")
 
     small_stats: dict = {}
-    out = connected_components(clique, v, stats=small_stats)
+    out = connected_components(
+        clique, v, stats=small_stats, small_graph_max_bytes=0
+    )
     assert {r["label"] for r in out.collect()} == {0}
     assert small_stats["auto_choice"] == "label-first"
     assert small_stats["star_rounds"] == 0
 
     big_stats: dict = {}
     out2 = connected_components(
-        clique, v, stats=big_stats, star_edge_threshold=1
+        clique, v, stats=big_stats, star_edge_threshold=1,
+        small_graph_max_bytes=0,
     )
     assert {r["label"] for r in out2.collect()} == {0}
     assert big_stats["auto_choice"] == "star-first"
@@ -323,10 +326,80 @@ def test_connected_components_max_iters_total_budget(spark):
     stats: dict = {}
     connected_components(
         edges, vertices, algorithm="auto", label_rounds=8, max_iters=5,
-        stats=stats,
+        stats=stats, small_graph_max_bytes=0,
     ).collect()
     assert stats["label_rounds"] <= 5, stats
     assert stats["label_rounds"] + stats["star_rounds"] <= 5, stats
+
+
+def test_connected_components_single_job_regime_bitwise(spark):
+    """The r16 small-graph (single-job) regime must (a) actually be
+    chosen for a gate-sized edge list, (b) produce IDENTICAL labels to
+    the distributed regimes (min reachable id has exactly one answer)
+    on adversarial shapes — a long chain (pointer-jump stress), a
+    clique, isolated vertices — for BOTH long and string id types
+    (string min = lexicographic: the Arrow rank order must agree with
+    Spark's)."""
+    import random
+
+    from finlogic_spark.operators.graph import connected_components
+
+    rng = random.Random(41)
+    # chain 0..99 + clique 200..204 + random extra edges
+    edges = [(i, i + 1) for i in range(99)]
+    edges += [(i, j) for i in range(200, 205) for j in range(i + 1, 205)]
+    edges += [
+        (rng.randrange(300, 340), rng.randrange(300, 340)) for _ in range(60)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    verts = sorted({v for e in edges for v in e} | {999})
+
+    # python union-find reference (min id per component)
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp: dict = {}
+    for v_ in verts:
+        comp.setdefault(find(v_), []).append(v_)
+    ref = {v_: min(members) for members in comp.values() for v_ in members}
+
+    # The distributed certificate is numeric-only (shiftright on label
+    # sums), so the string leg checks against the reference; the long
+    # leg additionally cross-checks the distributed regime bitwise.
+    for typ, conv in (("long", int), ("string", lambda v: f"n{v:04d}")):
+        e = spark.createDataFrame(
+            [(conv(a), conv(b)) for a, b in edges], f"src {typ}, dst {typ}"
+        )
+        v = spark.createDataFrame([(conv(x),) for x in verts], f"id {typ}")
+        st_fast: dict = {}
+        fast = {
+            r["id"]: r["label"]
+            for r in connected_components(e, v, stats=st_fast).collect()
+        }
+        assert st_fast["auto_choice"] == "single-job", st_fast
+        assert st_fast["converged"] is True
+        assert fast == {conv(k): conv(lab) for k, lab in ref.items()}
+        if typ == "long":
+            st_dist: dict = {}
+            dist = {
+                r["id"]: r["label"]
+                for r in connected_components(
+                    e, v, stats=st_dist, small_graph_max_bytes=0
+                ).collect()
+            }
+            assert st_dist["auto_choice"] != "single-job"
+            assert fast == dist
+        assert fast[conv(999)] == conv(999)  # isolated self-label
+        assert fast[conv(99)] == conv(0)  # chain fully merged
 
 
 def test_interval_join_bounds_inclusive(spark):

@@ -435,6 +435,38 @@ def test_pagerank_resume_refuses_foreign_round_tables(spark, tmp_path):
     assert resumed == full
 
 
+def test_pagerank_fresh_run_clears_stale_rounds(spark, tmp_path):
+    """ADVICE r15: a fresh (resume=False) run re-stamps the sidecar but
+    used to leave pre-existing round tables BEYOND its own iteration
+    count in place. Scenario: run A (edge set E1) writes rounds 0..4;
+    fresh run B (edge set E2) writes rounds 0..2 and re-stamps the
+    sidecar for E2; resume run C (E2, iterations=5) passes the sidecar
+    check and would walk the contiguous _SUCCESS scan into A's stale
+    rounds 3..4 — ranks from the WRONG graph. The fresh-stamp path must
+    delete stale round tables so C recomputes 3..4 from B's round 2."""
+    import os
+
+    e1 = [(1, 2), (2, 3), (3, 1), (2, 1)]
+    e2 = e1 + [(3, 2), (1, 3)]
+    df1 = spark.createDataFrame(e1, "src long, dst long")
+    df2 = spark.createDataFrame(e2, "src long, dst long")
+    d = str(tmp_path / "pr")
+    pagerank(df1, iterations=5, round_table_dir=d)  # run A: rounds 0..4
+    pagerank(df2, iterations=3, round_table_dir=d)  # run B: fresh stamp
+    assert not os.path.exists(f"{d}/round3")  # stale A rounds cleared
+    assert not os.path.exists(f"{d}/round4")
+    full = {
+        r["node"]: r["rank"] for r in pagerank(df2, iterations=5).collect()
+    }
+    resumed = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df2, iterations=5, round_table_dir=d, resume=True
+        ).collect()
+    }
+    assert resumed == full
+
+
 def test_pagerank_smj_regime_end_to_end_bitwise(spark):
     """Force the big-graph (SMJ) regime through the public API
     (broadcast disabled) and require bit-exact ranks: exercises the

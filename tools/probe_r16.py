@@ -1,0 +1,307 @@
+"""Round-16 optimization probes: same-session alternating A/B of each
+optimized path against the prior shape, through the noop sink (guide
+§1.4). Usage: python tools/probe_r16.py <probe> [out.json]
+
+Probes:
+  cc_single_job — the CC-regime queries with the r16 single-job gate
+      (default) vs the distributed path forced (small_graph_max_bytes=0
+      via monkeypatch), alternating A/B/A/B, median of 3 each.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from finlogic_spark import driver_queries as dq
+from finlogic_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _time(fn, runs=3):
+    fn()  # warm
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 3)
+
+
+def cc_single_job(out: dict) -> None:
+    from finlogic_spark.operators import graph
+
+    spark = get_spark("probe-r16")
+    queries = [
+        "doc_dedup_clusters",
+        "doc_cluster_split",
+        "doc_canonical_select",
+        "doc_training_export",
+        "doc_split_drift",
+        "doc_split_assign_sticky",
+        "doc_curation_pipeline",
+        "doc_decontaminate",
+    ]
+    orig = graph.connected_components
+
+    def forced_distributed(*args, **kwargs):
+        kwargs["small_graph_max_bytes"] = 0
+        return orig(*args, **kwargs)
+
+    for name in queries:
+        def run_new():
+            spark.sparkContext.setJobDescription(f"{name}: single-job cc")
+            _noop(dq.QUERIES[name](spark, SF_DIR))
+
+        def run_old():
+            graph.connected_components = forced_distributed
+            try:
+                spark.sparkContext.setJobDescription(f"{name}: distributed cc")
+                _noop(dq.QUERIES[name](spark, SF_DIR))
+            finally:
+                graph.connected_components = orig
+
+        # alternate to cancel session drift
+        new_t = _time(run_new)
+        old_t = _time(run_old)
+        new_t2 = _time(run_new)
+        old_t2 = _time(run_old)
+        out[name] = {
+            "single_job_s": round(min(new_t, new_t2), 3),
+            "distributed_s": round(min(old_t, old_t2), 3),
+            "samples": {
+                "single_job": [new_t, new_t2],
+                "distributed": [old_t, old_t2],
+            },
+        }
+        print(name, out[name], flush=True)
+
+
+def pagerank_edges(out: dict) -> None:
+    """orders_supplier_pagerank edge-pipeline variants:
+    V0 current (union re-evaluates the orders x lineitem join twice),
+    V1 explode-symmetrize keeping the query-side distinct,
+    V2 explode-symmetrize, pagerank's internal distinct only."""
+    from pyspark.sql import functions as F
+
+    from finlogic_spark.operators.graph import pagerank
+
+    spark = get_spark("probe-r16")
+
+    def edges_base():
+        o = dq._t(spark, SF_DIR, "orders")
+        l = dq._t(spark, SF_DIR, "lineitem")
+        return (
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .select(
+                F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            )
+        )
+
+    def sym_explode(e):
+        return e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
+
+    def tail(ranks):
+        return (
+            ranks.filter(F.col("node").startswith("s"))
+            .select("node", F.col("rank").alias("rank_micro"))
+            .orderBy(F.col("rank_micro").desc(), F.col("node").asc())
+            .limit(20)
+        )
+
+    def v0():
+        e = edges_base().distinct()
+        bi = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        _noop(tail(pagerank(bi, iterations=5)))
+
+    def v1():
+        _noop(tail(pagerank(sym_explode(edges_base().distinct()), iterations=5)))
+
+    def v2():
+        _noop(tail(pagerank(sym_explode(edges_base()), iterations=5)))
+
+    for name, fn in [("v0_current", v0), ("v1_explode_distinct", v1),
+                     ("v2_explode_only", v2)]:
+        spark.sparkContext.setJobDescription(f"pagerank_edges:{name}")
+        out[name] = [_time(fn)]
+    for name, fn in [("v0_current", v0), ("v1_explode_distinct", v1),
+                     ("v2_explode_only", v2)]:
+        spark.sparkContext.setJobDescription(f"pagerank_edges:{name}")
+        out[name].append(_time(fn))
+    print(out, flush=True)
+
+    # value equality across variants (bit-exact contract)
+    a = tail(pagerank(sym_explode(edges_base().distinct()), iterations=5)).collect()
+    e = edges_base().distinct()
+    bi = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    b = tail(pagerank(bi, iterations=5)).collect()
+    c = tail(pagerank(sym_explode(edges_base()), iterations=5)).collect()
+    out["variants_equal"] = (
+        [tuple(r) for r in a] == [tuple(r) for r in b] == [tuple(r) for r in c]
+    )
+    print("variants_equal:", out["variants_equal"], flush=True)
+
+
+def simhash_decompose(out: dict) -> None:
+    """doc_simhash stage decomposition + kernel variants, alternating.
+    s0: scan+spread+tokenize+explode+md5 only (noop)
+    s1: + conv parses
+    full_current: simhash_agg as shipped (incl. orderBy)
+    no_orderby: full minus the final sort
+    packed16: 16 long accumulators with 32-bit lanes instead of 32 sums
+    """
+    from pyspark.sql import functions as F
+
+    from finlogic_spark.operators.text_dedup import simhash_agg, tokens
+
+    spark = get_spark("probe-r16")
+    d = dq._t(spark, SF_DIR, "documents")
+
+    def tok_md5():
+        t = d.select(
+            F.col("doc_id"), F.explode(tokens("text")).alias("__tok")
+        ).withColumn("__hx", F.md5(F.col("__tok")))
+        _noop(t)
+
+    def tok_conv():
+        t = d.select(
+            F.col("doc_id"), F.explode(tokens("text")).alias("__tok")
+        ).withColumn("__hx", F.md5(F.col("__tok")))
+        for c in range(4):
+            t = t.withColumn(
+                f"__v{c}",
+                F.conv(F.substring("__hx", 8 * c + 1, 8), 16, 10).cast("long"),
+            )
+        _noop(t.drop("__tok", "__hx"))
+
+    def full_current():
+        _noop(simhash_agg(d, "text", "doc_id").orderBy("doc_id"))
+
+    def no_orderby():
+        _noop(simhash_agg(d, "text", "doc_id"))
+
+    def packed16():
+        SIMHASH_BITS = 32
+        tok = d.select(
+            F.col("doc_id"), F.explode(tokens("text")).alias("__tok")
+        ).withColumn("__hx", F.md5(F.col("__tok")))
+        for c in range(4):
+            tok = tok.withColumn(
+                f"__v{c}",
+                F.conv(F.substring("__hx", 8 * c + 1, 8), 16, 10).cast("long"),
+            )
+        # per 32-bit chunk c: nibble-high bits at positions 4d+3; pack
+        # digit d's bit into one of two longs with 32-bit lanes
+        packs = []
+        for c in range(4):
+            v = F.col(f"__v{c}")
+            lo = (
+                F.shiftright(v, 3).bitwiseAND(F.lit(1))
+                + F.shiftleft(F.shiftright(v, 7).bitwiseAND(F.lit(1)), 32)
+            )
+            # lanes: digits d and d+1 per long -> 4 longs per chunk? use
+            # 2 lanes/long x 4 pairs = 4 longs/chunk: simplest 2 digits
+            # per long
+            for dpos in range(0, 8, 2):
+                packs.append(
+                    (
+                        F.shiftright(v, 4 * dpos + 3).bitwiseAND(F.lit(1))
+                        + F.shiftleft(
+                            F.shiftright(v, 4 * (dpos + 1) + 3).bitwiseAND(
+                                F.lit(1)
+                            ),
+                            32,
+                        )
+                    ).alias(f"__p{c}_{dpos // 2}")
+                )
+        tok = tok.select("doc_id", *packs)
+        sums = tok.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(f"__p{c}_{i}").alias(f"__s{c}_{i}")
+                for c in range(4)
+                for i in range(4)
+            ],
+        )
+        fp = None
+        for j in range(1, SIMHASH_BITS + 1):
+            dglobal = j - 1  # hex digit index 0..31
+            c, dpos = dglobal // 8, dglobal % 8
+            col = F.col(f"__s{c}_{dpos // 2}")
+            ones = (
+                F.shiftright(col, 32).bitwiseAND(F.lit((1 << 32) - 1))
+                if dpos % 2
+                else col.bitwiseAND(F.lit((1 << 32) - 1))
+            )
+            bit = F.when(
+                ones * 2 >= F.col("__n"), F.lit(2 ** (j - 1)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            fp = bit if fp is None else fp + bit
+        _noop(
+            sums.select(F.col("doc_id"), fp.alias("simhash_fp")).orderBy(
+                "doc_id"
+            )
+        )
+
+    variants = [
+        ("s0_tok_md5", tok_md5),
+        ("s1_tok_conv", tok_conv),
+        ("full_current", full_current),
+        ("no_orderby", no_orderby),
+        ("packed16", packed16),
+    ]
+    for rnd in range(2):
+        for name, fn in variants:
+            spark.sparkContext.setJobDescription(f"simhash:{name}")
+            out.setdefault(name, []).append(_time(fn))
+    print(out, flush=True)
+    # equality of packed16 vs current
+    from pyspark.sql import functions as F2
+
+    cur = simhash_agg(d, "text", "doc_id").orderBy("doc_id").collect()
+    out["n_rows"] = len(cur)
+
+
+PROBES = {
+    "cc_single_job": cc_single_job,
+    "pagerank_edges": pagerank_edges,
+    "simhash_decompose": simhash_decompose,
+}
+
+
+def main() -> None:
+    which = sys.argv[1]
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    out: dict = {}
+    PROBES[which](out)
+    line = json.dumps({which: out})
+    print(line)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
