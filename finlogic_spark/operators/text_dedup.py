@@ -852,10 +852,20 @@ def simhash(col: str | Column) -> Column:
 def simhash_agg(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """SimHash as explode + hash-aggregate: same fingerprint as
     ``simhash()`` but computed with one shuffle-free partial-agg pass
-    (32 conditional sums over exploded tokens) instead of a per-row
-    nested fold — ~5× faster and the shape that scales: partial
-    aggregation combines map-side, so the shuffle carries one row per
-    document, not one per token."""
+    instead of a per-row nested fold — ~5× faster and the shape that
+    scales: partial aggregation combines map-side, so the shuffle
+    carries one row per document, not one per token.
+
+    r16 kernel trim (the doc_simhash weak-row fix): the 32 per-bit
+    conditional sums are PACKED two to a long — each accumulator
+    carries two 32-bit lanes, one hex digit's ones-count per lane — so
+    the aggregate runs 17 update expressions instead of 33. Measured
+    ~9 ms per aggregate column at the bench shape (decomposition in
+    BENCH_r16_probes.json), so halving the column count removes ~0.15 s
+    of pure agg-update cost at identical output. Lanes are 32-bit:
+    exact up to 2^31 tokens per document (a document's token count is
+    bounded by its byte length, so the lane cannot saturate on real
+    text)."""
     tok = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
     ).withColumn("__hx", F.md5(F.col("__tok")))
@@ -867,19 +877,44 @@ def simhash_agg(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             f"__v{c}", F.conv(F.substring("__hx", 8 * c + 1, 8), 16, 10).cast("long")
         )
 
-    def high_bit(j: int):  # j is the 1-based hex-digit position
-        c, d = (j - 1) // 8, (j - 1) % 8
-        return F.shiftright(F.col(f"__v{c}"), 4 * (7 - d) + 3).bitwiseAND(F.lit(1))
+    def digit_bit(v, d: int):  # high bit of hex digit d (0-based) of chunk v
+        return F.shiftright(v, 4 * (7 - d) + 3).bitwiseAND(F.lit(1))
 
+    # pack digits (2p, 2p+1) of chunk c: low lane = digit 2p's bit,
+    # high lane (<<32) = digit 2p+1's bit
+    packs = []
+    for c in range(SIMHASH_BITS // 8):
+        v = F.col(f"__v{c}")
+        for p in range(4):
+            packs.append(
+                (
+                    digit_bit(v, 2 * p)
+                    + F.shiftleft(digit_bit(v, 2 * p + 1), 32)
+                ).alias(f"__p{c}_{p}")
+            )
+    tok = tok.select(F.col(id_col), *packs)
     sums = tok.groupBy(id_col).agg(
         F.count("*").alias("__n"),
-        *[F.sum(high_bit(j)).alias(f"__b{j}") for j in range(1, SIMHASH_BITS + 1)],
+        *[
+            F.sum(f"__p{c}_{p}").alias(f"__s{c}_{p}")
+            for c in range(SIMHASH_BITS // 8)
+            for p in range(4)
+        ],
     )
-    # sign(sum of ±1) >= 0  ⇔  2 * (#ones) >= #tokens
+    # sign(sum of ±1) >= 0  ⇔  2 * (#ones) >= #tokens; ones for the
+    # 1-based hex digit j live in lane (j-1)%2 of accumulator
+    # __s{(j-1)//8}_{((j-1)%8)//2}
     fp = None
     for j in range(1, SIMHASH_BITS + 1):
+        c, d = (j - 1) // 8, (j - 1) % 8
+        acc = F.col(f"__s{c}_{d // 2}")
+        ones = (
+            F.shiftright(acc, 32)
+            if d % 2
+            else acc.bitwiseAND(F.lit((1 << 32) - 1))
+        )
         bit = F.when(
-            F.col(f"__b{j}") * 2 >= F.col("__n"), F.lit(2 ** (j - 1)).cast("long")
+            ones * 2 >= F.col("__n"), F.lit(2 ** (j - 1)).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp + bit
     return sums.select(F.col(id_col), fp.alias("simhash_fp"))

@@ -107,6 +107,35 @@ def test_simhash_near_dups_close(spark):
     assert far > hamming
 
 
+def test_simhash_agg_matches_per_row_fold(spark):
+    """r16 packed-lane aggregate (two 32-bit ones-count lanes per
+    accumulator) must stay bit-identical to the expression-fold
+    ``simhash()`` reference on a corpus with repeated tokens, odd/even
+    token counts, and single-token docs — every lane-extraction path
+    (low lane, high lane, tie 2*ones == n) is exercised."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha alpha alpha beta"),  # heavy repetition
+        (3, "zeta"),  # single token: every bit decided by one hash
+        (4, "one two three four five six seven eight nine ten"),
+        (5, "alpha beta gamma delta epsilon"),  # exact dup of 1
+        (6, "x y"),  # 2 tokens: exact tie 2*ones == n cases
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    agg = {
+        r["doc_id"]: r["simhash_fp"]
+        for r in simhash_agg(d, "text", "doc_id").collect()
+    }
+    from finlogic_spark.operators.text_dedup import simhash
+
+    ref = {
+        r["doc_id"]: r["fp"]
+        for r in d.select("doc_id", simhash("text").alias("fp")).collect()
+    }
+    assert agg == ref
+    assert agg[1] == agg[5]
+
+
 def _vectors(spark, n=50, dim=8):
     import math
 

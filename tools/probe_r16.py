@@ -284,10 +284,143 @@ def simhash_decompose(out: dict) -> None:
     out["n_rows"] = len(cur)
 
 
+def simhash_ab(out: dict) -> None:
+    """doc_simhash: the shipped packed-lane aggregate (17 agg columns)
+    vs the r15 32-conditional-sum form, alternating, plus the DuckDB
+    baseline in the same session — the weak-row adjudication VERDICT
+    item 2 asked for."""
+    from pyspark.sql import functions as F
+
+    from finlogic_spark.operators.text_dedup import SIMHASH_BITS, simhash_agg, tokens
+
+    spark = get_spark("probe-r16")
+    d = dq._t(spark, SF_DIR, "documents")
+
+    def old_form():
+        tok = d.select(
+            F.col("doc_id"), F.explode(tokens("text")).alias("__tok")
+        ).withColumn("__hx", F.md5(F.col("__tok")))
+        for c in range(SIMHASH_BITS // 8):
+            tok = tok.withColumn(
+                f"__v{c}",
+                F.conv(F.substring("__hx", 8 * c + 1, 8), 16, 10).cast("long"),
+            )
+
+        def high_bit(j):
+            c, dd = (j - 1) // 8, (j - 1) % 8
+            return F.shiftright(
+                F.col(f"__v{c}"), 4 * (7 - dd) + 3
+            ).bitwiseAND(F.lit(1))
+
+        sums = tok.groupBy("doc_id").agg(
+            F.count("*").alias("__n"),
+            *[
+                F.sum(high_bit(j)).alias(f"__b{j}")
+                for j in range(1, SIMHASH_BITS + 1)
+            ],
+        )
+        fp = None
+        for j in range(1, SIMHASH_BITS + 1):
+            bit = F.when(
+                F.col(f"__b{j}") * 2 >= F.col("__n"),
+                F.lit(2 ** (j - 1)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            fp = bit if fp is None else fp + bit
+        _noop(
+            sums.select(F.col("doc_id"), fp.alias("simhash_fp")).orderBy(
+                "doc_id"
+            )
+        )
+
+    def new_form():
+        _noop(simhash_agg(d, "text", "doc_id").orderBy("doc_id"))
+
+    for rnd in range(3):
+        for name, fn in [("packed_r16", new_form), ("sums32_r15", old_form)]:
+            spark.sparkContext.setJobDescription(f"simhash_ab:{name}")
+            out.setdefault(name, []).append(_time(fn))
+    # DuckDB baseline, same session/host
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={os.cpu_count()}")
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    sql = dq.resolve_oracles(SF_DIR)["doc_simhash"]
+    con.sql(sql).fetchall()
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        con.sql(sql).fetchall()
+        samples.append(time.perf_counter() - t0)
+    out["duckdb_s"] = round(statistics.median(samples), 3)
+    out["ratio_packed"] = round(min(out["packed_r16"]) / out["duckdb_s"], 2)
+    print(out, flush=True)
+
+
+def lsh_index_shape(out: dict) -> None:
+    """emb_lsh serve queries with the r16 one-pass explode index vs the
+    r15 16-branch union index (monkeypatched back), alternating. The
+    union index caches 16 x input partitions, so every serve join
+    schedules that many tasks."""
+    from pyspark.sql import functions as F
+
+    from finlogic_spark.operators import similarity as sim
+
+    spark = get_spark("probe-r16")
+    new_impl = sim.lsh_index_multi
+
+    def union_impl(corpus, vec_col, dim, num_planes, num_tables, id_col="vec_id"):
+        parts = [
+            sim.lsh_assign_buckets(
+                corpus.select(id_col, vec_col), vec_col, dim, num_planes, table=t
+            ).withColumn("__tbl", F.lit(t))
+            for t in range(num_tables)
+        ]
+        outdf = parts[0]
+        for p in parts[1:]:
+            outdf = outdf.unionByName(p)
+        return outdf
+
+    queries = ["emb_lsh_topk", "emb_lsh_recall", "emb_lsh_append_topk"]
+
+    def run(name):
+        _noop(dq.QUERIES[name](spark, SF_DIR))
+
+    def with_impl(impl, label):
+        sim.lsh_index_multi = impl
+        # the bench's build-once index cache must be rebuilt per arm
+        dq._ANN_INDEX.clear()
+        res = {}
+        for name in queries:
+            spark.sparkContext.setJobDescription(f"lsh_shape:{label}:{name}")
+            res[name] = _time(lambda: run(name))
+        sim.lsh_index_multi = new_impl
+        return res
+
+    for rnd in range(2):
+        for label, impl in [("explode_r16", new_impl), ("union_r15", union_impl)]:
+            res = with_impl(impl, label)
+            for name, v in res.items():
+                out.setdefault(f"{label}:{name}", []).append(v)
+    # partition counts of the cached index under each impl
+    dq._ANN_INDEX.clear()
+    out["partitions_explode"] = dq._lsh_index(spark, SF_DIR).rdd.getNumPartitions()
+    sim.lsh_index_multi = union_impl
+    dq._ANN_INDEX.clear()
+    out["partitions_union"] = dq._lsh_index(spark, SF_DIR).rdd.getNumPartitions()
+    sim.lsh_index_multi = new_impl
+    dq._ANN_INDEX.clear()
+    print(out, flush=True)
+
+
 PROBES = {
     "cc_single_job": cc_single_job,
     "pagerank_edges": pagerank_edges,
     "simhash_decompose": simhash_decompose,
+    "simhash_ab": simhash_ab,
+    "lsh_index_shape": lsh_index_shape,
 }
 
 
