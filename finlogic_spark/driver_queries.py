@@ -8763,6 +8763,18 @@ def doc_curation_learned(spark, sf_dir):
         F.size("__ts").cast("long").alias("__n"),
         F.md5(F.array_join("__ts", " ")).alias("__hx"),
     )
+    # r16: the tokenize+logit-fold subtree above is consumed by BOTH
+    # sides of the dedup semi-join and again by domain_mix's totals
+    # aggregate — Spark shares no subplans, so without a barrier the
+    # fold ran 3x. One lazy checkpoint materializes it once (measured
+    # 2.89 -> 2.03 s alternating A/B, tools/probe_r16.py curation_reuse;
+    # the same barrier on doc_curation_pipeline's ded measured a WASH
+    # and was left out).
+    from pyspark.storagelevel import StorageLevel
+
+    gated = gated.localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     reps = gated.groupBy("__hx").agg(F.min("doc_id").alias("doc_id"))
     surv = gated.join(reps, ["__hx", "doc_id"], "left_semi")
     return domain_mix_sample(

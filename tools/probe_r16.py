@@ -415,12 +415,299 @@ def lsh_index_shape(out: dict) -> None:
     print(out, flush=True)
 
 
+def curation_reuse(out: dict) -> None:
+    """Multi-use-subtree elimination in the curation family.
+    doc_curation_pipeline evaluates its gates subtree 4x (twice inside
+    exact_dedup's groupBy+semi-join, once under the LSH pair pipeline,
+    once as the anti-join's left side); doc_curation_learned evaluates
+    tokenize+logit 2x + domain_mix passes. Variants: current vs lazy
+    localCheckpoint of the reused frame vs window-form exact_dedup."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from finlogic_spark.driver_queries import (
+        _MIX_BUDGET_DEN,
+        _MIX_TARGETS,
+        _qclf_params,
+        rN,
+    )
+    from finlogic_spark.functions.text import quality_score
+    from finlogic_spark.functions.text import tokens as _tok
+    from finlogic_spark.operators.corpus import domain_mix_sample
+    from finlogic_spark.operators.quality_model import _logit_from_tokens
+    from finlogic_spark.operators.text_dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+    from finlogic_spark.functions.text import repetition_signals
+    from finlogic_spark.operators.corpus import stratified_sample_hash
+    from pyspark.sql import functions as F
+
+    spark = get_spark("probe-r16")
+
+    def gated_pipe():
+        d = dq._t(spark, SF_DIR, "documents").filter(F.col("text").isNotNull())
+        sig = d.select(
+            "doc_id", "lang", "source", "text",
+            repetition_signals("text").alias("__s"),
+        )
+        return (
+            sig.withColumn("__dr", rN(F.col("__s.distinct_ratio"), 6))
+            .withColumn("__tbf", rN(F.col("__s.top_bigram_frac"), 6))
+            .withColumn("__q", rN(quality_score("text"), 6))
+            .filter(
+                (F.col("__s.n_tokens") >= 20)
+                & ~F.coalesce(
+                    (F.col("__tbf") > 0.3) | (F.col("__dr") < 0.5),
+                    F.lit(False),
+                )
+                & (F.col("__q") >= 0.55)
+            )
+            .select(
+                "doc_id", "lang", "source", "text",
+                F.col("__s.n_tokens").alias("n_tokens"),
+            )
+        )
+
+    def tail_pipe(ded):
+        pairs = minhash_lsh_pairs(
+            ded, "text", "doc_id", k=3, num_hashes=6, bands=2
+        )
+        kept = ded.join(
+            pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        final = stratified_sample_hash(
+            kept, "lang", {"en": "g0", "de": "80", "fr": "80"},
+            id_col="doc_id", default_rate="40",
+        )
+        _noop(
+            final.select("doc_id", "lang", "source", "n_tokens").orderBy(
+                "doc_id"
+            )
+        )
+
+    def p0_current():
+        tail_pipe(exact_dedup(gated_pipe(), "text", "doc_id"))
+
+    def p1_ckpt():
+        ded = exact_dedup(gated_pipe(), "text", "doc_id").localCheckpoint(
+            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+        tail_pipe(ded)
+
+    def window_dedup(df):
+        nulls = df.filter(F.col("text").isNull())
+        from finlogic_spark.operators.text_dedup import canonical_text
+
+        keyed = df.filter(F.col("text").isNotNull()).withColumn(
+            "__h", F.md5(canonical_text("text"))
+        )
+        w = Window.partitionBy("__h")
+        return (
+            keyed.withColumn("__m", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") == F.col("__m"))
+            .drop("__h", "__m")
+            .unionByName(nulls)
+        )
+
+    def p2_window():
+        tail_pipe(window_dedup(gated_pipe()))
+
+    def p3_window_ckpt():
+        ded = window_dedup(gated_pipe()).localCheckpoint(
+            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+        tail_pipe(ded)
+
+    w, b = _qclf_params(SF_DIR)
+
+    def learned(ckpt):
+        d = dq._t(spark, SF_DIR, "documents")
+        base = d.select(
+            "doc_id", "source", _tok(F.col("text")).alias("__ts")
+        ).filter(F.size("__ts") > 0)
+        gated = base.filter(
+            _logit_from_tokens(F.col("__ts"), w, b) >= 0
+        ).select(
+            "doc_id",
+            "source",
+            F.size("__ts").cast("long").alias("__n"),
+            F.md5(F.array_join("__ts", " ")).alias("__hx"),
+        )
+        if ckpt:
+            gated = gated.localCheckpoint(
+                eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+        reps = gated.groupBy("__hx").agg(F.min("doc_id").alias("doc_id"))
+        surv = gated.join(reps, ["__hx", "doc_id"], "left_semi")
+        _noop(
+            domain_mix_sample(
+                surv, "source", "doc_id", F.col("__n"), _MIX_TARGETS,
+                lambda total: total // _MIX_BUDGET_DEN,
+            ).orderBy("doc_id")
+        )
+
+    variants = [
+        ("p0_current", p0_current),
+        ("p1_ckpt", p1_ckpt),
+        ("p2_window", p2_window),
+        ("p3_window_ckpt", p3_window_ckpt),
+        ("learned_c0", lambda: learned(False)),
+        ("learned_c1_ckpt", lambda: learned(True)),
+    ]
+    for rnd in range(3):
+        for name, fn in variants:
+            spark.sparkContext.setJobDescription(f"curation:{name}")
+            out.setdefault(name, []).append(_time(fn))
+    print(out, flush=True)
+
+
+def token_stream_reuse(out: dict) -> None:
+    """Queries whose exploded token/shingle stream is consumed k>=2
+    times (tokenize re-runs per consumer — no subplan sharing): current
+    vs a lazy checkpoint barrier on the stream (the dup_spans
+    precedent). Alternating, min-of-3."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from finlogic_spark.functions.text import tokens as _tokens
+    from finlogic_spark.operators.text_dedup import shingles
+
+    spark = get_spark("probe-r16")
+    _SPILL = StorageLevel.MEMORY_AND_DISK
+
+    def decon(ckpt):
+        d = dq._t(spark, SF_DIR, "documents").filter(F.col("text").isNotNull())
+        sh = d.select(
+            "doc_id", F.explode(F.array_distinct(shingles("text"))).alias("s")
+        )
+        if ckpt:
+            sh = sh.localCheckpoint(eager=False, storageLevel=_SPILL)
+        total = d.agg(F.count("*").alias("__n"))
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("__nd"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("__nd") <= F.col("__n") * 0.05)
+            .select("s")
+        )
+        is_val = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) >= "e6"
+        val_sh = sh.filter(is_val).select("s").distinct()
+        hits = sh.filter(~is_val)
+        _noop(
+            hits.join(val_sh, "s", "left_semi")
+            .join(rare, "s", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shared"))
+            .orderBy("doc_id")
+        )
+
+    def unigram(ckpt):
+        d = dq._t(spark, SF_DIR, "documents")
+        tok = d.select(F.col("doc_id"), F.explode(_tokens("text")).alias("token"))
+        if ckpt:
+            tok = tok.localCheckpoint(eager=False, storageLevel=_SPILL)
+        vocab_counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+        total = vocab_counts.agg(F.sum("n").cast("double").alias("__total"))
+        logp = vocab_counts.crossJoin(F.broadcast(total)).select(
+            "token",
+            F.floor(F.log(F.col("n") / F.col("__total")) * F.lit(1e6))
+            .cast("long")
+            .alias("__lpq"),
+        )
+        scored = (
+            tok.join(logp, "token")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"), F.sum("__lpq").alias("__s"))
+        )
+        _noop(
+            scored.select(
+                "doc_id",
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                (
+                    F.floor(
+                        F.col("__s") / F.lit(1e6) / F.col("n_tokens") * F.lit(1e6)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1e6)
+                ).alias("logprob_per_token"),
+            ).orderBy("doc_id")
+        )
+
+    def pmi(ckpt):
+        from finlogic_spark.operators import corpus as corpus_mod
+
+        d = dq._t(spark, SF_DIR, "documents")
+        toks = d.select(
+            F.col("doc_id"),
+            F.explode(F.array_distinct(_tokens("text"))).alias("token"),
+        )
+        if ckpt:
+            toks = toks.localCheckpoint(eager=False, storageLevel=_SPILL)
+        n_t = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        n_docs = (
+            toks.groupBy("doc_id")
+            .agg(F.lit(1).alias("__one"))
+            .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+        )
+        a = toks.select(F.col("doc_id"), F.col("token").alias("tok_a"))
+        b = toks.select(F.col("doc_id"), F.col("token").alias("tok_b"))
+        pairs = (
+            a.join(b, "doc_id")
+            .filter(F.col("tok_a") < F.col("tok_b"))
+            .groupBy("tok_a", "tok_b")
+            .agg(F.count(F.lit(1)).alias("n_ab"))
+            .filter(F.col("n_ab") >= 5)
+        )
+        na = n_t.select(F.col("token").alias("tok_a"), F.col("n").alias("n_a"))
+        nb = n_t.select(F.col("token").alias("tok_b"), F.col("n").alias("n_b"))
+        pmi_e = F.log(
+            F.col("n_ab").cast("double")
+            * F.col("n_docs")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        )
+        scored = (
+            pairs.join(F.broadcast(na), "tok_a")
+            .join(F.broadcast(nb), "tok_b")
+            .join(F.broadcast(n_docs))
+            .select(
+                "tok_a", "tok_b", "n_ab",
+                (F.floor(pmi_e * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                    "pmi"
+                ),
+            )
+        )
+        _noop(
+            scored.orderBy(
+                F.col("pmi").desc(), F.col("tok_a"), F.col("tok_b")
+            ).limit(20)
+        )
+
+    variants = [
+        ("decon_c0", lambda: decon(False)),
+        ("decon_c1", lambda: decon(True)),
+        ("unigram_c0", lambda: unigram(False)),
+        ("unigram_c1", lambda: unigram(True)),
+        ("pmi_c0", lambda: pmi(False)),
+        ("pmi_c1", lambda: pmi(True)),
+    ]
+    for rnd in range(3):
+        for name, fn in variants:
+            spark.sparkContext.setJobDescription(f"tokreuse:{name}")
+            out.setdefault(name, []).append(_time(fn))
+    print(out, flush=True)
+
+
 PROBES = {
     "cc_single_job": cc_single_job,
     "pagerank_edges": pagerank_edges,
     "simhash_decompose": simhash_decompose,
     "simhash_ab": simhash_ab,
     "lsh_index_shape": lsh_index_shape,
+    "curation_reuse": curation_reuse,
+    "token_stream_reuse": token_stream_reuse,
 }
 
 
