@@ -7689,7 +7689,19 @@ def events_kmv_overlap(spark, sf_dir):
         e.select("event_type", "user_id"), ["event_type"], "user_id", k=4096
     )
     est = kmv_pair_overlap(sk, "event_type", out_col="approx_overlap")
-    u = e.select("event_type", "user_id").distinct()
+    # r16: BOTH sides of the exact self-join consume this distinct —
+    # without a barrier the scan+distinct exchange ran twice (probe
+    # sketch_exact_subtrees: barrier better in all 3 alternations; the
+    # same barrier on events_hll_window's triples measured WORSE and
+    # was rejected). The materialized frame is the post-distinct pair
+    # set — smaller than the input, spill-safe at scale.
+    from pyspark.storagelevel import StorageLevel
+
+    u = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
     ua = u.select(F.col("event_type").alias("type_a"), "user_id")
     ub = u.select(F.col("event_type").alias("type_b"), "user_id")
     exact = (

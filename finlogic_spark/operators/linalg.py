@@ -35,49 +35,99 @@ def _cov_joined(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     # combined covariance wrong. Excluding bad rows keeps every cell's
     # n identical (the formula's requirement).
     df = df.filter(F.size(F.col(vec_col)) == dim)
-    v = F.col(vec_col)
-    cells = F.explode(
-        F.flatten(
-            F.transform(
-                v,
-                lambda x, i: F.transform(
-                    v,
-                    lambda y, j: F.struct(
-                        i.alias("i"),
-                        j.alias("j"),
-                        F.floor(
-                            x.cast("double") * y.cast("double") * F.lit(1e6)
-                            + F.lit(0.5)
-                        ).cast("long").alias("p"),
-                    ),
-                ),
-            )
+    # r16 (guide §4): the expression form exploded d² structs PER ROW
+    # through codegen (n·d² = 163M struct builds at the bench shape)
+    # and scanned the source TWICE (product sums + means). One Arrow
+    # pass accumulates the d×d outer-product partial, the d-vector
+    # mean partial and the row count per PARTITION with numpy — the
+    # identical per-cell quantization floor(x·y·1e6 + 0.5) summed as
+    # int64 (integer sums commute, so the totals are bit-identical;
+    # the kernel is literally pca_components_numpy's, which was
+    # already proven bit-identical to the expression path by the
+    # emb_pca_project oracle). Shuffle stays O(partitions·d²); rows
+    # crossing it are (i, j, v) partials: j = -1 carries the mean
+    # lane, i = -1 the row count.
+    from pyspark.sql import types as T
+
+    part_schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+
+    def _partials(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        sp = np.zeros((dim, dim), dtype=np.int64)
+        sx = np.zeros(dim, dtype=np.int64)
+        n = 0
+        for b in batches:
+            col = b.column(0)
+            flat = col.flatten()
+            has_null = flat.null_count > 0
+            X = flat.to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            ).reshape(-1, dim)
+            # chunked so the blk×d×d intermediate stays ~32 MB at d=64
+            for lo in range(0, len(X), 1024):
+                B = X[lo:lo + 1024]
+                Q = np.floor(B[:, :, None] * B[:, None, :] * 1e6 + 0.5)
+                if has_null:
+                    # null elements arrive as NaN; the expression form's
+                    # SUM skipped the null product while COUNT still
+                    # counted the row — contribute 0, keep the row in n
+                    Q = np.where(np.isnan(Q), 0.0, Q)
+                sp += Q.astype(np.int64).sum(axis=0)
+            M = np.floor(X * 1e6 + 0.5)
+            if has_null:
+                M = np.where(np.isnan(M), 0.0, M)
+            sx += M.astype(np.int64).sum(axis=0)
+            n += len(X)
+        if n == 0:
+            return
+        d_idx = np.arange(dim, dtype=np.int32)
+        ii = np.concatenate(([np.int32(-1)], d_idx, np.repeat(d_idx, dim)))
+        jj = np.concatenate(
+            ([np.int32(-1)], np.full(dim, -1, np.int32), np.tile(d_idx, dim))
         )
-    ).alias("c")
-    sums = (
-        df.select(cells)
-        .select("c.*")
+        vv = np.concatenate(([np.int64(n)], sx, sp.ravel()))
+        yield pa.record_batch(
+            [
+                pa.array(ii, type=pa.int32()),
+                pa.array(jj, type=pa.int32()),
+                pa.array(vv, type=pa.int64()),
+            ],
+            names=["i", "j", "v"],
+        )
+
+    tot = (
+        df.select(F.col(vec_col))
+        .mapInArrow(_partials, part_schema)
         .groupBy("i", "j")
-        .agg(F.sum("p").alias("sp"), F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("v").alias("v"))
     )
-    means = (
-        df.select(F.posexplode(v).alias("i", "x"))
-        .groupBy("i")
-        .agg(
-            F.sum(
-                F.floor(F.col("x").cast("double") * F.lit(1e6) + F.lit(0.5))
-                .cast("long")
-            ).alias("sx")
-        )
+    # ≤ d² + d + 1 rows — a lazy barrier so the three consumers below
+    # (cells / mean lane / count) read ONE materialization instead of
+    # re-running the source scan per filter branch.
+    tot = tot.localCheckpoint(eager=False)
+    sums = tot.filter(F.col("j") >= 0).select(
+        "i", "j", F.col("v").alias("sp")
     )
-    mi = means.select(F.col("i").alias("i"), F.col("sx").alias("sx_i"))
-    mj = means.select(F.col("i").alias("j"), F.col("sx").alias("sx_j"))
+    mi = tot.filter((F.col("j") == -1) & (F.col("i") >= 0)).select(
+        "i", F.col("v").alias("sx_i")
+    )
+    mj = mi.select(F.col("i").alias("j"), F.col("sx_i").alias("sx_j"))
+    nrow = tot.filter(F.col("i") == -1).select(F.col("v").alias("n"))
     exy = F.col("sp").cast("double") / F.lit(1e6) / F.col("n")
     m_i = F.col("sx_i").cast("double") / F.lit(1e6) / F.col("n")
     m_j = F.col("sx_j").cast("double") / F.lit(1e6) / F.col("n")
     return (
         sums.join(F.broadcast(mi), "i")
         .join(F.broadcast(mj), "j")
+        .crossJoin(F.broadcast(nrow))
         .select(
             "i",
             "j",

@@ -479,6 +479,73 @@ def test_covariance_matches_numpy(spark):
             assert abs(got[(i, j)] - got[(j, i)]) < 2e-6
 
 
+def test_covariance_arrow_kernel_matches_expression_form(spark):
+    """r16: _cov_joined's Arrow outer-product kernel must reproduce the
+    prior explode-d²-structs expression form BIT-identically — same
+    per-cell quantization floor(x·y·1e6+0.5) summed as int64 — across
+    float32 input, multiple partitions, a ragged row (excluded by the
+    size gate) and a null element (product skipped, row still counted,
+    exactly like the expression form's SUM/COUNT split)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from finlogic_spark.operators.linalg import _cov_joined
+
+    dim = 5
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(dim)]) for i in range(57)
+    ]
+    rows.append((57, [1.0, 2.0]))  # ragged -> excluded
+    bad = [0.5] * dim
+    bad[2] = None  # null element -> cell products skipped, row counted
+    rows.append((58, bad))
+    df = spark.createDataFrame(
+        rows, "id long, vec array<float>"
+    ).repartition(3)
+
+    got = {
+        (r.i, r.j): (r.cov, r.m_i, r.m_j)
+        for r in _cov_joined(df, "vec", dim).collect()
+    }
+
+    # serial reference replicating the ORIGINAL expression semantics
+    kept = [v for _, v in rows if v is not None and len(v) == dim]
+    n = len(kept)
+    import struct as _struct
+
+    def f32(x):  # Spark stores array<float>: round-trip through float32
+        return _struct.unpack("f", _struct.pack("f", x))[0] if x is not None else None
+
+    kept = [[f32(x) for x in v] for v in kept]
+    for i in range(dim):
+        for j in range(dim):
+            sp = sum(
+                int(math.floor(v[i] * v[j] * 1e6 + 0.5))
+                for v in kept
+                if v[i] is not None and v[j] is not None
+            )
+            sx_i = sum(
+                int(math.floor(v[i] * 1e6 + 0.5))
+                for v in kept
+                if v[i] is not None
+            )
+            sx_j = sum(
+                int(math.floor(v[j] * 1e6 + 0.5))
+                for v in kept
+                if v[j] is not None
+            )
+            exy = sp / 1e6 / n
+            m_i = sx_i / 1e6 / n
+            m_j = sx_j / 1e6 / n
+            want = exy - m_i * m_j
+            g_cov, g_mi, g_mj = got[(i, j)]
+            assert g_cov == want, (i, j, g_cov, want)
+            assert g_mi == m_i and g_mj == m_j
+
+
 # ---------------------------------------------------------------- tf-idf sim
 
 def test_tfidf_similar_finds_near_duplicate(spark):

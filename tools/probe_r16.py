@@ -700,6 +700,192 @@ def token_stream_reuse(out: dict) -> None:
     print(out, flush=True)
 
 
+def covariance_kernel(out: dict) -> None:
+    """emb_covariance / emb_pca_project: r16 Arrow outer-product
+    partials vs the prior explode-d²-structs expression form (rebuilt
+    here verbatim). Alternating, min-of-3; equality asserted once."""
+    from pyspark.sql import functions as F
+
+    from finlogic_spark.operators.linalg import _cov_joined
+
+    spark = get_spark("probe-r16")
+
+    def expr_form(df, vec_col, dim):
+        df = df.filter(F.size(F.col(vec_col)) == dim)
+        v = F.col(vec_col)
+        cells = F.explode(
+            F.flatten(
+                F.transform(
+                    v,
+                    lambda x, i: F.transform(
+                        v,
+                        lambda y, j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            F.floor(
+                                x.cast("double") * y.cast("double")
+                                * F.lit(1e6) + F.lit(0.5)
+                            ).cast("long").alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("c")
+        sums = (
+            df.select(cells).select("c.*").groupBy("i", "j")
+            .agg(F.sum("p").alias("sp"), F.count(F.lit(1)).alias("n"))
+        )
+        means = (
+            df.select(F.posexplode(v).alias("i", "x"))
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("x").cast("double") * F.lit(1e6) + F.lit(0.5)
+                    ).cast("long")
+                ).alias("sx")
+            )
+        )
+        mi = means.select(F.col("i").alias("i"), F.col("sx").alias("sx_i"))
+        mj = means.select(F.col("i").alias("j"), F.col("sx").alias("sx_j"))
+        exy = F.col("sp").cast("double") / F.lit(1e6) / F.col("n")
+        m_i = F.col("sx_i").cast("double") / F.lit(1e6) / F.col("n")
+        m_j = F.col("sx_j").cast("double") / F.lit(1e6) / F.col("n")
+        return (
+            sums.join(F.broadcast(mi), "i").join(F.broadcast(mj), "j")
+            .select("i", "j", (exy - m_i * m_j).alias("cov"))
+        )
+
+    def emb():
+        return dq._t(spark, SF_DIR, "embeddings")
+
+    def run_old():
+        _noop(
+            expr_form(emb(), "embedding", 64)
+            .select("i", "j", dq.rN(F.col("cov"), 6).alias("cov"))
+            .orderBy("i", "j")
+        )
+
+    def run_new():
+        _noop(dq.QUERIES["emb_covariance"](spark, SF_DIR))
+
+    a = {
+        tuple(r[:2]): r[2]
+        for r in expr_form(emb(), "embedding", 64).collect()
+    }
+    b = {
+        (r["i"], r["j"]): r["cov"]
+        for r in _cov_joined(emb(), "embedding", 64)
+        .select("i", "j", "cov").collect()
+    }
+    out["bit_equal"] = a == b
+    for rnd in range(3):
+        for name, fn in (("arrow_r16", run_new), ("expr_r15", run_old)):
+            spark.sparkContext.setJobDescription(f"cov:{name}")
+            out.setdefault(name, []).append(_time(fn, runs=1))
+    print(out, flush=True)
+
+
+def sketch_exact_subtrees(out: dict) -> None:
+    """events_hll_window / events_kmv_overlap: their exact-validation
+    branches re-evaluate shared distinct subtrees (triples feeds
+    grid+fan; u feeds both self-join sides). Current vs a lazy
+    checkpoint barrier on the shared distinct frame."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    spark = get_spark("probe-r16")
+    _S = StorageLevel.MEMORY_AND_DISK
+
+    def hll(ckpt):
+        from finlogic_spark.operators.distinct_sketch import (
+            hll_sketch_table,
+            hll_window_estimate,
+        )
+
+        e = dq._t(spark, SF_DIR, "events").filter(F.col("user_id").isNotNull())
+        base = e.select(F.to_date("ts").alias("day"), "event_type", "user_id")
+        daily = hll_sketch_table(base, ["day", "event_type"], "user_id", lgk=12)
+        est = hll_window_estimate(daily, ["event_type"], "day", 7, "approx_users")
+        triples = base.distinct()
+        if ckpt:
+            triples = triples.localCheckpoint(eager=False, storageLevel=_S)
+        grid = triples.select("event_type", "day").distinct()
+        fan = triples.select(
+            "event_type", "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("day"),
+        )
+        exact = (
+            fan.join(F.broadcast(grid), ["event_type", "day"], "left_semi")
+            .groupBy("event_type", "day")
+            .agg(F.count_distinct("user_id").alias("exact_users"))
+        )
+        band_ok = (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users") <= 0.06
+        )
+        _noop(
+            exact.join(est, ["event_type", "day"])
+            .select(
+                F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "event_type", "exact_users", band_ok.alias("est_ok"),
+            )
+            .orderBy("day", "event_type")
+        )
+
+    def kmv(ckpt):
+        from finlogic_spark.operators.distinct_sketch import (
+            kmv_pair_overlap,
+            kmv_sketch_table,
+        )
+
+        e = dq._t(spark, SF_DIR, "events").filter(F.col("user_id").isNotNull())
+        sk = kmv_sketch_table(
+            e.select("event_type", "user_id"), ["event_type"], "user_id",
+            k=4096,
+        )
+        est = kmv_pair_overlap(sk, "event_type", out_col="approx_overlap")
+        u = e.select("event_type", "user_id").distinct()
+        if ckpt:
+            u = u.localCheckpoint(eager=False, storageLevel=_S)
+        ua = u.select(F.col("event_type").alias("type_a"), "user_id")
+        ub = u.select(F.col("event_type").alias("type_b"), "user_id")
+        exact = (
+            ua.join(ub, "user_id")
+            .filter(F.col("type_a") < F.col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.count(F.lit(1)).alias("exact_overlap"))
+        )
+        band_ok = (
+            F.abs(F.col("approx_overlap") - F.col("exact_overlap"))
+            <= 0.25 * F.col("exact_overlap") + 2
+        )
+        _noop(
+            exact.join(
+                est.withColumnsRenamed({"key_a": "type_a", "key_b": "type_b"}),
+                ["type_a", "type_b"],
+            )
+            .select(
+                "type_a", "type_b", "exact_overlap", band_ok.alias("est_ok")
+            )
+            .orderBy("type_a", "type_b")
+        )
+
+    variants = [
+        ("hll_c0", lambda: hll(False)),
+        ("hll_c1", lambda: hll(True)),
+        ("kmv_c0", lambda: kmv(False)),
+        ("kmv_c1", lambda: kmv(True)),
+    ]
+    for rnd in range(3):
+        for name, fn in variants:
+            spark.sparkContext.setJobDescription(f"sketchx:{name}")
+            out.setdefault(name, []).append(_time(fn, runs=1))
+    print(out, flush=True)
+
+
 PROBES = {
     "cc_single_job": cc_single_job,
     "pagerank_edges": pagerank_edges,
@@ -708,6 +894,8 @@ PROBES = {
     "lsh_index_shape": lsh_index_shape,
     "curation_reuse": curation_reuse,
     "token_stream_reuse": token_stream_reuse,
+    "covariance_kernel": covariance_kernel,
+    "sketch_exact_subtrees": sketch_exact_subtrees,
 }
 
 
