@@ -576,6 +576,18 @@ def js_divergence(
         .groupBy("g", "t")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # r16: gt is consumed FOUR times in the final plan (j, corpus — and
+    # through corpus the 1-row total — and the per-group totals), and
+    # Spark shares no subplans, so the corpus-sized explode+count ran
+    # 4x. One lazy barrier materializes the (group, token, count)
+    # aggregate once — post-shuffle vocab×groups rows, spill-safe —
+    # measured better in all 3 alternating A/B samples at sf0.1
+    # (tools/probe_r16.py agg_reuse: 1.02-1.13 s vs 1.31-1.47 s).
+    from pyspark.storagelevel import StorageLevel
+
+    gt = gt.localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     corpus = gt.groupBy("t").agg(F.sum("c").alias("ct"))
     totals = gt.groupBy("g").agg(F.sum("c").alias("tg"))
     total = corpus.agg(F.sum("ct").alias("tt"))

@@ -886,6 +886,226 @@ def sketch_exact_subtrees(out: dict) -> None:
     print(out, flush=True)
 
 
+def lsh_recall_shape(out: dict) -> None:
+    """emb_lsh_recall: the exact brute-force top-5 leg is consumed
+    TWICE (hits join + the query-id spine) and both post-topk joins
+    fall to SortMergeJoin (stats lost after Window/TopK). Variants:
+    current; barrier on exact5; barrier + broadcast hints."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from finlogic_spark.operators.similarity import (
+        cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    spark = get_spark("probe-r16")
+
+    def build(barrier, bcast):
+        e = dq._t(spark, SF_DIR, "embeddings")
+        as_double = F.transform("embedding", lambda x: x.cast("double"))
+        corpus = e.select("vec_id", as_double.alias("embedding"))
+        queries = e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), as_double.alias("query_vec")
+        )
+        exact5 = cosine_topk(corpus, queries, k=5).select(
+            "query_id", "vec_id"
+        )
+        if barrier:
+            exact5 = exact5.localCheckpoint(
+                eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+        lsh5 = lsh_cosine_topk(
+            dq._lsh_index(spark, SF_DIR),
+            queries,
+            k=5,
+            dim=64,
+            num_planes=dq._LSH_PLANES,
+            num_tables=dq._LSH_TABLES,
+            probe_radius=dq._LSH_RADIUS,
+            corpus_bucketed=True,
+            local_query_probes=True,
+        ).select("query_id", "vec_id")
+        if bcast:
+            lsh5 = F.broadcast(lsh5)
+        hits = exact5.join(lsh5, ["query_id", "vec_id"]).groupBy(
+            "query_id"
+        ).agg(F.count(F.lit(1)).alias("n_hits"))
+        if bcast:
+            hits = F.broadcast(hits)
+        return (
+            exact5.select("query_id")
+            .distinct()
+            .join(hits, "query_id", "left")
+            .select(
+                "query_id",
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias(
+                    "n_hits"
+                ),
+                (
+                    F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0)
+                ).alias("recall_at_5"),
+            )
+            .orderBy("query_id")
+        )
+
+    variants = [
+        ("v0_current", lambda: _noop(build(False, False))),
+        ("v1_barrier", lambda: _noop(build(True, False))),
+        ("v2_barrier_bcast", lambda: _noop(build(True, True))),
+    ]
+    rows = {
+        n: sorted(map(tuple, build(n in ("v1", "v2"), n == "v2").collect()))
+        for n in ("v0", "v1", "v2")
+    }
+    out["rows_equal"] = rows["v0"] == rows["v1"] == rows["v2"]
+    for rnd in range(3):
+        for name, fn in variants:
+            spark.sparkContext.setJobDescription(f"recall:{name}")
+            out.setdefault(name, []).append(_time(fn, runs=1))
+    print(out, flush=True)
+
+
+def agg_reuse(out: dict) -> None:
+    """Aggregated-but-multi-consumed frames (unlike the raw token
+    streams, these are post-shuffle SMALL): dsir's vocab (2 consumers:
+    totals + ratio) and js_divergence's gt group×token counts (4
+    consumers: j, corpus×2 via total, totals). Current vs lazy
+    checkpoint on the aggregated frame."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from finlogic_spark.functions.text import tokens as _tokens
+    from finlogic_spark.operators.dsir import _micro
+
+    spark = get_spark("probe-r16")
+    _S = StorageLevel.MEMORY_AND_DISK
+
+    def dsir(ckpt):
+        d = dq._t(spark, SF_DIR, "documents")
+        raw, target = d, d.filter(F.col("lang") == "en")
+        tok_raw = raw.select(
+            F.col("doc_id"), F.explode(_tokens("text")).alias("token")
+        )
+        tok_tgt = target.select(F.explode(_tokens("text")).alias("token"))
+        cnt_raw = tok_raw.groupBy("token").agg(
+            F.count(F.lit(1)).alias("n_raw")
+        )
+        cnt_tgt = tok_tgt.groupBy("token").agg(
+            F.count(F.lit(1)).alias("n_tgt")
+        )
+        vocab = cnt_raw.join(cnt_tgt, "token", "full_outer").select(
+            "token",
+            F.coalesce("n_raw", F.lit(0)).alias("n_raw"),
+            F.coalesce("n_tgt", F.lit(0)).alias("n_tgt"),
+        )
+        if ckpt:
+            vocab = vocab.localCheckpoint(eager=False, storageLevel=_S)
+        totals = vocab.agg(
+            F.count(F.lit(1)).cast("double").alias("__v"),
+            F.sum("n_raw").cast("double").alias("__traw"),
+            F.sum("n_tgt").cast("double").alias("__ttgt"),
+        )
+        a = F.lit(0.5)
+        ratio = vocab.crossJoin(F.broadcast(totals)).select(
+            "token",
+            (
+                _micro(F.log((F.col("n_tgt") + a)
+                             / (F.col("__ttgt") + a * F.col("__v"))))
+                - _micro(F.log((F.col("n_raw") + a)
+                               / (F.col("__traw") + a * F.col("__v"))))
+            ).alias("__lwq"),
+        )
+        per_doc = (
+            tok_raw.join(ratio, "token")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_tokens"),
+                F.sum("__lwq").alias("__slwq"),
+            )
+        )
+        w = per_doc.select(
+            "doc_id", "n_tokens",
+            (F.col("__slwq") / F.lit(1e6)).alias("log_weight"),
+        )
+        sel = (
+            w.withColumn("__key", F.col("log_weight"))
+            .orderBy(F.col("__key").desc(), F.col("doc_id"))
+            .limit(100)
+            .drop("__key")
+        )
+        _noop(
+            sel.select(
+                "doc_id", "n_tokens",
+                dq.rN(F.col("log_weight"), 6).alias("log_weight"),
+            ).orderBy("doc_id")
+        )
+
+    def jsd(ckpt):
+        from finlogic_spark.functions.text import tokens
+        from finlogic_spark.operators import profile
+
+        d = dq._t(spark, SF_DIR, "documents")
+        gt = (
+            d.select(F.col("source").alias("g"), tokens("text").alias("tok"))
+            .select("g", F.explode("tok").alias("t"))
+            .groupBy("g", "t")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        if ckpt:
+            gt = gt.localCheckpoint(eager=False, storageLevel=_S)
+        corpus = gt.groupBy("t").agg(F.sum("c").alias("ct"))
+        totals = gt.groupBy("g").agg(F.sum("c").alias("tg"))
+        total = corpus.agg(F.sum("ct").alias("tt"))
+        j = (
+            gt.join(corpus, "t")
+            .join(F.broadcast(totals), "g")
+            .crossJoin(F.broadcast(total))
+        )
+        p = F.col("c").cast("double") / F.col("tg").cast("double")
+        qq = F.col("ct").cast("double") / F.col("tt").cast("double")
+        m = (p + qq) / F.lit(2.0)
+        term = (
+            p * F.log(p / m) / F.lit(2.0)
+            + qq * F.log(qq / m) / F.lit(2.0)
+        )
+        per_g = (
+            j.withColumn("__t", F.floor(term * F.lit(1e6)).cast("long"))
+            .groupBy("g")
+            .agg(
+                F.sum("__t").alias("__sp"),
+                F.sum("ct").alias("__sg"),
+                F.first("tg").alias("tg"),
+                F.first("tt").alias("tt"),
+            )
+        )
+        absent = F.floor(
+            F.log(F.lit(2.0)) / F.lit(2.0)
+            * ((F.col("tt") - F.col("__sg")).cast("double")
+               / F.col("tt").cast("double"))
+            * F.lit(1e6)
+        ).cast("long")
+        _noop(
+            per_g.select(
+                F.col("g").alias("source"),
+                ((F.col("__sp") + absent) / F.lit(1e6)).alias("js_nats"),
+                F.col("tg").cast("long").alias("n_tokens"),
+            ).orderBy("source")
+        )
+
+    variants = [
+        ("dsir_c0", lambda: dsir(False)),
+        ("dsir_c1", lambda: dsir(True)),
+        ("jsd_c0", lambda: jsd(False)),
+        ("jsd_c1", lambda: jsd(True)),
+    ]
+    for rnd in range(3):
+        for name, fn in variants:
+            spark.sparkContext.setJobDescription(f"aggreuse:{name}")
+            out.setdefault(name, []).append(_time(fn, runs=1))
+    print(out, flush=True)
+
+
 PROBES = {
     "cc_single_job": cc_single_job,
     "pagerank_edges": pagerank_edges,
@@ -896,6 +1116,8 @@ PROBES = {
     "token_stream_reuse": token_stream_reuse,
     "covariance_kernel": covariance_kernel,
     "sketch_exact_subtrees": sketch_exact_subtrees,
+    "lsh_recall_shape": lsh_recall_shape,
+    "agg_reuse": agg_reuse,
 }
 
 
