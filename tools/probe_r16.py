@@ -1106,6 +1106,98 @@ def agg_reuse(out: dict) -> None:
     print(out, flush=True)
 
 
+def png_vectorized(out: dict) -> None:
+    """VERDICT r15 item 5: the mixed-filter PNG decode floor after
+    vectorizing the closed-form arms (Up = one wrapping uint8 add,
+    Sub = per-channel cumsum mod 256, + vectorized RGB24 conversion;
+    Avg/Paeth stay per-byte). Same 100k-image 64x48 RGB corpus recipe
+    as BENCH_r15_probes.json multimodal:png_mixed_filters (scanline
+    filters cycle 0-4), exact round-trip asserted first."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from probe_r15 import _encode_png_mixed
+
+    from finlogic_spark.operators.multimodal import (
+        extract_features,
+        png_decoder,
+    )
+
+    spark = get_spark("probe-r16")
+    for i in (0, 1, 2, 3, 4):
+        data, px = _encode_png_mixed(i)
+        d = png_decoder("image", data)
+        got = np.frombuffer(d["body"], dtype=np.uint8).reshape(px.shape)
+        assert (got == px).all(), f"filter round-trip failed for seed {i}"
+    out["round_trip_exact"] = True
+
+    n_images = 100_000
+    tmp = "/tmp/probe_r16_media"
+    if not os.path.exists(f"{tmp}/_SUCCESS"):
+        schema = "media_id long, kind string, data binary"
+        first = True
+        for lo in range(0, n_images, 20_000):
+            rows = [
+                (i, "image", bytearray(_encode_png_mixed(i)[0]))
+                for i in range(lo, min(lo + 20_000, n_images))
+            ]
+            spark.createDataFrame(rows, schema).write.mode(
+                "overwrite" if first else "append"
+            ).parquet(tmp)
+            first = False
+            print(f"  png corpus: {min(lo + 20_000, n_images)}", flush=True)
+    media = spark.read.parquet(tmp)
+    n = media.count()
+
+    def extract():
+        _noop(extract_features(media, decoder=png_decoder))
+
+    spark.sparkContext.setJobDescription("png_vectorized:extract")
+    t = _time(extract, runs=2)
+
+    def meter(it):
+        import resource
+
+        import pandas as pd
+
+        for pdf in it:
+            for kind, data in zip(pdf["kind"], pdf["data"]):
+                png_decoder(kind, bytes(data))
+            rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+            yield pd.DataFrame(
+                {"rows": [len(pdf)], "worker_rss_mb": [int(rss)]}
+            )
+
+    b = (
+        media.select("media_id", "kind", "data")
+        .mapInPandas(meter, "rows long, worker_rss_mb long")
+        .agg(
+            F.max("rows").alias("max_rows"),
+            F.max("worker_rss_mb").alias("max_rss"),
+        )
+        .collect()[0]
+    )
+    out.update(
+        {
+            "images": n,
+            "image_shape": "64x48x3 RGB PNG, scanline filters cycle 0-4",
+            "extract_s": t,
+            "images_per_s": round(n / t),
+            "max_arrow_batch_rows": int(b["max_rows"]),
+            "peak_python_worker_rss_mb": int(b["max_rss"]),
+            "r15_baseline_images_per_s": 4077,
+            "note": (
+                "closed-form filter arms (None/Sub/Up) + RGB24 "
+                "conversion vectorized with numpy; Avg/Paeth remain the "
+                "left-sequential per-byte residual floor (2 of 5 "
+                "scanlines in this corpus)."
+            ),
+        }
+    )
+    print(out, flush=True)
+
+
 PROBES = {
     "cc_single_job": cc_single_job,
     "pagerank_edges": pagerank_edges,
@@ -1118,6 +1210,7 @@ PROBES = {
     "sketch_exact_subtrees": sketch_exact_subtrees,
     "lsh_recall_shape": lsh_recall_shape,
     "agg_reuse": agg_reuse,
+    "png_vectorized": png_vectorized,
 }
 
 
