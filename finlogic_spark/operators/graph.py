@@ -319,7 +319,17 @@ def _cc_single_job(e0: DataFrame) -> DataFrame:
             [nodes, nodes.take(pa.array(order[lab]))], ["id", "label"]
         )
 
-    res = e0.select("s", "d").repartition(1).mapInArrow(_run, out_schema)
+    # ADVICE r16: a null endpoint would put nulls into enc.indices and
+    # to_numpy() (zero-copy) raises, failing the whole query in this
+    # regime. A null endpoint cannot join anything in the distributed
+    # regime either (join semantics drop it), so filter before the
+    # funnel — connectivity among non-null ids is unaffected.
+    res = (
+        e0.filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .select("s", "d")
+        .repartition(1)
+        .mapInArrow(_run, out_schema)
+    )
     # one eager job end-to-end, after which the caller can release the
     # edge cache (same discipline as _pagerank_single_job)
     return res.localCheckpoint(eager=True, storageLevel=_SPILL)

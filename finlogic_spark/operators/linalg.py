@@ -67,22 +67,28 @@ def _cov_joined(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
         for b in batches:
             col = b.column(0)
             flat = col.flatten()
-            has_null = flat.null_count > 0
             X = flat.to_numpy(zero_copy_only=False).astype(
                 np.float64, copy=False
             ).reshape(-1, dim)
+            # ADVICE r16: zero NaN whether it came from a NULL element
+            # (null_count > 0) or a literal NaN stored in the data —
+            # astype(int64) on NaN is undefined (INT64_MIN) and would
+            # silently corrupt every cell's sum. One isnan pass over
+            # the n×d input decides; the d²-sized where() only runs
+            # when bad values actually exist.
+            has_bad = flat.null_count > 0 or bool(np.isnan(X).any())
             # chunked so the blk×d×d intermediate stays ~32 MB at d=64
             for lo in range(0, len(X), 1024):
                 B = X[lo:lo + 1024]
                 Q = np.floor(B[:, :, None] * B[:, None, :] * 1e6 + 0.5)
-                if has_null:
-                    # null elements arrive as NaN; the expression form's
-                    # SUM skipped the null product while COUNT still
-                    # counted the row — contribute 0, keep the row in n
+                if has_bad:
+                    # null/NaN elements arrive as NaN; the expression
+                    # form's SUM skipped the null product while COUNT
+                    # still counted the row — contribute 0, keep row in n
                     Q = np.where(np.isnan(Q), 0.0, Q)
                 sp += Q.astype(np.int64).sum(axis=0)
             M = np.floor(X * 1e6 + 0.5)
-            if has_null:
+            if has_bad:
                 M = np.where(np.isnan(M), 0.0, M)
             sx += M.astype(np.int64).sum(axis=0)
             n += len(X)

@@ -257,6 +257,11 @@ def lsh_index_multi(
     The explode form computes all L (table, bucket) structs in one
     projection per row and keeps the input's partitioning; rows are
     identical."""
+    if num_tables < 1:
+        # ADVICE r16: the union form raised IndexError here; the explode
+        # of an empty literal array would silently drop every row and
+        # return an empty index, masking the caller bug. Fail loudly.
+        raise ValueError(f"num_tables must be >= 1, got {num_tables}")
     entries = F.array(
         *[
             F.struct(

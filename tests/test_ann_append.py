@@ -121,3 +121,19 @@ def test_ivf_append_equals_rebuild(spark, sf_dir, tmp_path):
 
     reopened = read_ivf_index(spark, inc_path)
     assert assignments(reopened) == assignments(full)
+
+
+def test_lsh_index_multi_rejects_zero_tables(spark):
+    """ADVICE r16: num_tables=0 used to raise IndexError in the union
+    form; the r16 explode form would instead silently drop every row
+    and return an empty index, masking the caller bug. Guarded now."""
+    import pytest
+
+    from finlogic_spark.operators.similarity import lsh_index_multi
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * DIM)], "vec_id long, embedding array<double>"
+    )
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="num_tables"):
+            lsh_index_multi(df, "embedding", DIM, PLANES, bad)

@@ -402,6 +402,30 @@ def test_connected_components_single_job_regime_bitwise(spark):
         assert fast[conv(99)] == conv(0)  # chain fully merged
 
 
+def test_connected_components_single_job_tolerates_null_endpoints(spark):
+    """ADVICE r16: a null src/dst used to crash the single-job regime
+    (nulls in enc.indices make zero-copy to_numpy raise) while the
+    distributed regime tolerated them via join semantics (a null
+    endpoint matches nothing). The funnel now filters null endpoints:
+    connectivity among non-null ids is unchanged and the query no
+    longer dies in the small-graph regime."""
+    from finlogic_spark.operators.graph import connected_components
+
+    e = spark.createDataFrame(
+        [(None, 5), (1, 2), (2, None)], "src long, dst long"
+    )
+    v = spark.createDataFrame([(1,), (2,), (5,)], "id long")
+    st: dict = {}
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(e, v, stats=st).collect()
+    }
+    assert st["auto_choice"] == "single-job", st
+    # non-null connectivity: 1-2 merged; 5 only touched a null edge so
+    # it self-labels through the isolated-vertex union
+    assert got == {1: 1, 2: 1, 5: 5}
+
+
 def test_interval_join_bounds_inclusive(spark):
     from finlogic_spark.operators.rangejoin import interval_join
 

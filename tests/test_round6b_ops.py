@@ -546,6 +546,45 @@ def test_covariance_arrow_kernel_matches_expression_form(spark):
             assert g_mi == m_i and g_mj == m_j
 
 
+def test_covariance_kernel_zeroes_literal_nan(spark):
+    """ADVICE r16: a literal NaN stored in the vector data (not a null
+    element) used to skip the isnan-zeroing (gated on null_count > 0)
+    and flow into astype(int64), whose result is undefined (INT64_MIN)
+    — silently corrupting every cell's sum. The kernel now detects NaN
+    in the data itself; semantics match the old expression form, where
+    CAST(NaN AS BIGINT) contributed 0 while COUNT still counted the
+    row."""
+    import math
+
+    from finlogic_spark.operators.linalg import _cov_joined
+
+    dim = 3
+    rows = [
+        (0, [1.0, 2.0, 3.0]),
+        (1, [0.5, float("nan"), -1.0]),  # literal NaN, null_count == 0
+        (2, [-2.0, 1.5, 0.25]),
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    got = {
+        (r.i, r.j): (r.cov, r.m_i, r.m_j)
+        for r in _cov_joined(df, "vec", dim).collect()
+    }
+    n = len(rows)
+
+    def q(x):  # quantized contribution; NaN contributes 0 (cast rule)
+        return 0 if math.isnan(x) else int(math.floor(x * 1e6 + 0.5))
+
+    for i in range(dim):
+        for j in range(dim):
+            sp = sum(q(v[i] * v[j]) for _, v in rows)
+            m_i = sum(q(v[i]) for _, v in rows) / 1e6 / n
+            m_j = sum(q(v[j]) for _, v in rows) / 1e6 / n
+            want = sp / 1e6 / n - m_i * m_j
+            g_cov, g_mi, g_mj = got[(i, j)]
+            assert g_cov == want, (i, j, g_cov, want)
+            assert g_mi == m_i and g_mj == m_j
+
+
 # ---------------------------------------------------------------- tf-idf sim
 
 def test_tfidf_similar_finds_near_duplicate(spark):
