@@ -498,6 +498,7 @@ def pagerank(
     damping_den: int = 100,
     src_col: str = "src",
     dst_col: str = "dst",
+    symmetrize: bool = False,
     round_table_dir: str | None = None,
     resume: bool = False,
     small_graph_max_bytes: int = 128 << 20,
@@ -571,6 +572,21 @@ def pagerank(
     durable-rounds path (single-job has no per-round tables to
     restart from).
 
+    ``symmetrize`` (r17): rank the UNDIRECTED view of the edge list —
+    exactly ``pagerank(distinct(e) UNION swap(distinct(e)))`` with
+    non-null endpoints, but the symmetrization never materializes on
+    the small-graph path: the funnel ships only the DIRECTED distinct
+    edges (half the rows of the union) and the Arrow worker relaxes
+    each unordered pair in both directions (degree = both-direction
+    bincount; a pair present in BOTH input orientations and self-loops
+    are collapsed/relaxed exactly once per bi-edge via an unordered
+    np.unique, matching the union's distinct). Bit-identical to the
+    caller-side union (pinned cross-shape in tests). On the
+    distributed regimes the union is built over the persisted directed
+    cache, so the upstream edge pipeline still runs once. Callers with
+    possibly-null endpoints should filter first (a null never joins in
+    the distributed regimes; the Arrow funnel cannot represent it).
+
     ``stats``: optional dict populated with the chosen ``regime``
     (single_job / broadcast / smj) and the measured counts that drove
     the decision — the same observability pattern as
@@ -580,7 +596,6 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     # Regime decision: if the rank table (|V| rows) fits under the
     # broadcast threshold, every round's join gets an EXPLICIT
     # F.broadcast hint on the rank side (from round 2 on, ranks come
@@ -662,10 +677,28 @@ def pagerank(
                 stats["regime"] = "single_job"
                 stats["n_edges"] = n_edges
             out = _pagerank_single_job(
-                ed, iterations, scale, damping_num, damping_den
+                ed, iterations, scale, damping_num, damping_den,
+                symmetrize=symmetrize,
             )
             ed.unpersist()
             return out
+    ed_dir = None
+    if symmetrize:
+        # Gate missed (or disabled): the distributed regimes need the
+        # materialized bi view after all. Build it OVER the persisted
+        # directed cache — both union branches read the same cache, so
+        # the upstream edge pipeline still runs once — and hand the
+        # regimes the bi edge list exactly as a caller-side union
+        # would have. The directed cache is released once the bi cache
+        # is filled (nodes.count below).
+        ed_dir = ed
+        e = ed_dir.union(
+            ed_dir.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        ).distinct()
+        ed = e.persist(_SPILL)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     # node set FROM the cached edge list: the first union branch fills
     # the cache (when the small-graph gate didn't already), the second
     # reads it — the upstream edge pipeline runs ONCE, total.
@@ -676,6 +709,8 @@ def pagerank(
         .persist(_SPILL)
     )
     n_nodes = nodes.count()  # fills ed + nodes caches in one lineage
+    if ed_dir is not None:
+        ed_dir.unpersist()
     rank_bytes = n_nodes * (_est_row_bytes(nodes.schema) + 8)
     broadcast_ranks = 0 < threshold and rank_bytes <= threshold
     degt = None
@@ -887,6 +922,7 @@ def _pagerank_single_job(
     scale: int,
     damping_num: int,
     damping_den: int,
+    symmetrize: bool = False,
 ) -> DataFrame:
     """All ``iterations`` PageRank rounds in ONE Spark job — the
     small-graph regime behind ``pagerank(small_graph_max_bytes=...)``.
@@ -928,6 +964,7 @@ def _pagerank_single_job(
     sc = int(scale)
     dn = int(damping_num)
     dd = int(damping_den)
+    sym = bool(symmetrize)
     teleport = (dd - dn) * sc // dd
 
     def _run(batches):
@@ -945,19 +982,53 @@ def _pagerank_single_job(
         inv = enc.indices.to_numpy().astype(np.int64, copy=False)
         m = len(src)
         si, di = inv[:m], inv[m:]
-        # out-degrees from the (distinct) edge list itself — exact
-        # int64 counts; the distributed regimes pay a groupBy+join for
-        # this column, here it is one bincount over the src codes
-        counts = np.bincount(si, minlength=len(nodes))
-        denom = np.int64(dd) * counts[si]
-        rank = np.full(len(nodes), sc, dtype=np.int64)
+        nn = len(nodes)
         num = np.int64(dn)
         tele = np.int64(teleport)
-        for _ in range(iters):
-            contrib = (num * rank[si]) // denom
-            inflow = np.zeros(len(nodes), dtype=np.int64)
-            np.add.at(inflow, di, contrib)
-            rank = tele + inflow
+        if sym:
+            # Undirected view of the DIRECTED distinct input: collapse
+            # to unordered unique pairs (so an input carrying BOTH
+            # orientations, or a self-loop, relaxes exactly once per
+            # bi-edge — matching distinct(e UNION swap(e))), then relax
+            # every non-self pair in both directions. Pair packing is
+            # safe: nn <= 2*edges and the byte gate bounds edges far
+            # below the 3e9 packing limit (nn^2 < 2^63).
+            lo = np.minimum(si, di)
+            hi = np.maximum(si, di)
+            uniq = np.unique(lo * np.int64(nn) + hi)
+            lo = uniq // nn
+            hi = uniq - lo * nn
+            self_m = lo == hi
+            plo, phi = lo[~self_m], hi[~self_m]
+            sl = lo[self_m]
+            counts = (
+                np.bincount(plo, minlength=nn)
+                + np.bincount(phi, minlength=nn)
+                + np.bincount(sl, minlength=nn)
+            )
+            den_lo = np.int64(dd) * counts[plo]
+            den_hi = np.int64(dd) * counts[phi]
+            den_sl = np.int64(dd) * counts[sl]
+            rank = np.full(nn, sc, dtype=np.int64)
+            for _ in range(iters):
+                inflow = np.zeros(nn, dtype=np.int64)
+                np.add.at(inflow, phi, (num * rank[plo]) // den_lo)
+                np.add.at(inflow, plo, (num * rank[phi]) // den_hi)
+                if sl.size:
+                    np.add.at(inflow, sl, (num * rank[sl]) // den_sl)
+                rank = tele + inflow
+        else:
+            # out-degrees from the (distinct) edge list itself — exact
+            # int64 counts; the distributed regimes pay a groupBy+join
+            # for this column, here it is one bincount over src codes
+            counts = np.bincount(si, minlength=nn)
+            denom = np.int64(dd) * counts[si]
+            rank = np.full(nn, sc, dtype=np.int64)
+            for _ in range(iters):
+                contrib = (num * rank[si]) // denom
+                inflow = np.zeros(nn, dtype=np.int64)
+                np.add.at(inflow, di, contrib)
+                rank = tele + inflow
         yield pa.record_batch(
             [nodes, pa.array(rank, type=pa.int64())], ["node", "rank"]
         )

@@ -396,6 +396,40 @@ def test_pagerank_single_job_regime_bitwise_and_stats(spark):
     assert got == want and multi == want
 
 
+def test_pagerank_symmetrize_matches_explicit_union_all_regimes(spark):
+    """r17: pagerank(symmetrize=True) over DIRECTED edges must be
+    bit-identical to pagerank over the explicit
+    distinct(e UNION swap(e)) — in BOTH the single-job funnel (worker
+    symmetrizes: both-direction relax over unordered unique pairs) and
+    the distributed regime (operator builds the union itself). The
+    edge set deliberately contains BOTH orientations of some pairs and
+    self-loops, the cases where a naive both-direction relax of the
+    raw directed list would double-count."""
+    rng = np.random.RandomState(29)
+    raw = {(int(a), int(b)) for a, b in rng.randint(0, 60, (400, 2))}
+    raw |= {(b, a) for a, b in list(raw)[:50]}  # both orientations
+    raw |= {(7, 7), (11, 11)}  # self-loops
+    directed = sorted(raw)
+    bi = sorted(raw | {(b, a) for a, b in raw})
+    df_dir = spark.createDataFrame(directed, "src long, dst long")
+    df_bi = spark.createDataFrame(bi, "src long, dst long")
+
+    def ranks(df, **kw):
+        return {r["node"]: r["rank"] for r in pagerank(df, iterations=4, **kw).collect()}
+
+    st: dict = {}
+    got_sym_small = ranks(df_dir, symmetrize=True, stats=st)
+    assert st["regime"] == "single_job"
+    want = ranks(df_bi)  # explicit union, single-job
+    assert got_sym_small == want
+    st2: dict = {}
+    got_sym_dist = ranks(
+        df_dir, symmetrize=True, small_graph_max_bytes=0, stats=st2
+    )
+    assert st2["regime"] == "broadcast"
+    assert got_sym_dist == want
+
+
 def test_pagerank_resume_refuses_foreign_round_tables(spark, tmp_path):
     """The _params sidecar (ADVICE r14): resume must refuse round
     tables written under different parameters (damping here) or a
