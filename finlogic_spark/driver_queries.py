@@ -3181,6 +3181,8 @@ def doc_curation_pipeline(spark, sf_dir):
     # Stage order matters and is mirrored exactly in the oracle: dedup
     # representatives depend on the gated survivor set, LSH buckets on
     # the deduped set, sampling runs last.
+    from pyspark.storagelevel import StorageLevel
+
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     sig = d.select(
         "doc_id", "lang", "source", "text",
@@ -3201,8 +3203,18 @@ def doc_curation_pipeline(spark, sf_dir):
             "doc_id", "lang", "source", "text",
             F.col("__s.n_tokens").alias("n_tokens"),
         )
+        # r17 barrier (the curation_learned pattern): the gate subtree
+        # re-tokenizes every doc for repetition_signals + quality_score
+        # and is consumed by both exact_dedup sides and the downstream
+        # joins — lazy checkpoint so the per-row fold runs once
+        # (stage decomposition: the gated projection alone is ~2.0 s of
+        # the ~3.4 s row; probed 3.3-4.5 -> 2.7-3.4 s with the ded
+        # barrier below, BENCH_r17_probes.json)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
-    ded = exact_dedup(gated, "text", "doc_id")
+    ded = exact_dedup(gated, "text", "doc_id").localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     pairs = minhash_lsh_pairs(ded, "text", "doc_id", k=3, num_hashes=6, bands=2)
     kept = ded.join(
         pairs.select(F.col("id_b").alias("doc_id")).distinct(),
@@ -8535,21 +8547,25 @@ def emb_lsh_recall(spark, sf_dir):
         corpus_bucketed=True,
         local_query_probes=True,
     ).select("query_id", "vec_id")
-    hits = exact5.join(lsh5, ["query_id", "vec_id"]).groupBy(
-        "query_id"
-    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    # r17 (VERDICT r16 item 3): the exact brute-force leg used to be
+    # consumed twice — once as the hits join side, once for the
+    # distinct query_id frame — re-evaluating the full corpus scoring.
+    # One LEFT join + groupBy computes the same per-query hit count
+    # over a single exact-leg evaluation (exact5's keys ARE the query
+    # set: k rows per query by construction, count counts only
+    # matches). Probed 2.9-3.9 -> 2.7-2.9 s (BENCH_r17_probes.json).
     return (
-        exact5.select("query_id")
-        .distinct()
-        .join(hits, "query_id", "left")
+        exact5.join(
+            lsh5.withColumn("__hit", F.lit(1)),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("__hit").alias("__nh"))
         .select(
             "query_id",
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias(
-                "n_hits"
-            ),
-            (
-                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0)
-            ).alias("recall_at_5"),
+            F.col("__nh").cast("long").alias("n_hits"),
+            (F.col("__nh") / F.lit(5.0)).alias("recall_at_5"),
         )
         .orderBy("query_id")
     )

@@ -861,3 +861,135 @@ def test_stream_kll_state_carries_across_batches(spark, tmp_path):
             hi = np.sum(vals <= est) / n
             assert lo <= p + 0.02 and hi >= p - 0.02, (g, p)
     assert len(rows) > len(finals)  # genuinely multiple emissions per key
+
+
+def test_resample_update_vectorized_matches_per_event_reference():
+    """r17: the vectorized _resample_update (np.unique + add.reduceat
+    + repeat) must reproduce the original per-event fold EXACTLY —
+    same emitted rows (values bit-equal), same state after every
+    invocation — across randomized multi-invocation scenarios that
+    cover state carry-over, bucket-extension vs bucket-close at the
+    batch boundary, multi-hour gaps, late events (dropped + counted),
+    all-late batches, and empty batches. Pure-Python: drives the
+    update function directly with a fake GroupState."""
+    import numpy as np
+    import pandas as pd
+
+    from finlogic_spark.streaming.stateful import _HOUR_US, _resample_update
+
+    def reference(key, pdfs, state):
+        (user_id,) = key
+        hour_us, sum_cents, n, late = (
+            state.get if state.exists else (-1, 0, 0, 0)
+        )
+        out = []
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            state.update((hour_us, sum_cents, n, late))
+            return
+        events = pd.concat(chunks, ignore_index=True)
+        events = events.sort_values(["ts", "event_id"], kind="stable")
+        ts_us = pd.to_datetime(events["ts"]).astype("int64") // 1000
+        ev_hour_us = (ts_us // _HOUR_US) * _HOUR_US
+        cents = np.floor(
+            events["value"].to_numpy() * 100.0 + 0.5
+        ).astype("int64")
+        for h, c in zip(ev_hour_us.to_numpy(), cents):
+            h = int(h)
+            if hour_us == -1:
+                hour_us, sum_cents, n = h, 0, 0
+            if h < hour_us:
+                late += 1
+                continue
+            if h > hour_us:
+                fill = (sum_cents / 100.0) / n
+                out.append({"key": user_id, "hour_us": hour_us,
+                            "val": fill, "is_gap": False, "n_obs": n})
+                for gap in range(hour_us + _HOUR_US, h, _HOUR_US):
+                    out.append({"key": user_id, "hour_us": gap,
+                                "val": fill, "is_gap": True, "n_obs": 0})
+                hour_us, sum_cents, n = h, 0, 0
+            sum_cents += int(c)
+            n += 1
+        state.update((hour_us, sum_cents, n, late))
+        if n > 0:
+            out.append({"key": user_id, "hour_us": hour_us,
+                        "val": (sum_cents / 100.0) / n,
+                        "is_gap": False, "n_obs": n})
+        if out:
+            pdf = pd.DataFrame(out)
+            pdf["bucket_ts"] = pd.to_datetime(pdf.pop("hour_us"), unit="us")
+            pdf["n_late"] = int(late)
+            yield pdf[["key", "bucket_ts", "val", "is_gap", "n_obs",
+                       "n_late"]]
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    def collect(fn, batches, state):
+        frames = []
+        for batch in batches:
+            frames.extend(fn((7,), iter(batch), state))
+        if not frames:
+            return pd.DataFrame(
+                columns=["key", "bucket_ts", "val", "is_gap", "n_obs",
+                         "n_late"]
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    rng = np.random.RandomState(41)
+    base = pd.Timestamp("2024-03-01").value // 1000
+    for trial in range(20):
+        # random event stream split into random micro-batches; later
+        # batches sometimes rewind below the open bucket (late data)
+        n_ev = int(rng.randint(1, 120))
+        hours = np.cumsum(rng.randint(0, 4, size=n_ev))  # gaps of 0-3h
+        if trial % 3 == 0 and n_ev > 5:
+            hours[-3:] = 0  # stragglers far below the open bucket
+        ts = base + hours * _HOUR_US + rng.randint(0, _HOUR_US, size=n_ev)
+        vals = np.round(rng.rand(n_ev) * 50, 3)
+        rows = pd.DataFrame(
+            {
+                "user_id": 7,
+                "ts": pd.to_datetime(ts, unit="us"),
+                "value": vals,
+                "event_id": np.arange(n_ev),
+            }
+        )
+        cuts = sorted(
+            rng.choice(n_ev, size=min(3, n_ev - 1), replace=False)
+        ) if n_ev > 3 else [n_ev]
+        batches = []
+        prev = 0
+        for c in list(cuts) + [n_ev]:
+            part = rows.iloc[prev:c]
+            batches.append([part] if len(part) else [])
+            prev = c
+        batches.append([])  # trailing empty batch
+        s_ref, s_vec = FakeState(), FakeState()
+        got_ref = collect(reference, batches, s_ref)
+        got_vec = collect(_resample_update, batches, s_vec)
+        assert s_ref._v == s_vec._v, (trial, s_ref._v, s_vec._v)
+        assert len(got_ref) == len(got_vec), trial
+        # every (key, bucket_ts) is unique within an invocation (gap
+        # hours lie strictly between bucket hours), so row order within
+        # the emitted frame is immaterial to the keep-last consumer —
+        # compare as sorted sets of full rows, values bit-equal
+        key_cols = ["bucket_ts", "n_obs"]
+        got_ref = got_ref.sort_values(key_cols, ignore_index=True)
+        got_vec = got_vec.sort_values(key_cols, ignore_index=True)
+        for col in ["key", "bucket_ts", "val", "is_gap", "n_obs",
+                    "n_late"]:
+            assert (
+                got_ref[col].to_numpy() == got_vec[col].to_numpy()
+            ).all(), (trial, col)

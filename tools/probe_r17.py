@@ -709,6 +709,160 @@ def resample_vec(out: dict) -> None:
     print(json.dumps(out), flush=True)
 
 
+def cc_decompose(out: dict) -> None:
+    """VERDICT r16 item 5 follow-through: attribute the CC-family rows'
+    cost between the minhash pair pipeline and the single-job funnel,
+    and time the funnel's kernel pieces locally (dictencode /
+    sort_indices / minimum.at loop) — decides whether the CC funnel
+    needs the pagerank treatment or is already upstream-dominated."""
+    import time as _t_
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql import functions as F
+
+    from finlogic_spark.operators.text_dedup import minhash_lsh_pairs
+
+    spark = get_spark("probe-r17")
+    sc = spark.sparkContext
+
+    d = dq._t(spark, SF_DIR, "documents")
+
+    def pairs():
+        return minhash_lsh_pairs(
+            d, "text", "doc_id", k=3, num_hashes=6, bands=2
+        )
+
+    sc.setJobDescription("cc_decompose: pairs_only")
+    out["pairs_only"] = _time(lambda: _noop(pairs()))
+    sc.setJobDescription("cc_decompose: full_query")
+    out["full_query"] = _time(
+        lambda: _noop(dq.QUERIES["doc_dedup_clusters"](spark, SF_DIR))
+    )
+    print("pairs_only", out["pairs_only"], "full", out["full_query"],
+          flush=True)
+
+    # funnel kernel, locally: same ops as _cc_single_job
+    tbl = (
+        pairs()
+        .select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+        .toArrow()
+    )
+    s = tbl.column("s").combine_chunks()
+    dd = tbl.column("d").combine_chunks()
+    t0 = _t_.perf_counter()
+    enc = pa.chunked_array([s, dd]).combine_chunks().dictionary_encode()
+    out["kernel_dictencode_s"] = round(_t_.perf_counter() - t0, 3)
+    nodes = enc.dictionary
+    n = len(nodes)
+    t0 = _t_.perf_counter()
+    order = pc.sort_indices(nodes).to_numpy().astype(np.int64, copy=False)
+    rank_of = np.empty(n, dtype=np.int64)
+    rank_of[order] = np.arange(n, dtype=np.int64)
+    out["kernel_sort_s"] = round(_t_.perf_counter() - t0, 3)
+    idx = enc.indices.to_numpy().astype(np.int64, copy=False)
+    m = len(s)
+    si, di = idx[:m], idx[m:]
+    t0 = _t_.perf_counter()
+    lab = rank_of.copy()
+    rounds = 0
+    while True:
+        old = lab
+        lab = lab.copy()
+        np.minimum.at(lab, di, old[si])
+        np.minimum.at(lab, si, old[di])
+        np.minimum(lab, lab[order[lab]], out=lab)
+        rounds += 1
+        if np.array_equal(lab, old):
+            break
+    out["kernel_loop_s"] = round(_t_.perf_counter() - t0, 3)
+    out["kernel_rounds"] = rounds
+    out["n_edges"] = m
+    out["n_nodes"] = n
+    print({k: out[k] for k in (
+        "kernel_dictencode_s", "kernel_sort_s", "kernel_loop_s",
+        "kernel_rounds", "n_edges", "n_nodes")}, flush=True)
+
+
+def ngram_jaccard_reuse(out: dict) -> None:
+    """doc_ngram_jaccard: the exploded distinct-shingle stream feeds
+    the self-join's BOTH sides (same exchange — likely reused) AND the
+    per-doc size aggregate (different key — full re-evaluation).
+    A/B a lazy checkpoint of the (doc_id, sh) stream. r16 precedent
+    says raw token-stream barriers are wash-or-worse; this one feeds
+    three consumers, so measure rather than assume."""
+    from pyspark.sql import functions as F
+
+    from finlogic_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    spark = get_spark("probe-r17")
+    sc = spark.sparkContext
+
+    def v0():
+        return dq.QUERIES["doc_ngram_jaccard"](spark, SF_DIR)
+
+    def run(label, mk):
+        sc.setJobDescription(f"ngram_jaccard: {label}")
+        return _time(lambda: _noop(mk()))
+
+    # decomposition only (the operator owns the shape; a barrier would
+    # need an operator param — measure the potential first)
+    a1 = run("v0", v0)
+    a2 = run("v0", v0)
+    out["v0_current"] = min(a1, a2)
+    out["samples"] = {"v0": [a1, a2]}
+    print(json.dumps(out), flush=True)
+
+
+def hybrid_decompose(out: dict) -> None:
+    """doc_hybrid_search: attribute cost between the BM25 leg, the LSH
+    serve leg, and fusion — both legs are index-served and top-20
+    bounded, so if each leg's standalone cost ~= its in-query share,
+    there is no shared subtree to barrier."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from finlogic_spark.operators.search import bm25_topk
+
+    spark = get_spark("probe-r17")
+    sc = spark.sparkContext
+
+    def lex():
+        idx = dq._postings_index(spark, SF_DIR)
+        return bm25_topk(None, dq._HYBRID_TERMS, k=20, postings=idx)
+
+    def sem():
+        corpus = dq._lsh_index(spark, SF_DIR)
+        q0 = (
+            dq._emb_corpus(spark, SF_DIR)
+            .filter(F.col("vec_id") == 0)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+        )
+        from finlogic_spark.operators.similarity import lsh_cosine_topk
+
+        return lsh_cosine_topk(
+            corpus, q0, k=20, dim=64, num_planes=dq._LSH_PLANES,
+            num_tables=dq._LSH_TABLES, probe_radius=dq._LSH_RADIUS,
+            corpus_bucketed=True, local_query_probes=True,
+        )
+
+    stages = {
+        "lex_leg": lex,
+        "sem_leg": sem,
+        "full_query": lambda: dq.QUERIES["doc_hybrid_search"](
+            spark, SF_DIR
+        ),
+    }
+    for label, mk in stages.items():
+        sc.setJobDescription(f"hybrid: {label}")
+        out[label] = _time(lambda: _noop(mk()))
+        print(label, out[label], flush=True)
+
+
 PROBES = {
     "pagerank_decompose": pagerank_decompose,
     "pagerank_variants": pagerank_variants,
@@ -716,6 +870,9 @@ PROBES = {
     "curation_pipeline": curation_pipeline,
     "segment_dedup": segment_dedup,
     "resample_vec": resample_vec,
+    "cc_decompose": cc_decompose,
+    "ngram_jaccard_reuse": ngram_jaccard_reuse,
+    "hybrid_decompose": hybrid_decompose,
 }
 
 
