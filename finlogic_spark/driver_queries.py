@@ -8062,11 +8062,18 @@ def doc_bpe_shingle_pairs(spark, sf_dir):
     # all-pairs) reaches duplicates the word-shingle path scores
     # apart. Pieces come Arrow-batched from bpe_pieces; shingling,
     # seeded-md5 minhashing (explode + map-side min partials, one
-    # exchange row per doc), banding, and the bucket self-join are all
+    # exchange row per doc), banding, and the pair expansion are all
     # JVM-side — bit-reproducible in any engine with md5, hence the
-    # exact-SQL oracle.
+    # exact-SQL oracle. Banding explodes ONE array of (band, hash)
+    # structs and pairs expand bucket-side via bucket_pairs (the
+    # minhash_lsh_pairs shape): the union-of-selects + bucket
+    # self-join form evaluated the sig pipeline 4x (2 union branches
+    # x 2 join sides — Spark shares no subplans across branches).
     from finlogic_spark.operators.bpe import bpe_pieces
-    from finlogic_spark.operators.text_dedup import array_shingles
+    from finlogic_spark.operators.text_dedup import (
+        array_shingles,
+        bucket_pairs,
+    )
 
     d = _t(spark, sf_dir, "documents")
     m, lk = _bpe_index_store(spark, sf_dir)
@@ -8087,28 +8094,24 @@ def doc_bpe_shingle_pairs(spark, sf_dir):
     )
     buckets = sig.select(
         "doc_id",
-        F.lit(0).alias("band"),
-        F.md5(F.concat(F.col("m0"), F.lit("|"), F.col("m1"))).alias("bh"),
-    ).unionByName(
-        sig.select(
-            "doc_id",
-            F.lit(1).alias("band"),
-            F.md5(F.concat(F.col("m2"), F.lit("|"), F.col("m3"))).alias("bh"),
-        )
-    )
-    a = buckets.select(
-        F.col("doc_id").alias("id_a"), "band", "bh"
-    )
-    b = buckets.select(
-        F.col("doc_id").alias("id_b"), "band", "bh"
-    )
-    return (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-        .orderBy("id_a", "id_b")
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.md5(
+                        F.concat(F.col("m0"), F.lit("|"), F.col("m1"))
+                    ).alias("band_hash"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.md5(
+                        F.concat(F.col("m2"), F.lit("|"), F.col("m3"))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_hash")
+    return bucket_pairs(buckets, "doc_id").orderBy("id_a", "id_b")
 
 
 def _bpe_pack_segments_oracle_sql(sf_dir: str) -> str:

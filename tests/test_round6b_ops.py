@@ -903,3 +903,60 @@ def test_mad_spill_safe_path_matches_default(spark):
         map(tuple, robust_outliers(df, "grp", "value", spill_safe=True).collect())
     )
     assert fast == safe and len(fast) > 0
+
+
+def test_banded_bucket_pairs_matches_self_join_form(spark):
+    """doc_bpe_shingle_pairs r17 restructure pin: banding via ONE
+    exploded array of (band, band_hash) structs + bucket_pairs'
+    collect_list expansion must produce the exact pair set of the old
+    union-of-selects + bucket self-join form (which evaluated the
+    minhash signature subtree 4x). Covers multi-member buckets, id
+    ordering, and cross-band duplicate pairs collapsing via distinct."""
+    from finlogic_spark.operators.text_dedup import bucket_pairs
+
+    sig = spark.createDataFrame(
+        [
+            (1, "a", "x"), (2, "a", "y"), (3, "a", "x"),
+            (4, "b", "x"), (5, "a", "z"), (6, "a", "x"),
+            (7, "c", "y"), (8, "a", "y"),
+        ],
+        "doc_id long, m01 string, m23 string",
+    )
+    buckets = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.md5(F.col("m01")).alias("band_hash"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.md5(F.col("m23")).alias("band_hash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_hash")
+    got = sorted(
+        map(tuple, bucket_pairs(buckets, "doc_id").collect())
+    )
+    legacy = sig.select(
+        "doc_id", F.lit(0).alias("band"), F.md5("m01").alias("bh")
+    ).unionByName(
+        sig.select(
+            "doc_id", F.lit(1).alias("band"), F.md5("m23").alias("bh")
+        )
+    )
+    a = legacy.select(F.col("doc_id").alias("id_a"), "band", "bh")
+    b = legacy.select(F.col("doc_id").alias("id_b"), "band", "bh")
+    ref = sorted(
+        map(
+            tuple,
+            a.join(b, ["band", "bh"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .collect(),
+        )
+    )
+    assert got == ref and len(got) >= 6

@@ -863,6 +863,146 @@ def hybrid_decompose(out: dict) -> None:
         print(label, out[label], flush=True)
 
 
+def bpe_shingle_onepass(out: dict) -> None:
+    """doc_bpe_shingle_pairs: the banding unions two selects of `sig`
+    and then SELF-JOINS the union — the expensive sig pipeline
+    (bpe_pieces Arrow stage -> piece shingles -> 4 seeded-md5 minhash
+    aggregate) is evaluated 4x (2 union branches x 2 join sides; Spark
+    shares no subplans across union/join branches). Candidate: band by
+    exploding an array of (band, bh) structs (the lsh_buckets shape —
+    ONE sig evaluation) and expand pairs bucket-side via bucket_pairs'
+    collect_list + _pairs_within (no self-join). Same (band, bh)
+    hashes, same (id_a < id_b) pair set."""
+    from pyspark.sql import functions as F
+
+    from finlogic_spark.operators.bpe import bpe_pieces
+    from finlogic_spark.operators.text_dedup import (
+        array_shingles,
+        bucket_pairs,
+    )
+
+    spark = get_spark("probe-r17")
+    sc = spark.sparkContext
+
+    def v0():
+        return dq.QUERIES["doc_bpe_shingle_pairs"](spark, SF_DIR)
+
+    def v1():
+        d = dq._t(spark, SF_DIR, "documents")
+        m, lk = dq._bpe_index_store(spark, SF_DIR)
+        p = bpe_pieces(d, m, pieces_lookup=lk)
+        sh = p.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(array_shingles(F.col("pieces"), 3))
+            ).alias("__sh"),
+        )
+        sig = sh.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    F.md5(F.concat(F.lit(f"{i}|"), F.col("__sh")))
+                ).alias(f"m{i}")
+                for i in range(4)
+            ]
+        )
+        buckets = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("band"),
+                        F.md5(
+                            F.concat(F.col("m0"), F.lit("|"), F.col("m1"))
+                        ).alias("band_hash"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("band"),
+                        F.md5(
+                            F.concat(F.col("m2"), F.lit("|"), F.col("m3"))
+                        ).alias("band_hash"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.band_hash")
+        return bucket_pairs(buckets, "doc_id").orderBy("id_a", "id_b")
+
+    ref = _rows_sorted(v0())
+    got = _rows_sorted(v1())
+    out["rows_equal"] = got == ref
+    print("rows_equal", got == ref, flush=True)
+    assert got == ref
+
+    def run(label, mk):
+        sc.setJobDescription(f"bpe_shingle: {label}")
+        return _time(lambda: _noop(mk()))
+
+    a1 = run("v0", v0)
+    b1 = run("v1", v1)
+    a2 = run("v0", v0)
+    b2 = run("v1", v1)
+    out["v0_current"] = min(a1, a2)
+    out["v1_onepass"] = min(b1, b2)
+    out["samples"] = {"v0": [a1, a2], "v1": [b1, b2]}
+    print(json.dumps(out), flush=True)
+
+
+def kll_rollup_decompose(out: dict) -> None:
+    """events_kll_rollup (3.5 s, largest untouched non-adjudicated
+    row): attribute between the h_day histogram build, the per-(day,
+    type) sketch table (mapInPandas partials + applyInPandas merge),
+    the cross-day merge/extract, and the band report — decides whether
+    anything beyond job floors is on the table (the pipeline already
+    shares the checkpointed histogram across all three consumers)."""
+    from pyspark.storagelevel import StorageLevel
+    from pyspark.sql import functions as F
+
+    from finlogic_spark.operators.sketch import (
+        kll_sketch_table,
+        kll_table_quantiles,
+    )
+
+    spark = get_spark("probe-r17")
+    sc = spark.sparkContext
+
+    def h_day():
+        e = dq._t(spark, SF_DIR, "events")
+        v = F.col("value")
+        base = e.filter(v.isNotNull() & ~F.isnan(v)).select(
+            F.to_date("ts").alias("day"), "event_type", "value"
+        )
+        return base.groupBy("day", "event_type", "value").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+
+    def daily():
+        return kll_sketch_table(
+            h_day().localCheckpoint(
+                eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+            ),
+            ["day", "event_type"],
+            "value",
+            weight_col="__c",
+        )
+
+    def est():
+        return kll_table_quantiles(
+            daily().drop("day"), ["event_type"], [0.5, 0.99]
+        )
+
+    stages = {
+        "h_day": lambda: h_day(),
+        "daily_sketch_table": daily,
+        "est_quantiles": est,
+        "full_query": lambda: dq.QUERIES["events_kll_rollup"](
+            spark, SF_DIR
+        ),
+    }
+    for label, mk in stages.items():
+        sc.setJobDescription(f"kll_rollup: {label}")
+        out[label] = _time(lambda: _noop(mk()))
+        print(label, out[label], flush=True)
+
+
 PROBES = {
     "pagerank_decompose": pagerank_decompose,
     "pagerank_variants": pagerank_variants,
@@ -873,6 +1013,8 @@ PROBES = {
     "cc_decompose": cc_decompose,
     "ngram_jaccard_reuse": ngram_jaccard_reuse,
     "hybrid_decompose": hybrid_decompose,
+    "bpe_shingle_onepass": bpe_shingle_onepass,
+    "kll_rollup_decompose": kll_rollup_decompose,
 }
 
 
