@@ -1003,6 +1003,84 @@ def kll_rollup_decompose(out: dict) -> None:
         print(label, out[label], flush=True)
 
 
+def neardup_bucketpairs(out: dict) -> None:
+    """emb_cosine_neardup: cosine_neardup_pairs self-joins each
+    table's bucket assignment (a_side x b_side on (__tbl, __bucket)) —
+    the bucket-assign subtree (embedding scan + cast + plane
+    projection) is evaluated TWICE per table; the item-8 shape.
+    Candidate: sort_array(collect_list(id)) per bucket +
+    _pairs_within explode — ONE bucket-assign evaluation; a vector
+    belongs to exactly one bucket per table so within-table pairs are
+    unique either way, and the size filter on the collected array is
+    equivalent to the old a_side semi-join on bucket sizes."""
+    from pyspark.sql import functions as F
+
+    from finlogic_spark.operators.similarity import (
+        cosine,
+        lsh_assign_buckets,
+    )
+    from finlogic_spark.operators.text_dedup import _pairs_within
+
+    spark = get_spark("probe-r17")
+    sc = spark.sparkContext
+
+    def v0():
+        return dq.QUERIES["emb_cosine_neardup"](spark, SF_DIR)
+
+    def v1():
+        e = dq._t(spark, SF_DIR, "embeddings")
+        as_double = F.transform("embedding", lambda x: x.cast("double"))
+        vecs = e.select("vec_id", as_double.alias("embedding"))
+        b = lsh_assign_buckets(
+            vecs.select("vec_id", "embedding"), "embedding", 64, 6, table=0
+        )
+        grouped = b.groupBy("__bucket").agg(
+            F.sort_array(F.collect_list("vec_id")).alias("__ids")
+        )
+        cands = (
+            grouped.filter(F.size("__ids") >= 2)
+            .select(F.explode(_pairs_within(F.col("__ids"))).alias("p"))
+            .select(
+                F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+            )
+        )
+        va = vecs.select(
+            F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va")
+        )
+        vb = vecs.select(
+            F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb")
+        )
+        out_df = (
+            cands.join(va, "id_a")
+            .join(vb, "id_b")
+            .withColumn("cos_sim", cosine(F.col("__va"), F.col("__vb")))
+            .filter(F.col("cos_sim") >= 0.4)
+            .select("id_a", "id_b", "cos_sim")
+        )
+        return out_df.select(
+            "id_a", "id_b", dq.rN(F.col("cos_sim"), 6).alias("cos_sim")
+        ).orderBy("id_a", "id_b")
+
+    ref = _rows_sorted(v0())
+    got = _rows_sorted(v1())
+    out["rows_equal"] = got == ref
+    print("rows_equal", got == ref, flush=True)
+    assert got == ref
+
+    def run(label, mk):
+        sc.setJobDescription(f"neardup: {label}")
+        return _time(lambda: _noop(mk()))
+
+    a1 = run("v0", v0)
+    b1 = run("v1", v1)
+    a2 = run("v0", v0)
+    b2 = run("v1", v1)
+    out["v0_current"] = min(a1, a2)
+    out["v1_bucketpairs"] = min(b1, b2)
+    out["samples"] = {"v0": [a1, a2], "v1": [b1, b2]}
+    print(json.dumps(out), flush=True)
+
+
 PROBES = {
     "pagerank_decompose": pagerank_decompose,
     "pagerank_variants": pagerank_variants,
@@ -1015,6 +1093,7 @@ PROBES = {
     "hybrid_decompose": hybrid_decompose,
     "bpe_shingle_onepass": bpe_shingle_onepass,
     "kll_rollup_decompose": kll_rollup_decompose,
+    "neardup_bucketpairs": neardup_bucketpairs,
 }
 
 
